@@ -1,0 +1,79 @@
+"""Catalog: parquet loaders, temp-view registration, and scalar anchors.
+
+Mirrors the reference's ingestion + session-state pattern:
+  - table registration (ref ``src/TyreStore Challenge.py:65-72``) →
+    ``register_views`` (temp views over parquet; no metastore needed);
+  - the ``MAX(carts.createdTS)`` scalar pulled to the driver and spliced into
+    later SQL (ref ``py:78-82``, SURVEY.md §2 S11/S12) → ``last_order_datetime``
+    (cached per sf_dir; the analog anchor is ``MAX(orders.o_orderdate)``).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan with embedded schema (SURVEY.md §2 S2).
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the fixture parquet — Spark has no
+    nanosecond timestamp type, so it is read as long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and truncated to microseconds
+    here, matching DuckDB's ns→us truncation exactly.
+    """
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer division: double division loses precision at ~1e18 nanos
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register each fixture table as a temp view (SURVEY.md §2 S4/S7 analog)."""
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+# --- scalar session state (S11/S12) ---------------------------------------
+
+_ANCHOR_CACHE: dict[str, _dt.datetime] = {}
+
+
+def last_order_datetime(spark: SparkSession, sf_dir: str) -> _dt.datetime:
+    """Pull MAX(o_orderdate) to the driver once per sf_dir (ref ``py:78-82``).
+
+    The reference stashes the scalar in Spark conf and lexically splices
+    ``${carts.last_datetime}`` into SQL text; the OSS-idiomatic equivalent is a
+    Python-side value interpolated into the DataFrame plan (SURVEY.md §4.3.1).
+    """
+    if sf_dir not in _ANCHOR_CACHE:
+        row = (
+            load_table(spark, sf_dir, "orders")
+            .agg(F.max("o_orderdate").alias("last_datetime"))
+            .first()
+        )
+        _ANCHOR_CACHE[sf_dir] = row["last_datetime"]
+    return _ANCHOR_CACHE[sf_dir]

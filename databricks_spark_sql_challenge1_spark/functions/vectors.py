@@ -1,0 +1,26 @@
+"""Vector arithmetic as Catalyst array expressions — JVM-side, no UDFs.
+
+``F.aggregate``/``F.zip_with`` fold over array<double> columns inside
+whole-stage codegen; this is the built-in-operator path SURVEY.md §7 Stage 3
+prescribes for cosine similarity (Pandas UDFs reserved for genuinely
+inexpressible ops, see operators/multimodal.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))

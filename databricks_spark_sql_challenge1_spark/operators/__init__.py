@@ -1,0 +1,15 @@
+"""Operator modules. Importing this package registers every query into
+``databricks_spark_sql_challenge1_spark.registry``."""
+
+from databricks_spark_sql_challenge1_spark.operators import (  # noqa: F401
+    abandonment,
+    dedup,
+    export_denorm,
+    json_ops,
+    launch,
+    marts,
+    similarity,
+    states,
+    textstats,
+    windows,
+)

@@ -1,0 +1,285 @@
+"""Deduplication over ``documents`` — extension surface (SURVEY.md §7):
+exact (hash-groupBy), normalized fingerprint, n-gram Jaccard near-dup,
+SimHash near-dup, and MinHash+LSH (spark.ml; rows-only check).
+
+Hash-function policy: everything oracle-checked hashes via md5 (identical
+hex output in Spark and DuckDB); token hashes for SimHash are the first 8
+md5 hex chars parsed as a 32-bit integer — reproducible bit-for-bit on both
+engines. spark.ml's MinHashLSH uses JVM-internal hashes → rows-only entry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_spark_sql_challenge1_spark.catalog import load_table
+from databricks_spark_sql_challenge1_spark.registry import query
+
+SHINGLE_N = 3  # word 3-grams
+JACCARD_THRESHOLD = 0.2
+SIMHASH_BITS = 32
+HAMMING_MAX = 6
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS text_hash,
+       COUNT(*) AS n_copies,
+       MIN(doc_id) AS canonical_doc_id
+FROM documents
+GROUP BY text
+ORDER BY text_hash ASC
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the full text, canonical = min doc_id.
+
+    At 100 TB this is the standard one-shuffle dedup: group on md5(text)
+    (fixed-width key → smaller shuffle than raw text) with partial
+    aggregation map-side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("text")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .select(
+            F.md5("text").alias("text_hash"), "n_copies", "canonical_doc_id"
+        )
+        .orderBy(F.col("text_hash").asc())
+    )
+
+
+@query(
+    "dedup_fingerprint",
+    oracle="""
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS canonical_doc_id
+FROM documents
+GROUP BY 1
+ORDER BY fingerprint ASC
+""",
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-fingerprint dedup (case/whitespace-insensitive)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
+    return (
+        docs.groupBy(fp.alias("fingerprint"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .orderBy(F.col("fingerprint").asc())
+    )
+
+
+def _shingles_spark(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) distinct word-3-grams, all JVM-side array ops."""
+    toks = F.split(F.trim("text"), r"\s+")
+    shingles = F.expr(
+        f"transform(sequence(1, greatest(size(tokens) - {SHINGLE_N - 1}, 0)), "
+        f"i -> array_join(slice(tokens, i, {SHINGLE_N}), ' '))"
+    )
+    return (
+        docs.select("doc_id", toks.alias("tokens"))
+        .select("doc_id", F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+_SHINGLES_SQL = f"""
+    SELECT DISTINCT doc_id, shingle
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(toks) - {SHINGLE_N - 1}, 0)),
+                   i -> array_to_string(toks[i:i+{SHINGLE_N - 1}], ' '))) AS shingle
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents)
+    )
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS doc_1, b.doc_id AS doc_2, COUNT(*) AS c
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_1, doc_2,
+       ROUND(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 4) AS jaccard
+FROM common
+JOIN sizes s1 ON s1.doc_id = doc_1
+JOIN sizes s2 ON s2.doc_id = doc_2
+WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= {JACCARD_THRESHOLD}
+ORDER BY jaccard DESC, doc_1 ASC, doc_2 ASC
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup: shingle → inverted-index self-join →
+    |∩| / |∪|. The shingle equi-join IS the blocking step: only documents
+    sharing at least one shingle ever meet, so the pair space stays sparse
+    at scale (vs a quadratic crossJoin)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles_spark(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_1"), F.col("b.doc_id").alias("doc_2")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    jac = F.col("c").cast("double") / (F.col("s1.n") + F.col("s2.n") - F.col("c"))
+    return (
+        common.join(s1, F.col("s1.doc_id") == F.col("doc_1"))
+        .join(s2, F.col("s2.doc_id") == F.col("doc_2"))
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_1", "doc_2", F.round(jac, 4).alias("jaccard"))
+        .orderBy(F.col("jaccard").desc(), F.col("doc_1").asc(), F.col("doc_2").asc())
+    )
+
+
+# --- SimHash ---------------------------------------------------------------
+
+
+def _simhash_exprs_spark() -> str:
+    """SUM-of-sign per bit, then recombine: Spark SQL expression string."""
+    bits = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return bits
+
+
+def _simhash_sql_duckdb() -> str:
+    bits = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+    SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+    FROM documents
+),
+hashed AS (
+    SELECT doc_id,
+           CAST(CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT) AS BIGINT) AS h
+    FROM toks
+)
+SELECT doc_id, {bits} AS simhash
+FROM hashed
+GROUP BY doc_id
+ORDER BY doc_id ASC
+"""
+
+
+@query("text_simhash", oracle=_simhash_sql_duckdb())
+def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 32-bit SimHash over distinct whitespace tokens.
+
+    Token hash = first 8 md5 hex chars as int (engine-portable); bit b of
+    the signature = sign of Σ ±1 over token-hash bit b. One explode + one
+    groupBy — a single shuffle on doc_id at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+        )
+        .distinct()
+        .withColumn(
+            "h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+        )
+    )
+    return (
+        toks.groupBy("doc_id")
+        .agg(F.expr(_simhash_exprs_spark()).alias("simhash"))
+        .orderBy(F.col("doc_id").asc())
+    )
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+WITH sig AS ({_simhash_sql_duckdb().replace("ORDER BY doc_id ASC", "")})
+SELECT a.doc_id AS doc_1, b.doc_id AS doc_2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+ORDER BY hamming ASC, doc_1 ASC, doc_2 ASC
+""",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ 6.
+
+    The fixture-size all-pairs comparison is quadratic; the scale path is
+    banding (split the signature into 4 bytes, equi-join on any matching
+    band — Hamming ≤ 6 over 32 bits guarantees ≥1 exact band match only
+    probabilistically, so production uses 64-bit signatures with wider
+    bands; the banding join itself is ``dedup_minhash_lsh``'s shape).
+    """
+    sig = text_simhash(spark, sf_dir).alias("a")
+    sig2 = text_simhash(spark, sf_dir).alias("b")
+    hamming = F.expr("bit_count(a.simhash ^ b.simhash)")
+    return (
+        sig.join(sig2, F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(hamming <= HAMMING_MAX)
+        .select(
+            F.col("a.doc_id").alias("doc_1"),
+            F.col("b.doc_id").alias("doc_2"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .orderBy(F.col("hamming").asc(), F.col("doc_1").asc(), F.col("doc_2").asc())
+    )
+
+
+@query("dedup_minhash_lsh")  # rows-only: spark.ml hash seeds are JVM-internal
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup via spark.ml (HashingTF → MinHashLSH →
+    approxSimilarityJoin). Not DuckDB-expressible (internal hash seeds) →
+    driver runs the weaker rows-only check; semantics are pinned by
+    tests/test_extensions.py against the exact Jaccard query.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH, RegexTokenizer
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tokenizer = RegexTokenizer(
+        inputCol="text", outputCol="tokens", pattern=r"\s+", minTokenLength=1
+    )
+    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 18)
+    featured = tf.transform(tokenizer.transform(docs))
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(featured)
+    pairs = model.approxSimilarityJoin(
+        featured, featured, threshold=0.9, distCol="jaccard_dist"
+    )
+    return (
+        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_1"),
+            F.col("datasetB.doc_id").alias("doc_2"),
+            F.round(1 - F.col("jaccard_dist"), 4).alias("jaccard_approx"),
+        )
+        .orderBy(F.col("jaccard_approx").desc(), "doc_1", "doc_2")
+    )

@@ -1,0 +1,149 @@
+"""Reference query #12 (monthly + yearly variants): products launched in the
+anchor window, with order/abandonment counts in their launch month.
+
+Three-level nesting (ref ``py:364-397`` monthly, ``py:406-439`` yearly):
+  innermost: per-product launch month = YEAR/MONTH(MIN(o_orderdate)) with
+             HAVING on the MIN-derived values (A10);
+  middle ×2: facts joined back on product, restricted to each product's own
+             launch month (one counting all orders, one only abandoned);
+  outer:     LEFT JOIN of the two middles + COALESCE.
+
+The reference's RIGHT JOINs in the middle level are nullified by the WHERE on
+launch_products columns (same gotcha-1 pattern) → implemented as inner joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_spark_sql_challenge1_spark.catalog import last_order_datetime, load_table
+from databricks_spark_sql_challenge1_spark.functions.datetime import shift_months
+from databricks_spark_sql_challenge1_spark.registry import query
+
+
+def _launch_products(spark, sf_dir) -> DataFrame:
+    """Innermost view: per-product (launch_year, launch_month) from the full
+    history (lineitem RIGHT JOIN orders keeps entry-less orders in the NULL
+    product group, which the HAVING then drops — ref ``py:368-375``)."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "right")
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.year(F.min("o_orderdate")).alias("launch_year"),
+            F.month(F.min("o_orderdate")).alias("launch_month"),
+        )
+    )
+
+
+_LAUNCH_SQL = """
+    SELECT l.l_partkey AS partkey,
+           CAST(year(MIN(o.o_orderdate)) AS INTEGER) AS launch_year,
+           CAST(month(MIN(o.o_orderdate)) AS INTEGER) AS launch_month
+    FROM lineitem l RIGHT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY l.l_partkey
+"""
+
+
+def _launch_counts(spark, sf_dir, launches: DataFrame, abandoned_only: bool) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    facts = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+    if abandoned_only:
+        facts = facts.where(F.col("o_orderstatus") == "O")
+    return (
+        launches.join(facts, launches.partkey == facts.l_partkey)
+        .where(
+            (F.year("o_orderdate") == F.col("launch_year"))
+            & (F.month("o_orderdate") == F.col("launch_month"))
+        )
+        .groupBy("partkey", "launch_year", "launch_month")
+        .agg(F.countDistinct("o_orderkey").alias("cnt"))
+    )
+
+
+def _launch_query(spark, sf_dir, yearly: bool) -> DataFrame:
+    anchor = last_order_datetime(spark, sf_dir)
+    y1, m1 = shift_months(anchor, -1)
+    launches = _launch_products(spark, sf_dir)
+    if yearly:
+        launches = launches.where(F.col("launch_year") == anchor.year - 1)
+    else:
+        launches = launches.where(
+            (F.col("launch_year") == y1) & (F.col("launch_month") == m1)
+        )
+    all_counts = _launch_counts(spark, sf_dir, launches, abandoned_only=False).alias("lc")
+    ab_counts = _launch_counts(spark, sf_dir, launches, abandoned_only=True).alias("la")
+    return (
+        all_counts.join(ab_counts, F.col("lc.partkey") == F.col("la.partkey"), "left")
+        .select(
+            F.col("lc.partkey").alias("partkey"),
+            F.col("lc.launch_year").alias("launch_year"),
+            F.col("lc.launch_month").alias("launch_month"),
+            F.coalesce(F.col("lc.cnt"), F.lit(0)).alias("launch_month_orders"),
+            F.coalesce(F.col("la.cnt"), F.lit(0)).alias("launch_month_abandoned_orders"),
+        )
+        .orderBy(
+            F.col("launch_month_orders").desc(), F.col("partkey").asc_nulls_first()
+        )
+    )
+
+
+def _oracle(having: str) -> str:
+    return f"""
+WITH anchor AS (SELECT max(o_orderdate) AS t FROM orders),
+launches AS (
+    SELECT * FROM ({_LAUNCH_SQL}) lp
+    WHERE {having}
+),
+lc AS (
+    SELECT lp.partkey, lp.launch_year, lp.launch_month,
+           COUNT(DISTINCT o.o_orderkey) AS cnt
+    FROM launches lp
+    JOIN lineitem l ON lp.partkey = l.l_partkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE year(o.o_orderdate) = lp.launch_year
+      AND month(o.o_orderdate) = lp.launch_month
+    GROUP BY lp.partkey, lp.launch_year, lp.launch_month
+),
+la AS (
+    SELECT lp.partkey, COUNT(DISTINCT o.o_orderkey) AS cnt
+    FROM launches lp
+    JOIN lineitem l ON lp.partkey = l.l_partkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE year(o.o_orderdate) = lp.launch_year
+      AND month(o.o_orderdate) = lp.launch_month
+      AND o.o_orderstatus = 'O'
+    GROUP BY lp.partkey
+)
+SELECT lc.partkey, lc.launch_year, lc.launch_month,
+       COALESCE(lc.cnt, 0) AS launch_month_orders,
+       COALESCE(la.cnt, 0) AS launch_month_abandoned_orders
+FROM lc LEFT JOIN la ON lc.partkey = la.partkey
+ORDER BY launch_month_orders DESC, lc.partkey ASC NULLS FIRST
+"""
+
+
+@query(
+    "launch_month_orders",
+    oracle=_oracle(
+        "lp.launch_year = (SELECT CAST(year(t - INTERVAL 1 MONTH) AS INTEGER) FROM anchor) "
+        "AND lp.launch_month = (SELECT CAST(month(t - INTERVAL 1 MONTH) AS INTEGER) FROM anchor)"
+    ),
+)
+def launch_month_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ref #12 monthly (``py:364-397``): products launched in anchor-1 month."""
+    return _launch_query(spark, sf_dir, yearly=False)
+
+
+@query(
+    "launch_year_orders",
+    oracle=_oracle(
+        "lp.launch_year = (SELECT CAST(year(t - INTERVAL 1 YEAR) AS INTEGER) FROM anchor)"
+    ),
+)
+def launch_year_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ref #12 yearly (``py:406-439``): products launched any month last year."""
+    return _launch_query(spark, sf_dir, yearly=True)

@@ -1,0 +1,193 @@
+"""Similarity search over ``embeddings.embedding`` (array<float>[64]) —
+extension surface (SURVEY.md §7 Stage 3).
+
+Two paths:
+  - ``similarity_topk``: brute-force cosine top-k — the exact baseline.
+    O(N·Q); fine when Q (query set) is small and broadcastable.
+  - ``similarity_ivf``: IVF-style bucketed ANN — the 100 TB scale path.
+    Vectors are assigned to their nearest of K centroids once (K small →
+    centroid table broadcasts), then each query probes only its own bucket:
+    the crossJoin shrinks from N·Q to (N/K)·Q per probe. At real scale the
+    centroid set comes from a sampled k-means (spark.ml KMeans fits here);
+    the fixture variant uses a deterministic centroid subset so the DuckDB
+    oracle can replay the exact same computation.
+
+All arithmetic is cast to double on both engines; similarities are rounded
+to 6 decimals and ranked on the rounded value with an id tiebreak, so
+float-summation drift cannot flip the top-k cut.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from databricks_spark_sql_challenge1_spark.catalog import load_table
+from databricks_spark_sql_challenge1_spark.functions.vectors import cosine, l2_norm
+from databricks_spark_sql_challenge1_spark.registry import query
+
+N_QUERIES = 10  # query set = vec_id < 10
+TOP_K = 5
+CENTROID_STRIDE = 50  # centroids = vec_id % 50 == 0  → 10 buckets at sf0.01
+
+
+def _emb(spark, sf_dir) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
+    )
+
+
+@query(
+    "similarity_topk",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           ROUND(list_cosine_similarity(q.qemb, e.emb), 6) AS sim
+    FROM q JOIN e ON e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, sim
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id ASC) AS rk
+    FROM scored
+)
+WHERE rk <= {TOP_K}
+ORDER BY query_id ASC, sim DESC, neighbor_id ASC
+""",
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: crossJoin(broadcast queries) → zip_with dot
+    products → per-query window top-k (reuses the reference's W1/O3
+    machinery)."""
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qemb"), F.col("emb")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "sim")
+        .orderBy(
+            F.col("query_id").asc(), F.col("sim").desc(), F.col("neighbor_id").asc()
+        )
+    )
+
+
+@query(
+    "similarity_ivf",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, emb AS cemb FROM e
+         WHERE vec_id % {CENTROID_STRIDE} = 0),
+assigned AS (
+    SELECT vec_id, emb, centroid_id
+    FROM (
+        SELECT e.vec_id, e.emb, cent.centroid_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(e.emb, cent.cemb), 6) DESC,
+                            cent.centroid_id ASC) AS rk
+        FROM e CROSS JOIN cent
+    ) WHERE rk = 1
+),
+q AS (SELECT vec_id AS query_id, emb AS qemb, centroid_id AS qc
+      FROM assigned WHERE vec_id < {N_QUERIES}),
+scored AS (
+    SELECT q.query_id, a.vec_id AS neighbor_id,
+           ROUND(list_cosine_similarity(q.qemb, a.emb), 6) AS sim
+    FROM q JOIN assigned a ON a.centroid_id = q.qc AND a.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, sim
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id ASC) AS rk
+    FROM scored
+)
+WHERE rk <= {TOP_K}
+ORDER BY query_id ASC, sim DESC, neighbor_id ASC
+""",
+)
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k: assign → probe own bucket only.
+
+    The bucket join is an equi-join on centroid_id (shuffle/broadcast on a
+    low-cardinality key) instead of a full crossJoin — the plan that still
+    works when N is 10^9.
+    """
+    e = _emb(spark, sf_dir)
+    cent = e.where(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
+    )
+    rk_w = Window.partitionBy("vec_id").orderBy(
+        F.round(cosine(F.col("emb"), F.col("cemb")), 6).desc(),
+        F.col("centroid_id").asc(),
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("rk", F.row_number().over(rk_w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "emb", "centroid_id")
+    )
+    q = assigned.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("centroid_id").alias("qc"),
+    )
+    scored = assigned.join(
+        F.broadcast(q),
+        (F.col("centroid_id") == F.col("qc")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qemb"), F.col("emb")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "sim")
+        .orderBy(
+            F.col("query_id").asc(), F.col("sim").desc(), F.col("neighbor_id").asc()
+        )
+    )
+
+
+@query(
+    "embedding_norm_stats",
+    oracle="""
+SELECT label,
+       COUNT(*) AS n_vectors,
+       ROUND(AVG(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                              x -> x * x)))), 6) AS avg_l2_norm
+FROM embeddings
+GROUP BY label
+ORDER BY label ASC
+""",
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector-norm stats (F.aggregate fold — JVM-side)."""
+    e = _emb(spark, sf_dir)
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg(l2_norm(F.col("emb"))), 6).alias("avg_l2_norm"),
+        )
+        .orderBy(F.col("label").asc())
+    )

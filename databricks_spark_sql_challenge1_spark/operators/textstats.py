@@ -1,0 +1,220 @@
+"""Text analysis over ``documents`` — extension surface (SURVEY.md §7):
+token counting (whitespace + BPE-ish regex), quality scoring, language-ID
+heuristic, and document fingerprinting. All built-in string/array functions
+— JVM-side, oracle-checked.
+
+Regex policy: ASCII character classes only (``[A-Za-z0-9]``) so Spark's Java
+regex and DuckDB's RE2 agree on every boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_spark_sql_challenge1_spark.catalog import load_table
+from databricks_spark_sql_challenge1_spark.registry import query
+
+BPE_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language stopword sets for the n-gram/stopword language heuristic.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "und", "die", "das", "ein"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+       length(text) AS n_chars_measured
+FROM documents
+ORDER BY doc_id ASC
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish-regex token counts per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_tokens()).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.length("text").alias("n_chars_measured"),
+    ).orderBy(F.col("doc_id").asc())
+
+
+@query(
+    "text_quality_stats",
+    oracle="""
+WITH t AS (
+    SELECT doc_id,
+           string_split_regex(trim(text), '\\s+') AS toks,
+           length(text) AS n_chars,
+           length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+           length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace
+    FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       ROUND(CAST(n_nonspace AS DOUBLE) / len(toks), 4) AS avg_token_len,
+       ROUND(CAST(n_punct AS DOUBLE) / n_chars, 4) AS punct_ratio,
+       ROUND(least(1.0, len(toks) / 100.0)
+             * (1.0 - CAST(n_punct AS DOUBLE) / n_chars), 4) AS quality_score
+FROM t
+ORDER BY doc_id ASC
+""",
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: token count, mean token length,
+    punctuation ratio, and a composite quality score (length-saturating ×
+    punctuation-penalty) — the standard pretraining-filter features."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    n_punct = F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
+    n_nonspace = F.length(F.regexp_replace("text", r"\s", ""))
+    punct_ratio = n_punct.cast("double") / n_chars
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(n_nonspace.cast("double") / n_tokens, 4).alias("avg_token_len"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(
+            F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * (F.lit(1.0) - punct_ratio),
+            4,
+        ).alias("quality_score"),
+    ).orderBy(F.col("doc_id").asc())
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return (
+        f"len(list_filter(toks, t -> list_contains([{words}], t)))"
+    )
+
+
+@query(
+    "lang_id_heuristic",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, lang,
+           string_split_regex(lower(trim(text)), '\\s+') AS toks
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, lang,
+           {_lang_score_sql("en")} AS s_en,
+           {_lang_score_sql("de")} AS s_de,
+           {_lang_score_sql("es")} AS s_es,
+           {_lang_score_sql("fr")} AS s_fr
+    FROM t
+)
+SELECT doc_id, lang,
+       CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+            WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_es >= s_fr THEN 'es'
+            ELSE 'fr' END AS predicted_lang
+FROM scored
+ORDER BY doc_id ASC
+""",
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID (deterministic tie order en>de>es>fr).
+
+    A real pipeline swaps the score arrays for char-n-gram profiles; the
+    dataflow (per-doc array scoring, no shuffle) is identical.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+
+    def stopword_hits(words: tuple[str, ...]) -> Column:
+        wordlist = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter("toks", lambda t: F.array_contains(wordlist, t)))
+
+    scored = docs.select("doc_id", "lang", toks.alias("toks")).select(
+        "doc_id",
+        "lang",
+        *[
+            stopword_hits(words).alias(f"s_{lang}")
+            for lang, words in LANG_STOPWORDS.items()
+        ],
+    )
+    predicted = (
+        F.when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            "en",
+        )
+        .when((F.col("s_de") >= F.col("s_es")) & (F.col("s_de") >= F.col("s_fr")), "de")
+        .when(F.col("s_es") >= F.col("s_fr"), "es")
+        .otherwise("fr")
+    )
+    return scored.select(
+        "doc_id", "lang", predicted.alias("predicted_lang")
+    ).orderBy(F.col("doc_id").asc())
+
+
+@query(
+    "lang_stats",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(AVG(CAST(n_chars AS DOUBLE)), 2) AS avg_chars,
+       ROUND(AVG(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)), 2)
+           AS avg_tokens
+FROM documents
+GROUP BY lang
+ORDER BY lang ASC
+""",
+)
+def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition per language."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 2).alias("avg_chars"),
+            F.round(F.avg(F.size(_tokens()).cast("double")), 2).alias("avg_tokens"),
+        )
+        .orderBy(F.col("lang").asc())
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       CAST(CAST('0x' || substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 15)
+            AS UBIGINT) AS BIGINT) AS fingerprint_int
+FROM documents
+ORDER BY doc_id ASC
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable per-document fingerprint (md5 of normalized text) + a 60-bit
+    integer form for compact joins/bloom filters at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    fp = F.md5(norm)
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.conv(F.substring(fp, 1, 15), 16, 10).cast("bigint").alias("fingerprint_int"),
+    ).orderBy(F.col("doc_id").asc())

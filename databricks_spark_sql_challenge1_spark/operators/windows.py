@@ -1,0 +1,134 @@
+"""Event-time windows over ``events`` (batch analogs; SURVEY.md §2.10 — the
+reference has no streaming, its time-series path is the calendar join J8).
+The true Structured Streaming path lives in ``streaming/``; these batch
+versions are oracle-checkable.
+
+Spark window semantics vs the DuckDB oracle:
+  - tumbling 1h aligns to epoch → identical to date_trunc('hour').
+  - sliding (1h window, 30m slide): each event belongs to 2 windows with
+    starts time_bucket(30m, ts) and time_bucket(30m, ts) - 30m.
+  - session (30m gap): Spark sessions are half-open [first, last+gap) — an
+    event at exactly prev+gap starts a new session; the oracle's lag/cumsum
+    reconstruction uses ``ts - prev >= gap`` accordingly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_spark_sql_challenge1_spark.catalog import load_table
+from databricks_spark_sql_challenge1_spark.registry import query
+
+
+@query(
+    "events_tumbling_1h",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(value) AS DOUBLE), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start ASC, event_type ASC
+""",
+)
+def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type (F.window)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy(F.col("window_start").asc(), F.col("event_type").asc())
+    )
+
+
+@query(
+    "events_sliding_1h_30m",
+    oracle="""
+WITH w AS (
+    SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value FROM events
+    UNION ALL
+    SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value FROM events
+)
+SELECT window_start,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(value) AS DOUBLE), 2) AS sum_value
+FROM w
+GROUP BY 1
+ORDER BY window_start ASC
+""",
+)
+def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1-hour length, 30-minute slide (each event in 2)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("window.start").alias("window_start"), "n_events", "sum_value")
+        .orderBy(F.col("window_start").asc())
+    )
+
+
+@query(
+    "events_session_30m",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, ts, value,
+           CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        >= INTERVAL '30 minutes'
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+sessions AS (
+    SELECT user_id, ts, value,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(value) AS DOUBLE), 2) AS sum_value
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id ASC, session_start ASC
+""",
+)
+def events_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute gap per user (F.session_window).
+
+    At scale this is the shuffle-on-user_id + per-key ordered merge Spark
+    implements natively; the stateful streaming variant is
+    ``streaming.events_stream.session_counts_stream``.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy(F.col("user_id").asc(), F.col("session_start").asc())
+    )

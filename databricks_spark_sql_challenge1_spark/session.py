@@ -1,0 +1,43 @@
+"""SparkSession factory.
+
+Tuned for the local[N] test harness but configured exactly as it would be on a
+multi-executor cluster: AQE on (runtime partition coalescing + skew-join
+splitting), UTC session timezone (keeps year()/date() extraction consistent
+with the DuckDB oracle's naive timestamps), Arrow enabled for the few
+Pandas-UDF extension paths. Everything else is stock Catalyst — the reference
+surface needs no custom rules (SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "challenge1-engine") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # AQE: coalesce post-shuffle partitions, split skewed join partitions,
+        # convert sort-merge to broadcast when runtime stats allow.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # One shuffle partition per core locally; on a real cluster this would
+        # be sized to ~128MB of shuffle data per partition.
+        .config("spark.sql.shuffle.partitions", cpus)
+        # Deterministic timestamp semantics vs the oracle (naive timestamps).
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Small dims (region/nation/customer/supplier/part at test SF) always
+        # broadcast; AQE handles the runtime decision for larger inputs.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # events.parquet carries TIMESTAMP(NANOS) which Spark has no native
+        # type for; read as long and convert in catalog.load_table (truncate
+        # to micros — matches DuckDB's ns→us truncation).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
