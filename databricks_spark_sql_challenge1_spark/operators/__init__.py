@@ -8,8 +8,10 @@ from databricks_spark_sql_challenge1_spark.operators import (  # noqa: F401
     json_ops,
     launch,
     marts,
+    multimodal,
     similarity,
     states,
     textstats,
     windows,
 )
+from databricks_spark_sql_challenge1_spark.streaming import events_stream  # noqa: F401

@@ -1,0 +1,120 @@
+"""Multimodal column plumbing — extension surface (SURVEY.md §7 / the
+north-star training-data pipeline ops).
+
+Images/audio/video are opaque ``binary`` columns + typed metadata structs.
+The decode/resize/frame-sample kernels need codec libraries that are NOT in
+this container, so the decode step is STUBBED (deterministic fake bytes, or
+``NotImplementedError`` when a real codec is demanded) — but the Spark-side
+plumbing is real and tested: schema, Arrow batch shape, ``mapInPandas``
+signatures, partition-preserving dataflow.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from databricks_spark_sql_challenge1_spark.catalog import load_table
+from databricks_spark_sql_challenge1_spark.registry import query
+
+REAL_CODECS_AVAILABLE = False  # no PIL/ffmpeg in this container
+
+
+def attach_fake_media(docs: DataFrame) -> DataFrame:
+    """Synthesize a deterministic binary payload + metadata per document
+    (stands in for an image column; real pipelines read bytes from object
+    storage). Pure built-in expressions — no Python in this step."""
+    return docs.select(
+        "doc_id",
+        "source",
+        F.encode("text", "UTF-8").cast(BinaryType()).alias("media_bytes"),
+        F.struct(
+            F.lit("fake/raw").alias("mime"),
+            (F.length("text") % 640 + 1).cast("int").alias("width"),
+            (F.col("n_chars") % 480 + 1).cast("int").alias("height"),
+        ).alias("media_meta"),
+    )
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("source", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("byte_mean", DoubleType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def extract_media_features(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column via
+    ``mapInPandas`` — the real decode kernel slots into ``_featurize``
+    unchanged when codecs exist.
+    """
+    if use_real_codec and not REAL_CODECS_AVAILABLE:
+        raise NotImplementedError(
+            "image/audio codecs are not installed in this container; "
+            "run with use_real_codec=False for the deterministic stub"
+        )
+
+    def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "source": pdf["source"],
+                    "n_bytes": pdf["media_bytes"].map(len).astype("int64"),
+                    # stub "decode": mean byte value stands in for pixel stats
+                    "byte_mean": pdf["media_bytes"].map(
+                        lambda b: float(sum(b)) / len(b) if len(b) else 0.0
+                    ),
+                    "width": pdf["media_meta"].map(lambda m: m["width"]),
+                    "height": pdf["media_meta"].map(lambda m: m["height"]),
+                }
+            )
+            yield out
+
+    return media.mapInPandas(_featurize, FEATURE_SCHEMA)
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+SELECT source,
+       COUNT(*) AS n_media,
+       CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+       CAST(MAX(length(text) % 640 + 1) AS INTEGER) AS max_width
+FROM documents
+GROUP BY source
+ORDER BY source ASC
+""",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal pipeline on fixtures: attach binary → Arrow
+    mapInPandas featurize → aggregate. Oracle checks the byte-level metrics
+    (the fake payload is the UTF-8 text, so DuckDB can replay it)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_media_features(attach_fake_media(docs))
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.max("width").alias("max_width"),
+        )
+        .orderBy(F.col("source").asc())
+    )

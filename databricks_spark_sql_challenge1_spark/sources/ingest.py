@@ -1,0 +1,61 @@
+"""Ingestion primitives — reference S1-S7 (SURVEY.md §2.1).
+
+The reference ingests 4 zipped-parquet tables and 4 pipe-delimited CSVs into
+Delta managed tables (``py:25-30``, ``py:56-72``). Rebuilt here engine-
+agnostic: CSV/parquet/zip readers + ``save_table`` (parquet ``saveAsTable``;
+Delta is a config swap when delta-spark is on the classpath).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import zipfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_csv_pipe(spark: SparkSession, path: str) -> DataFrame:
+    """S1 (ref ``py:56-59``): header-driven pipe-CSV, all-string schema
+    (NO inferSchema — the reference relies on everything being string)."""
+    return (
+        spark.read.format("csv")
+        .option("header", "true")
+        .option("sep", "|")
+        .load(path)
+    )
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S2 (ref ``py:30``)."""
+    return spark.read.parquet(path)
+
+
+def read_zipped_parquet(spark: SparkSession, zip_path: str, work_dir: str | None = None) -> DataFrame:
+    """S3 (ref ``py:25-30``): driver-local unzip → distributed parquet scan.
+
+    The unzip is inherently driver-side (no Spark zip codec); at scale the
+    right move is unzipping once into object storage, not per-query — the
+    reference does the same (ingest once, then Delta tables).
+    """
+    out = work_dir or tempfile.mkdtemp(prefix="unzipped_parquet_")
+    with zipfile.ZipFile(zip_path) as zf:
+        zf.extractall(out)
+    return spark.read.parquet(out)
+
+
+def create_database(spark: SparkSession, name: str) -> None:
+    """S5 (ref ``py:51-54``): idempotent DDL — IF NOT EXISTS replaces the
+    reference's try/except AnalysisException."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}")
+
+
+def save_table(df: DataFrame, table: str, fmt: str = "parquet") -> None:
+    """S4 (ref ``py:65-72``): managed-table overwrite write."""
+    df.write.format(fmt).mode("overwrite").saveAsTable(table)
+
+
+def register_temp(df: DataFrame, name: str) -> None:
+    """S7 analog for metastore-less runs."""
+    df.createOrReplaceTempView(name)

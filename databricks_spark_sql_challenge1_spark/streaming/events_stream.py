@@ -1,0 +1,92 @@
+"""Structured Streaming path over ``events`` — extension surface
+(SURVEY.md §2.10: the reference has no streaming; this is the true-streaming
+variant of operators/windows.py, with watermarks for late data).
+
+Pattern: file-source readStream over the fixture parquet (pathGlobFilter
+pins the single table file), event-time window agg behind a watermark,
+``availableNow`` trigger draining to a memory sink — the batch-equivalent
+execution mode, so results can be asserted against the batch operators.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_spark_sql_challenge1_spark.catalog import load_table, table_path
+from databricks_spark_sql_challenge1_spark.registry import query
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over events.parquet (schema pinned from the static read;
+    nanos-long ts converted exactly as in catalog.load_table)."""
+    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def _drain_to_memory(windowed: DataFrame, spark: SparkSession) -> DataFrame:
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query("streaming_tumbling_1h")  # rows-only: streaming not oracle-expressible
+def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h windows per event type with a 1h watermark, executed as a
+    stream drained with availableNow. Semantics pinned by
+    tests/test_streaming.py: equal to the batch events_tumbling_1h."""
+    stream = _events_stream(spark, sf_dir)
+    windowed = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _drain_to_memory(windowed, spark)
+
+
+@query("streaming_session_30m")  # rows-only
+def streaming_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful session windows (30m gap) per user on the stream — Spark's
+    native stateful session operator under a watermark."""
+    stream = _events_stream(spark, sf_dir)
+    windowed = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _drain_to_memory(windowed, spark)

@@ -1,0 +1,44 @@
+"""Multimodal plumbing: binary columns, metadata structs, Arrow batch shape
+through mapInPandas, and the stub-gating contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from databricks_spark_sql_challenge1_spark.catalog import load_table
+from databricks_spark_sql_challenge1_spark.operators.multimodal import (
+    FEATURE_SCHEMA,
+    attach_fake_media,
+    extract_media_features,
+)
+from tests.conftest import SF_DIR
+
+
+def test_binary_column_schema(spark):
+    media = attach_fake_media(load_table(spark, SF_DIR, "documents"))
+    dtypes = dict(media.dtypes)
+    assert dtypes["media_bytes"] == "binary"
+    assert dtypes["media_meta"].startswith("struct<mime:string,width:int,height:int")
+
+
+def test_feature_extraction_schema_and_counts(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    feats = extract_media_features(attach_fake_media(docs))
+    assert feats.schema == FEATURE_SCHEMA
+    assert feats.count() == docs.count()
+    row = feats.where(F.col("n_bytes") <= 0).count()
+    assert row == 0  # every payload non-empty
+
+
+def test_feature_extraction_preserves_partitioning(spark):
+    docs = load_table(spark, SF_DIR, "documents").repartition(4)
+    feats = extract_media_features(attach_fake_media(docs))
+    # mapInPandas is a narrow transformation: partition count preserved
+    assert feats.rdd.getNumPartitions() == 4
+
+
+def test_real_codec_gate(spark):
+    media = attach_fake_media(load_table(spark, SF_DIR, "documents"))
+    with pytest.raises(NotImplementedError, match="codecs"):
+        extract_media_features(media, use_real_codec=True)

@@ -1,0 +1,65 @@
+"""Physical-plan assertions — the 100 TB posture checks (SURVEY.md §4):
+filters reach the parquet scan, scans are column-pruned, dims broadcast,
+nothing degenerates into a cartesian product."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from databricks_spark_sql_challenge1_spark.catalog import load_table
+from databricks_spark_sql_challenge1_spark.operators.abandonment import (
+    top_abandoned_pairs,
+    top_abandoned_products,
+)
+from databricks_spark_sql_challenge1_spark.operators.export_denorm import (
+    order_export_denorm,
+)
+from databricks_spark_sql_challenge1_spark.operators.states import nations_by_customer
+from databricks_spark_sql_challenge1_spark.plans.explain import (
+    formatted_plan,
+    has_cartesian,
+    pushed_filters,
+    read_schemas,
+    simple_plan,
+    uses_broadcast_join,
+)
+from tests.conftest import SF_DIR
+
+
+def test_filter_pushdown_to_scan(spark):
+    """The status filter must reach the orders parquet scan."""
+    df = top_abandoned_products(spark, SF_DIR)
+    filters = " ".join(pushed_filters(df))
+    assert "o_orderstatus" in filters, f"status filter not pushed: {filters}"
+
+
+def test_column_pruning(spark):
+    """The flagship reads 2 columns of lineitem and 2 of orders — scans must
+    not read full rows."""
+    df = top_abandoned_products(spark, SF_DIR)
+    schemas = read_schemas(df)
+    joined = " ".join(schemas)
+    assert "l_extendedprice" not in joined and "o_totalprice" not in joined, schemas
+
+
+def test_no_cartesian_products(spark):
+    for q in (top_abandoned_products, top_abandoned_pairs, order_export_denorm):
+        df = q(spark, SF_DIR)
+        assert not has_cartesian(df), f"{q.__name__} degenerated:\n{simple_plan(df)}"
+
+
+def test_dim_joins_broadcast(spark):
+    """nation (25 rows) must come in as a broadcast join, not a shuffle."""
+    df = nations_by_customer(spark, SF_DIR)
+    assert uses_broadcast_join(df), simple_plan(df)
+
+
+def test_partial_aggregation_present(spark):
+    """COUNT(DISTINCT) plans as two-phase (partial_count under HashAggregate)."""
+    df = (
+        load_table(spark, SF_DIR, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_orderkey").alias("n"))
+    )
+    plan = formatted_plan(df)
+    assert "partial_count" in plan or "partial" in plan.lower(), plan

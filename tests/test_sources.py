@@ -1,0 +1,82 @@
+"""Pipeline test (SURVEY.md §5.2.2): ingest → clean/overwrite → export on
+sf0.001, asserting row counts and the pipe-delimited export layout
+(reference S1-S10)."""
+
+from __future__ import annotations
+
+import csv
+import os
+import shutil
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from databricks_spark_sql_challenge1_spark.catalog import load_table
+from databricks_spark_sql_challenge1_spark.operators.export_denorm import (
+    order_export_denorm,
+)
+from databricks_spark_sql_challenge1_spark.sources.export import (
+    export_as_txt,
+    export_single_csv,
+)
+from databricks_spark_sql_challenge1_spark.sources.ingest import (
+    read_csv_pipe,
+    read_parquet,
+    read_zipped_parquet,
+)
+from databricks_spark_sql_challenge1_spark.sources.overwrite import staged_overwrite
+from tests.conftest import SF_DIR
+
+
+def test_csv_pipe_roundtrip(spark, tmp_path):
+    """S1+S8: pipe-CSV written then read back, header-driven all-string."""
+    nation = load_table(spark, SF_DIR, "nation")
+    out = str(tmp_path / "nation_csv")
+    export_single_csv(nation, out, delimiter="|")
+    back = read_csv_pipe(spark, out)
+    assert back.count() == nation.count()
+    assert back.columns == nation.columns
+    assert all(t == "string" for _, t in back.dtypes)  # no inferSchema
+
+
+def test_zipped_parquet(spark, tmp_path):
+    """S3: zip → driver-side extract → distributed scan."""
+    src = os.path.join(SF_DIR, "region.parquet")
+    zpath = str(tmp_path / "region.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        if os.path.isdir(src):
+            for f in os.listdir(src):
+                zf.write(os.path.join(src, f), f)
+        else:
+            zf.write(src, "region.parquet")
+    df = read_zipped_parquet(spark, zpath, work_dir=str(tmp_path / "unzipped"))
+    assert df.count() == load_table(spark, SF_DIR, "region").count()
+
+
+def test_staged_overwrite(spark, tmp_path):
+    """S10: filter a table and write it back onto its own path."""
+    orders_path = str(tmp_path / "orders_copy")
+    load_table(spark, SF_DIR, "orders").write.parquet(orders_path)
+    before = spark.read.parquet(orders_path)
+    n_before = before.count()
+    filtered = spark.read.parquet(orders_path).where(F.col("o_orderstatus") == "O")
+    n_expected = filtered.count()
+    staged_overwrite(spark, filtered, orders_path)
+    after = spark.read.parquet(orders_path)
+    assert after.count() == n_expected < n_before
+    assert set(r["o_orderstatus"] for r in after.select("o_orderstatus").distinct().collect()) == {"O"}
+
+
+def test_export_as_txt_layout(spark, tmp_path):
+    """S9 + ref #14: the denormalized top-50 exported as pipe-delimited txt."""
+    df = order_export_denorm(spark, SF_DIR)
+    out = str(tmp_path / "export")
+    final = export_as_txt(df, out, filename="orders", delimiter="|")
+    assert final.endswith("orders.txt")
+    with open(final) as fh:
+        lines = fh.read().splitlines()
+    assert len(lines) == 51  # header + top-50
+    header = lines[0].split("|")
+    assert header == df.columns
+    assert all(len(line.split("|")) == len(header) for line in lines[1:])

@@ -1,0 +1,32 @@
+"""Streaming semantics pinned against the batch operators: the availableNow-
+drained streaming aggregations must equal their batch equivalents."""
+
+from __future__ import annotations
+
+from databricks_spark_sql_challenge1_spark.operators.windows import (
+    events_session_30m,
+    events_tumbling_1h,
+)
+from databricks_spark_sql_challenge1_spark.streaming.events_stream import (
+    streaming_session_30m,
+    streaming_tumbling_1h,
+)
+from tests.conftest import SF_DIR
+
+
+def _rows(df):
+    return sorted(tuple(str(x) for x in r) for r in df.collect())
+
+
+def test_streaming_tumbling_equals_batch(spark):
+    stream = streaming_tumbling_1h(spark, SF_DIR)
+    batch = events_tumbling_1h(spark, SF_DIR)
+    assert sorted(stream.columns) == sorted(batch.columns)
+    assert _rows(stream.select(*batch.columns)) == _rows(batch)
+
+
+def test_streaming_session_equals_batch(spark):
+    stream = streaming_session_30m(spark, SF_DIR)
+    batch = events_session_30m(spark, SF_DIR)
+    assert sorted(stream.columns) == sorted(batch.columns)
+    assert _rows(stream.select(*batch.columns)) == _rows(batch)
