@@ -169,6 +169,29 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_centroids",
+    oracle="""
+SELECT label, CAST(i - 1 AS INTEGER) AS pos, ROUND(AVG(emb[i]), 6) AS centroid_val
+FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+     unnest(generate_series(1, len(emb))) AS t(i)
+GROUP BY label, i
+ORDER BY label ASC, pos ASC
+""",
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors via built-in array ops (posexplode → avg
+    per dimension) — the Spark-first alternative to a Pandas-UDF mean, and
+    the k-means-update shape: one shuffle on (label, pos)."""
+    e = _emb(spark, sf_dir)
+    return (
+        e.select("label", F.posexplode("emb").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("centroid_val"))
+        .orderBy(F.col("label").asc(), F.col("pos").asc())
+    )
+
+
+@query(
     "embedding_norm_stats",
     oracle="""
 SELECT label,

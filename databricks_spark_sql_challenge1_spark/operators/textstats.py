@@ -196,6 +196,69 @@ def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP_K = 5
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+WITH toks AS (
+    SELECT lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+    FROM documents
+),
+tf AS (SELECT lang, term, COUNT(*) AS tf FROM toks GROUP BY lang, term),
+df AS (SELECT term, COUNT(DISTINCT lang) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(DISTINCT lang) AS n_langs FROM documents),
+scored AS (
+    SELECT tf.lang, tf.term,
+           ROUND(tf.tf * ln(CAST((SELECT n_langs FROM n) AS DOUBLE) / df.df), 6)
+               AS tfidf
+    FROM tf JOIN df ON tf.term = df.term
+)
+SELECT lang, term, tfidf
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY lang
+                                 ORDER BY tfidf DESC, term ASC) AS rk
+    FROM scored
+)
+WHERE rk <= {TFIDF_TOP_K}
+ORDER BY lang ASC, tfidf DESC, term ASC
+""",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF by pure SQL aggregation (corpus = language groups): term
+    frequency per lang × ln(N/df), top-5 terms per lang. Two shuffles
+    (term-level, lang-level) regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"),
+    )
+    tf = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.countDistinct("lang").alias("df"))
+    n_langs = docs.agg(F.countDistinct("lang").alias("n_langs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_langs))
+        .select(
+            "lang",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_langs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TFIDF_TOP_K)
+        .select("lang", "term", "tfidf")
+        .orderBy(F.col("lang").asc(), F.col("tfidf").desc(), F.col("term").asc())
+    )
+
+
 @query(
     "doc_rolling_fingerprint",
     oracle=f"""

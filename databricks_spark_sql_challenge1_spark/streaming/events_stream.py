@@ -69,6 +69,84 @@ def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(windowed, spark)
 
 
+@query("streaming_user_state")  # rows-only: custom stateful operator
+def streaming_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    a per-user running profile (event count, value sum, last seen ts) kept
+    in explicit state — the escape hatch for stateful logic Spark's built-in
+    windows can't express. Semantics pinned by tests/test_streaming.py
+    (totals equal the batch per-user aggregate)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+            StructField("last_ts", TimestampType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("s", DoubleType()),
+            StructField("last_us", LongType()),
+        ]
+    )
+
+    def update(key, batches, state: GroupState):
+        n, s, last_us = state.get if state.exists else (0, 0.0, 0)
+        for pdf in batches:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            last_us = max(last_us, int(pdf["ts"].astype("int64").max()) // 1000)
+        state.update((n, s, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [round(s, 2)],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+            }
+        )
+
+    stream = _events_stream(spark, sf_dir)
+    profiled = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        profiled.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode may emit a row per micro-batch per user; keep the final one
+    out = spark.table(name)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+
 @query("streaming_session_30m")  # rows-only
 def streaming_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful session windows (30m gap) per user on the stream — Spark's

@@ -68,6 +68,23 @@ def test_staged_overwrite(spark, tmp_path):
     assert set(r["o_orderstatus"] for r in after.select("o_orderstatus").distinct().collect()) == {"O"}
 
 
+def test_create_database_and_save_table(spark):
+    """S4/S5: idempotent DDL + managed-table overwrite write."""
+    from databricks_spark_sql_challenge1_spark.sources.ingest import (
+        create_database,
+        save_table,
+    )
+
+    create_database(spark, "challenge1")
+    create_database(spark, "challenge1")  # idempotent
+    nation = load_table(spark, SF_DIR, "nation")
+    save_table(nation, "challenge1.nation_copy")
+    save_table(nation, "challenge1.nation_copy")  # overwrite mode
+    assert spark.table("challenge1.nation_copy").count() == nation.count()
+    spark.sql("DROP TABLE challenge1.nation_copy")
+    spark.sql("DROP DATABASE challenge1")
+
+
 def test_export_as_txt_layout(spark, tmp_path):
     """S9 + ref #14: the denormalized top-50 exported as pipe-delimited txt."""
     df = order_export_denorm(spark, SF_DIR)

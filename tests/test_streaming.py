@@ -30,3 +30,26 @@ def test_streaming_session_equals_batch(spark):
     batch = events_session_30m(spark, SF_DIR)
     assert sorted(stream.columns) == sorted(batch.columns)
     assert _rows(stream.select(*batch.columns)) == _rows(batch)
+
+
+def test_streaming_user_state_totals(spark):
+    """applyInPandasWithState running profile ends at the batch totals."""
+    from pyspark.sql import functions as F
+
+    from databricks_spark_sql_challenge1_spark.catalog import load_table
+    from databricks_spark_sql_challenge1_spark.streaming.events_stream import (
+        streaming_user_state,
+    )
+
+    state = streaming_user_state(spark, SF_DIR)
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    cols = ["user_id", "n_events", "sum_value", "last_ts"]
+    assert _rows(state.select(*cols)) == _rows(batch.select(*cols))
