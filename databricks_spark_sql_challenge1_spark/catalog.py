@@ -36,6 +36,25 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Make any caller-provided SparkSession safe for this engine.
+
+    The driver harness passes its own session to ``entry``/``queries()``
+    callables; these confs are runtime-settable and load-bearing:
+    nanos-as-long (events.parquet is TIMESTAMP(NANOS)), UTC (date extraction
+    must agree with the DuckDB oracle's naive timestamps), AQE on.
+    """
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.adaptive.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # read-only in some deployments; session.get_spark sets it
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan with embedded schema (SURVEY.md §2 S2).
 
@@ -44,6 +63,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (``spark.sql.legacy.parquet.nanosAsLong``) and truncated to microseconds
     here, matching DuckDB's ns→us truncation exactly.
     """
+    ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer division: double division loses precision at ~1e18 nanos
