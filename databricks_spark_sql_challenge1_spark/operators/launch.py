@@ -139,6 +139,79 @@ def launch_month_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "launch_cohort_analysis",
+    oracle=f"""
+WITH launches AS ({_LAUNCH_SQL}),
+cohort AS (
+    SELECT lp.launch_year, lp.launch_month,
+           COUNT(*) AS n_parts_launched
+    FROM launches lp
+    GROUP BY lp.launch_year, lp.launch_month
+),
+activity AS (
+    SELECT lp.launch_year, lp.launch_month,
+           COUNT(DISTINCT o.o_orderkey) AS launch_month_orders
+    FROM launches lp
+    JOIN lineitem l ON lp.partkey = l.l_partkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE year(o.o_orderdate) = lp.launch_year
+      AND month(o.o_orderdate) = lp.launch_month
+    GROUP BY lp.launch_year, lp.launch_month
+)
+SELECT c.launch_year, c.launch_month, c.n_parts_launched,
+       COALESCE(a.launch_month_orders, 0) AS launch_month_orders
+FROM cohort c
+LEFT JOIN activity a
+  ON c.launch_year = a.launch_year AND c.launch_month = a.launch_month
+ORDER BY c.launch_year ASC NULLS FIRST, c.launch_month ASC NULLS FIRST
+""",
+)
+def launch_cohort_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort variant of #12 without the anchor HAVING (non-vacuous on the
+    fixtures, where every part launches early): per launch-month cohort,
+    parts launched + distinct orders touching them in their launch month.
+    Same 3-level machinery (MIN-derived grouping, self-joined facts)."""
+    launches = _launch_products(spark, sf_dir)
+    cohort = launches.groupBy("launch_year", "launch_month").agg(
+        F.count(F.lit(1)).alias("n_parts_launched")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    facts = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+    activity = (
+        launches.join(facts, launches.partkey == facts.l_partkey)
+        .where(
+            (F.year("o_orderdate") == F.col("launch_year"))
+            & (F.month("o_orderdate") == F.col("launch_month"))
+        )
+        .groupBy("launch_year", "launch_month")
+        .agg(F.countDistinct("o_orderkey").alias("launch_month_orders"))
+    )
+    c = cohort.alias("c")
+    a = activity.alias("a")
+    return (
+        c.join(
+            a,
+            (F.col("c.launch_year") == F.col("a.launch_year"))
+            & (F.col("c.launch_month") == F.col("a.launch_month")),
+            "left",
+        )
+        .select(
+            F.col("c.launch_year").alias("launch_year"),
+            F.col("c.launch_month").alias("launch_month"),
+            "n_parts_launched",
+            F.coalesce(F.col("launch_month_orders"), F.lit(0)).alias(
+                "launch_month_orders"
+            ),
+        )
+        .orderBy(
+            F.col("launch_year").asc_nulls_first(),
+            F.col("launch_month").asc_nulls_first(),
+        )
+    )
+
+
+@query(
     "launch_year_orders",
     oracle=_oracle(
         "lp.launch_year = (SELECT CAST(year(t - INTERVAL 1 YEAR) AS INTEGER) FROM anchor)"
