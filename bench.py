@@ -49,10 +49,16 @@ def main() -> None:
         "dedup_exact",
         "dedup_ngram_jaccard",
         "dedup_simhash_pairs",
+        "dedup_embedding_cosine",
         "similarity_topk",
         "similarity_ivf",
+        "embedding_centroids",
         "text_quality_stats",
         "lang_id_heuristic",
+        "text_tfidf_top_terms",
+        "multimodal_features",
+        "launch_cohort_analysis",
+        "widget_month_orders",
     ]
 
     spark = get_spark("challenge1-bench")

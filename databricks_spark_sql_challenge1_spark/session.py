@@ -34,6 +34,10 @@ def get_spark(app_name: str = "challenge1-engine") -> SparkSession:
         # Small dims (region/nation/customer/supplier/part at test SF) always
         # broadcast; AQE handles the runtime decision for larger inputs.
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # Runtime row-level filtering: build bloom filters from the small
+        # side of selective joins and push them into the big-side scan —
+        # free scan reduction at 100 TB (Spark 3.3+ runtime filters).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # events.parquet carries TIMESTAMP(NANOS) which Spark has no native
         # type for; read as long and convert in catalog.load_table (truncate
         # to micros — matches DuckDB's ns→us truncation).
