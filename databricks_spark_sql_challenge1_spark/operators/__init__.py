@@ -13,6 +13,7 @@ from databricks_spark_sql_challenge1_spark.operators import (  # noqa: F401
     multimodal,
     similarity,
     states,
+    temporal,
     textstats,
     windows,
 )

@@ -1,0 +1,139 @@
+"""Temporal join operators Spark lacks as built-ins — as-of join and range
+join — implemented as compositions of existing DataFrame ops (the
+SURVEY.md §7 "custom operator" strategy (a): composition before UDFs).
+
+Both are oracle-checked against DuckDB's native ASOF JOIN / non-equi join,
+so the compositions are proven semantically identical to the real operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from databricks_spark_sql_challenge1_spark.catalog import load_table
+from databricks_spark_sql_challenge1_spark.registry import query
+
+RANGE_WINDOW_US = 60_000_000  # 60 seconds
+
+
+@query(
+    "events_asof_join",
+    oracle="""
+SELECT a.event_id,
+       a.user_id,
+       a.ts,
+       b.ts AS signup_ts,
+       CASE WHEN b.ts IS NULL THEN NULL
+            ELSE epoch_us(a.ts) - epoch_us(b.ts) END AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') b
+  ON a.user_id = b.user_id AND a.ts >= b.ts
+ORDER BY a.event_id ASC
+""",
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF (backward) join: each purchase matched to the same user's most
+    recent signup at-or-before it.
+
+    Spark has no ASOF JOIN; the scalable composition is the union-and-window
+    trick: tag both sides, union, and carry the last right-side timestamp
+    forward with ``last(ignorenulls)`` over (user, ts, side) — ONE shuffle
+    on user_id, no non-equi join, no per-key explosion. Verified identical
+    to DuckDB's native ASOF LEFT JOIN.
+    """
+    events = load_table(spark, sf_dir, "events")
+    left = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("side")
+    )
+    right = events.where(F.col("event_type") == "signup").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+    )
+    unioned = left.unionByName(right).withColumn(
+        "right_ts", F.when(F.col("side") == 0, F.col("ts"))
+    )
+    # right rows (side=0) sort before left rows at equal ts → ties match,
+    # same as ASOF's `a.ts >= b.ts` inclusive semantics.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "signup_ts", F.last("right_ts", ignorenulls=True).over(w)
+    )
+    return (
+        carried.where(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "signup_ts",
+            (F.unix_micros("ts") - F.unix_micros("signup_ts")).alias("gap_us"),
+        )
+        .orderBy(F.col("event_id").asc())
+    )
+
+
+@query(
+    "events_range_join",
+    oracle=f"""
+SELECT a.user_id,
+       a.event_id AS event_1,
+       b.event_id AS event_2,
+       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= {RANGE_WINDOW_US}
+ORDER BY a.user_id ASC, event_1 ASC, event_2 ASC
+""",
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) self-join: pairs of same-user events within 60 s.
+
+    A naive non-equi join degenerates to a per-user cross product; the
+    scalable composition buckets time into window-sized buckets and
+    equi-joins each event's {bucket, bucket+1} probe set against the other
+    side's bucket, then applies the exact range filter — the band-join
+    pattern, shuffling on (user, bucket) only. Verified identical to
+    DuckDB's native non-equi join.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    bucket = F.floor(F.col("us") / RANGE_WINDOW_US)
+    probes = events.select(
+        "user_id",
+        "event_id",
+        "us",
+        F.explode(F.array(bucket, bucket + 1)).alias("probe"),
+    ).alias("a")
+    base = events.select(
+        "user_id", "event_id", "us", bucket.alias("bucket")
+    ).alias("b")
+    gap = F.col("b.us") - F.col("a.us")
+    return (
+        probes.join(
+            base,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.probe") == F.col("b.bucket"))
+            & (F.col("a.event_id") < F.col("b.event_id"))
+            & (F.abs(F.col("a.us") - F.col("b.us")) <= RANGE_WINDOW_US),
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_id").alias("event_1"),
+            F.col("b.event_id").alias("event_2"),
+            gap.alias("gap_us"),
+        )
+        .distinct()  # same-bucket pairs surface from both probe offsets
+        .orderBy(
+            F.col("user_id").asc(), F.col("event_1").asc(), F.col("event_2").asc()
+        )
+    )
