@@ -233,7 +233,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
 """,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ HAMMING_MAX (6).
+    """Near-dup pairs by SimHash Hamming distance ≤ HAMMING_MAX.
 
     Scale path, exact: band-blocked candidate generation. The 32-bit
     signature splits into 7 bands (5 bits each); by pigeonhole, two

@@ -83,6 +83,45 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_time_rollup",
+    oracle="""
+SELECT CAST(year(ts) AS INTEGER) AS y,
+       CAST(month(ts) AS INTEGER) AS m,
+       CAST(day(ts) AS INTEGER) AS d,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(value) AS DOUBLE), 2) AS sum_value
+FROM events
+GROUP BY ROLLUP (y, m, d)
+ORDER BY y ASC NULLS FIRST, m ASC NULLS FIRST, d ASC NULLS FIRST
+""",
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: day → month → year →
+    grand total in one pass (GROUP BY ROLLUP over the time hierarchy — the
+    single-shuffle equivalent of maintaining three materialized rollup
+    levels)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.year("ts").alias("y"),
+            F.month("ts").alias("m"),
+            F.dayofmonth("ts").alias("d"),
+            "value",
+        )
+        .rollup("y", "m", "d")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy(
+            F.col("y").asc_nulls_first(),
+            F.col("m").asc_nulls_first(),
+            F.col("d").asc_nulls_first(),
+        )
+    )
+
+
+@query(
     "events_session_30m",
     oracle="""
 WITH flagged AS (
