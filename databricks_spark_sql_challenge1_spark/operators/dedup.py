@@ -351,18 +351,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver runs the weaker rows-only check; semantics are pinned by
     tests/test_extensions.py against the exact Jaccard query.
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH, RegexTokenizer
+    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, RegexTokenizer
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tokenizer = RegexTokenizer(
         inputCol="text", outputCol="tokens", pattern=r"\s+", minTokenLength=1
     )
-    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 18)
-    featured = tf.transform(tokenizer.transform(docs))
+    # shingle (word 3-gram) space, same as the exact dedup_ngram_jaccard —
+    # unigram Jaccard is near-1 for the fixtures' shared-vocabulary docs
+    shingler = NGram(n=SHINGLE_N, inputCol="tokens", outputCol="shingles")
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
+    featured = tf.transform(shingler.transform(tokenizer.transform(docs)))
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(featured)
+    # distance threshold 0.5 → keep pairs with (approx) Jaccard ≥ 0.5; the
+    # corpus's shared vocabulary makes looser thresholds near-all-pairs.
     pairs = model.approxSimilarityJoin(
-        featured, featured, threshold=0.9, distCol="jaccard_dist"
+        featured, featured, threshold=0.5, distCol="jaccard_dist"
     )
     return (
         pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
