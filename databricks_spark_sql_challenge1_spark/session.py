@@ -17,9 +17,15 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "challenge1-engine") -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # local mode runs executors inside the driver JVM — the 1g default heap
+    # starves 32 concurrent task threads (OOMs at ~5M-row joins). Size it
+    # like a real executor fleet; overridable via SPARK_DRIVER_MEMORY.
+    memory = os.environ.get("SPARK_DRIVER_MEMORY", "24g")
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
+        .config("spark.driver.memory", memory)
+        .config("spark.driver.maxResultSize", "4g")
         # AQE: coalesce post-shuffle partitions, split skewed join partitions,
         # convert sort-merge to broadcast when runtime stats allow.
         .config("spark.sql.adaptive.enabled", "true")
