@@ -46,6 +46,9 @@ def main() -> None:
         "events_json_extract",
         "events_tumbling_1h",
         "events_session_30m",
+        "events_time_rollup",
+        "events_asof_join",
+        "events_range_join",
         "dedup_exact",
         "dedup_ngram_jaccard",
         "dedup_simhash_pairs",

@@ -74,16 +74,25 @@ def _launch_query(spark, sf_dir, yearly: bool) -> DataFrame:
         launches = launches.where(
             (F.col("launch_year") == y1) & (F.col("launch_month") == m1)
         )
-    all_counts = _launch_counts(spark, sf_dir, launches, abandoned_only=False).alias("lc")
-    ab_counts = _launch_counts(spark, sf_dir, launches, abandoned_only=True).alias("la")
+    # Result-equivalent single-pass form of the reference's two mirrored
+    # subqueries LEFT JOINed back together (ref ``py:364-397``): one fact
+    # join + conditional COUNT(DISTINCT) for the abandoned subset — the
+    # COALESCE(...,0) semantics fall out of the conditional count.
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    facts = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
     return (
-        all_counts.join(ab_counts, F.col("lc.partkey") == F.col("la.partkey"), "left")
-        .select(
-            F.col("lc.partkey").alias("partkey"),
-            F.col("lc.launch_year").alias("launch_year"),
-            F.col("lc.launch_month").alias("launch_month"),
-            F.coalesce(F.col("lc.cnt"), F.lit(0)).alias("launch_month_orders"),
-            F.coalesce(F.col("la.cnt"), F.lit(0)).alias("launch_month_abandoned_orders"),
+        launches.join(facts, launches.partkey == facts.l_partkey)
+        .where(
+            (F.year("o_orderdate") == F.col("launch_year"))
+            & (F.month("o_orderdate") == F.col("launch_month"))
+        )
+        .groupBy("partkey", "launch_year", "launch_month")
+        .agg(
+            F.countDistinct("o_orderkey").alias("launch_month_orders"),
+            F.countDistinct(
+                F.when(F.col("o_orderstatus") == "O", F.col("o_orderkey"))
+            ).alias("launch_month_abandoned_orders"),
         )
         .orderBy(
             F.col("launch_month_orders").desc(), F.col("partkey").asc_nulls_first()

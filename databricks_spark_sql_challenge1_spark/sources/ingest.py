@@ -51,8 +51,25 @@ def create_database(spark: SparkSession, name: str) -> None:
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}")
 
 
-def save_table(df: DataFrame, table: str, fmt: str = "parquet") -> None:
-    """S4 (ref ``py:65-72``): managed-table overwrite write."""
+def delta_available() -> bool:
+    """True when delta-spark is importable (not in this container — the
+    reference's Delta semantics are covered by parquet fallbacks: S4 via
+    saveAsTable, S10 via sources.overwrite.staged_overwrite)."""
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def save_table(df: DataFrame, table: str, fmt: str | None = None) -> None:
+    """S4 (ref ``py:65-72``): managed-table overwrite write.
+
+    Uses Delta when delta-spark is on the classpath (matching the reference
+    exactly, incl. MVCC self-overwrite), else plain parquet.
+    """
+    fmt = fmt or ("delta" if delta_available() else "parquet")
     df.write.format(fmt).mode("overwrite").saveAsTable(table)
 
 
