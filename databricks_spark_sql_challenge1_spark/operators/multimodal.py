@@ -91,6 +91,117 @@ def extract_media_features(media: DataFrame, use_real_codec: bool = False) -> Da
     return media.mapInPandas(_featurize, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_bytes", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("orig_width", IntegerType()),
+        StructField("orig_height", IntegerType()),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, target_w: int, target_h: int, use_real_codec: bool = False
+) -> DataFrame:
+    """Resize stub: real pipelines decode → scale → re-encode per batch; the
+    stub deterministically truncates/pads the payload to the target pixel
+    budget and rewrites the metadata, keeping the Arrow dataflow identical
+    to a real resize kernel (1:1, narrow)."""
+    if use_real_codec and not REAL_CODECS_AVAILABLE:
+        raise NotImplementedError(
+            "image codecs are not installed; stub resize only (use_real_codec=False)"
+        )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        budget = target_w * target_h
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_bytes": pdf["media_bytes"].map(
+                        lambda b: bytes(b[:budget]).ljust(budget, b"\0")
+                    ),
+                    "width": target_w,
+                    "height": target_h,
+                    "orig_width": pdf["media_meta"].map(lambda m: m["width"]),
+                    "orig_height": pdf["media_meta"].map(lambda m: m["height"]),
+                }
+            )
+
+    return media.mapInPandas(_resize, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("frame_bytes", BinaryType()),
+        StructField("n_frames_total", IntegerType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, frame_size: int = 64, every_kth: int = 4
+) -> DataFrame:
+    """Frame-sampling stub (video path): split the payload into fixed-size
+    "frames", keep every k-th — a 1:N mapInPandas expansion, the exact batch
+    shape a real ffmpeg-backed sampler produces (one output row per sampled
+    frame, still a narrow transformation: no shuffle until aggregation)."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_index": [], "frame_bytes": [], "n_frames_total": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media_bytes"]):
+                blob = bytes(blob)
+                n_total = max(1, (len(blob) + frame_size - 1) // frame_size)
+                for idx in range(0, n_total, every_kth):
+                    out["doc_id"].append(doc_id)
+                    out["frame_index"].append(idx)
+                    out["frame_bytes"].append(blob[idx * frame_size : (idx + 1) * frame_size])
+                    out["n_frames_total"].append(n_total)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_sample, FRAME_SCHEMA)
+
+
+@query(
+    "multimodal_frame_stats",
+    oracle="""
+SELECT source,
+       CAST(SUM((octet_length(CAST(text AS BLOB)) + 63) // 64) AS BIGINT) AS total_frames,
+       CAST(SUM(((octet_length(CAST(text AS BLOB)) + 63) // 64 + 3) // 4) AS BIGINT) AS sampled_frames
+FROM documents
+GROUP BY source
+ORDER BY source ASC
+""",
+)
+def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling pipeline on fixtures: attach binary → 1:N frame
+    expansion (every 4th of 64-byte frames) → per-source totals. Oracle
+    replays the frame arithmetic on the UTF-8 payload."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(attach_fake_media(docs), frame_size=64, every_kth=4)
+    source_map = docs.select("doc_id", "source")
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.max("n_frames_total").alias("n_frames"),
+            F.count(F.lit(1)).alias("n_sampled"),
+        )
+        .join(source_map, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_frames").alias("total_frames"),
+            F.sum("n_sampled").alias("sampled_frames"),
+        )
+        .orderBy(F.col("source").asc())
+    )
+
+
 @query(
     "multimodal_features",
     oracle="""

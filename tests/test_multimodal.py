@@ -38,6 +38,39 @@ def test_feature_extraction_preserves_partitioning(spark):
     assert feats.rdd.getNumPartitions() == 4
 
 
+def test_resize_stub(spark):
+    from databricks_spark_sql_challenge1_spark.operators.multimodal import (
+        RESIZE_SCHEMA,
+        resize_media,
+    )
+
+    media = attach_fake_media(load_table(spark, SF_DIR, "documents"))
+    resized = resize_media(media, target_w=32, target_h=32)
+    assert resized.schema == RESIZE_SCHEMA
+    row = resized.first()
+    assert len(row["media_bytes"]) == 32 * 32
+    assert (row["width"], row["height"]) == (32, 32)
+    with pytest.raises(NotImplementedError):
+        resize_media(media, 8, 8, use_real_codec=True)
+
+
+def test_frame_sampling_expansion(spark):
+    from pyspark.sql import functions as F
+
+    from databricks_spark_sql_challenge1_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    media = attach_fake_media(docs)
+    frames = sample_frames(media, frame_size=64, every_kth=4)
+    # 1:N expansion: more frame rows than docs, all indices on the k-grid
+    assert frames.count() > docs.count()
+    assert frames.where(F.col("frame_index") % 4 != 0).count() == 0
+    # every document is represented (frame 0 always sampled)
+    assert frames.select("doc_id").distinct().count() == docs.count()
+
+
 def test_real_codec_gate(spark):
     media = attach_fake_media(load_table(spark, SF_DIR, "documents"))
     with pytest.raises(NotImplementedError, match="codecs"):
