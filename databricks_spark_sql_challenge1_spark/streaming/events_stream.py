@@ -15,13 +15,18 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from databricks_spark_sql_challenge1_spark.catalog import load_table, table_path
+from databricks_spark_sql_challenge1_spark.catalog import (
+    ensure_session_confs,
+    load_table,
+    table_path,
+)
 from databricks_spark_sql_challenge1_spark.registry import query
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over events.parquet (schema pinned from the static read;
     nanos-long ts converted exactly as in catalog.load_table)."""
+    ensure_session_confs(spark)
     raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     stream = (
         spark.readStream.schema(raw_schema)
