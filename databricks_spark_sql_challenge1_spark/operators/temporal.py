@@ -79,6 +79,54 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONVERT_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+@query(
+    "events_funnel_conversion",
+    oracle=f"""
+WITH s AS (SELECT user_id, min(ts) AS signup_ts FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT e.user_id, min(e.ts) AS first_purchase_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+      GROUP BY e.user_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_signed_up,
+       CAST(COUNT(p.first_purchase_ts) AS BIGINT) AS n_converted,
+       CAST(COUNT(CASE WHEN epoch_us(p.first_purchase_ts) - epoch_us(s.signup_ts)
+                            <= {CONVERT_WINDOW_US} THEN 1 END) AS BIGINT)
+           AS n_converted_1h
+FROM s LEFT JOIN p ON s.user_id = p.user_id
+""",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: signup → first subsequent purchase, with a 1-hour
+    conversion window — two key-partitioned aggregates + one broadcastable
+    join, no per-event state."""
+    events = load_table(spark, sf_dir, "events")
+    s = (
+        events.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    gap = F.unix_micros("first_purchase_ts") - F.unix_micros("signup_ts")
+    return (
+        s.join(p, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_signed_up"),
+            F.count("first_purchase_ts").alias("n_converted"),
+            F.count(F.when(gap <= CONVERT_WINDOW_US, 1)).alias("n_converted_1h"),
+        )
+    )
+
+
 @query(
     "events_range_join",
     oracle=f"""

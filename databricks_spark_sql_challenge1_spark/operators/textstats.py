@@ -303,6 +303,73 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUALITY_MIN_TOKENS = 30
+QUALITY_MAX_PUNCT = 0.10
+
+
+@query(
+    "corpus_filter_pipeline",
+    oracle=f"""
+WITH stats AS (
+    SELECT doc_id, lang,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio
+    FROM documents
+),
+canonical AS (
+    SELECT fp, MIN(doc_id) AS canonical_doc_id FROM stats GROUP BY fp
+)
+SELECT s.lang,
+       COUNT(*) AS n_kept,
+       CAST(SUM(s.n_tokens) AS BIGINT) AS kept_tokens
+FROM stats s
+JOIN canonical c ON s.fp = c.fp AND s.doc_id = c.canonical_doc_id
+WHERE s.n_tokens >= {QUALITY_MIN_TOKENS}
+  AND s.punct_ratio <= {QUALITY_MAX_PUNCT}
+GROUP BY s.lang
+ORDER BY s.lang ASC
+""",
+)
+def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite training-data filter a real corpus pipeline runs:
+    quality gate (token count + punctuation ratio) ∘ exact dedup (keep the
+    canonical copy per normalized fingerprint) → per-language kept-document
+    and kept-token counts. One expression pipeline + one dedup shuffle +
+    one small aggregate — the 100 TB shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    stats = docs.select(
+        "doc_id",
+        "lang",
+        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias("fp"),
+        F.size(toks).alias("n_tokens"),
+        (
+            F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", "")).cast("double")
+            / F.length("text")
+        ).alias("punct_ratio"),
+    )
+    canonical = stats.groupBy("fp").agg(F.min("doc_id").alias("canonical_doc_id"))
+    return (
+        stats.join(
+            canonical,
+            (stats.fp == canonical.fp)
+            & (stats.doc_id == canonical.canonical_doc_id),
+        )
+        .where(
+            (F.col("n_tokens") >= QUALITY_MIN_TOKENS)
+            & (F.col("punct_ratio") <= QUALITY_MAX_PUNCT)
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tokens").alias("kept_tokens"),
+        )
+        .orderBy(F.col("lang").asc())
+    )
+
+
 @query(
     "doc_fingerprint",
     oracle="""
