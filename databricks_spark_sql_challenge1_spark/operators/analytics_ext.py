@@ -148,6 +148,52 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("approx_topk_products")  # rows-only: sketch results are engine-specific
+def approx_topk_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB variant of the flagship: HLL approx_count_distinct instead
+    of exact distinct (no expand, single-pass mergeable sketch). Accuracy
+    pinned by tests/test_skew.py-style tolerance in test_extensions."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "right")
+        .where(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.approx_count_distinct("o_orderkey", rsd=0.02).alias(
+                "approx_abandoned_orders"
+            )
+        )
+        .orderBy(
+            F.col("approx_abandoned_orders").desc(),
+            F.col("partkey").asc_nulls_first(),
+        )
+        .limit(100)
+    )
+
+
+@query("approx_price_percentiles")  # rows-only: t-digest results engine-specific
+def approx_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass mergeable-sketch percentiles (approx_percentile) — what
+    replaces exact interpolation when the group is 10^11 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.expr(
+                "approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)"
+            ).alias("pcts")
+        )
+        .select(
+            "o_orderstatus",
+            F.col("pcts")[0].alias("p50"),
+            F.col("pcts")[1].alias("p90"),
+            F.col("pcts")[2].alias("p99"),
+        )
+        .orderBy(F.col("o_orderstatus").asc())
+    )
+
+
 @query(
     "price_percentiles",
     oracle="""

@@ -32,6 +32,26 @@ def test_streaming_session_equals_batch(spark):
     assert _rows(stream.select(*batch.columns)) == _rows(batch)
 
 
+def test_idempotent_ingest_sink(spark, tmp_path):
+    """Replaying the ingest (fresh checkpoint, same source) must not
+    double-land events."""
+    from databricks_spark_sql_challenge1_spark.catalog import load_table
+    from databricks_spark_sql_challenge1_spark.streaming.ingest_sink import (
+        ingest_events_idempotent,
+    )
+
+    sink = str(tmp_path / "sink")
+    n_src = load_table(spark, SF_DIR, "events").count()
+    n1 = ingest_events_idempotent(spark, SF_DIR, sink, str(tmp_path / "cp1"))
+    assert n1 == n_src
+    # replay with a NEW checkpoint → source re-read, sink must stay stable
+    n2 = ingest_events_idempotent(spark, SF_DIR, sink, str(tmp_path / "cp2"))
+    assert n2 == n_src
+    landed = spark.read.parquet(sink)
+    assert landed.select("event_id").distinct().count() == n_src
+    assert landed.count() == n_src
+
+
 def test_streaming_user_state_totals(spark):
     """applyInPandasWithState running profile ends at the batch totals."""
     from pyspark.sql import functions as F
