@@ -11,7 +11,7 @@ shuffles instead of one skewed one. Results are exactly equal to the direct
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 

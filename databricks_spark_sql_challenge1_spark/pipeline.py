@@ -18,10 +18,10 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 
 import databricks_spark_sql_challenge1_spark.operators  # noqa: F401  (registers queries)
-from databricks_spark_sql_challenge1_spark.catalog import TABLES, load_table
+from databricks_spark_sql_challenge1_spark.catalog import load_table
 from databricks_spark_sql_challenge1_spark.registry import QUERIES
 from databricks_spark_sql_challenge1_spark.sources.export import export_as_txt
 from databricks_spark_sql_challenge1_spark.sources.overwrite import staged_overwrite

@@ -22,10 +22,8 @@ def simple_plan(df: DataFrame) -> str:
 
 
 def has_pushed_filters(df: DataFrame) -> bool:
-    plan = formatted_plan(df)
-    return "PushedFilters: [" in plan and "PushedFilters: []" not in plan.replace(
-        "PushedFilters: [],", "PushedFilters: [#EMPTY#],"
-    )
+    """True when at least one scan has a non-empty PushedFilters list."""
+    return any(f not in ("[]", "") for f in pushed_filters(df))
 
 
 def pushed_filters(df: DataFrame) -> list[str]:

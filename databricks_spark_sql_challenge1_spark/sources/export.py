@@ -11,7 +11,6 @@ from __future__ import annotations
 import csv
 import glob
 import os
-import shutil
 
 from pyspark.sql import DataFrame
 

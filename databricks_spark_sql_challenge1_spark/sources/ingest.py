@@ -8,8 +8,6 @@ Delta is a config swap when delta-spark is on the classpath).
 
 from __future__ import annotations
 
-import os
-import shutil
 import tempfile
 import zipfile
 

@@ -17,7 +17,6 @@ from pyspark.sql import functions as F
 
 from databricks_spark_sql_challenge1_spark.catalog import (
     ensure_session_confs,
-    load_table,
     table_path,
 )
 from databricks_spark_sql_challenge1_spark.registry import query

@@ -13,7 +13,6 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from databricks_spark_sql_challenge1_spark.streaming.events_stream import (
     _events_stream,
