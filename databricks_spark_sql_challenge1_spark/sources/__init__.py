@@ -1,1 +1,6 @@
-from databricks_spark_sql_challenge1_spark.sources import export, ingest, overwrite  # noqa: F401
+from databricks_spark_sql_challenge1_spark.sources import (  # noqa: F401
+    bucketing,
+    export,
+    ingest,
+    overwrite,
+)
