@@ -42,6 +42,13 @@ class Engine:
     def register_views(self) -> None:
         register_views(self.spark, self.sf_dir)
 
+    def sql(self, query: str) -> DataFrame:
+        """The reference's literal API (``spark.sql`` over registered
+        tables, ref ``py:112`` etc.): fixture tables are registered as views
+        on first use, then any SQL runs against them."""
+        self.register_views()
+        return self.spark.sql(query)
+
     # --- queries ----------------------------------------------------------
     @staticmethod
     def names() -> list[str]:

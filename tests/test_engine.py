@@ -31,6 +31,19 @@ def test_engine_unknown_query_suggests(engine):
         engine.query("top_abandonned_products")
 
 
+def test_engine_sql_api(engine):
+    """The reference's spark.sql(...) usage pattern works verbatim."""
+    df = engine.sql(
+        """
+        SELECT l.l_partkey AS partkey, COUNT(DISTINCT o.o_orderkey) AS n
+        FROM lineitem l RIGHT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'O'
+        GROUP BY l.l_partkey ORDER BY n DESC LIMIT 5
+        """
+    )
+    assert df.count() == 5
+
+
 def test_engine_table_and_views(engine):
     assert engine.table("nation").count() == 25
     engine.register_views()
