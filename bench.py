@@ -59,8 +59,13 @@ def main() -> None:
         "text_quality_stats",
         "lang_id_heuristic",
         "text_tfidf_top_terms",
+        "corpus_filter_pipeline",
+        "doc_rolling_fingerprint",
         "multimodal_features",
+        "multimodal_frame_stats",
         "launch_cohort_analysis",
+        "events_sliding_1h_30m",
+        "events_funnel_conversion",
         "widget_month_orders",
     ]
 

@@ -48,6 +48,8 @@ def calendar_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("calendar_dim", oracle=_CAL_SQL)
 def calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 calendar dimension [Q-calendar]: one row per day over the orders
+    span via explode(sequence(...)) (ref ``py:74-76``)."""
     return calendar_df(spark, sf_dir)
 
 
