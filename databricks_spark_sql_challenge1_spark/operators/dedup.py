@@ -290,35 +290,24 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # similarity distribution instead.
 EMB_DUP_THRESHOLD = 0.4
 
+# Past this corpus size the broadcast-matrix path would pull too much to the
+# driver (~2M × d=64 float64 ≈ 1 GB); switch to the fully distributed
+# chunk-pair GEMM, which never materializes the corpus on the driver.
+EMB_BROADCAST_MAX_VECTORS = 2_000_000
+# Chunk size for the blocked path: rows per chunk such that two chunks of
+# float64 vectors (2 × rows × d × 8 B ≈ a few hundred MB at d ≤ 128) fit one
+# executor task with room for the GEMM output.
+EMB_CHUNK_TARGET_ROWS = 250_000
 
-@query(
-    "dedup_embedding_cosine",
-    oracle=f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
-SELECT a.vec_id AS vec_1, b.vec_id AS vec_2,
-       ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 6) >= {EMB_DUP_THRESHOLD}
-""",
-)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: exact all-pairs via blocked matrix multiply.
 
-    A pairwise crossJoin with per-pair expression folds is O(N²·d) through
-    row-at-a-time codegen — 85 s at sf0.1. The dense-linear-algebra shape
-    wants BLAS: normalize once, broadcast the (small) corpus matrix, and let
-    each Arrow batch compute ``block @ corpus.T`` in numpy — same exact
-    result (verified against the all-pairs DuckDB oracle), ~50× faster.
-
-    Scale: corpus broadcast is fine to ~10^7 vectors (1-2 GB); past that,
-    block BOTH sides (outer loop over corpus chunks) or switch to the IVF
-    bucketing of ``similarity_ivf`` (near-identical vectors share a bucket
-    by construction, so recall at dup-thresholds is preserved).
+def _cosine_broadcast(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """Exact all-pairs cosine, small/medium corpus: normalize once, broadcast
+    the corpus matrix, each Arrow batch computes ``block @ corpus.T`` in BLAS.
+    Driver collect is bounded by EMB_BROADCAST_MAX_VECTORS (guarded by caller).
     """
     import numpy as np
     import pandas as pd
 
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     corpus = e.toPandas()
     ids_all = corpus["vec_id"].to_numpy()
     M = np.stack([np.asarray(v, dtype="float64") for v in corpus["embedding"]])
@@ -342,6 +331,105 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return e.mapInPandas(block, "vec_1 long, vec_2 long, cosine double")
+
+
+def _cosine_chunked(e: DataFrame, n_chunks: int) -> DataFrame:
+    """Exact all-pairs cosine with BOTH sides chunked — no driver collect,
+    no corpus broadcast.
+
+    Vectors hash into ``n_chunks`` chunks; every unordered chunk pair (i ≤ j)
+    becomes one ``applyInPandas`` group holding the two chunks' rows (each
+    vector is replicated to the k+1 chunk pairs its chunk participates in —
+    the inherent shuffle cost of exact blocked all-pairs). Each group runs one
+    BLAS GEMM. K²/2 independent tasks spread across the cluster; per-task
+    memory is two chunks, set by EMB_CHUNK_TARGET_ROWS, regardless of N.
+    """
+    import numpy as np
+    import pandas as pd
+
+    k = n_chunks
+    e2 = e.withColumn("ck", F.pmod(F.hash("vec_id"), F.lit(k)).cast("int"))
+    # role 'a' carries chunk i into pairs (i, j≥i); role 'b' carries chunk j
+    # into pairs (i≤j, j). Diagonal groups (i == j) get both roles with the
+    # same rows; the vec_1 < vec_2 filter dedups them.
+    side_a = e2.select(
+        "vec_id",
+        "embedding",
+        F.col("ck").alias("pi"),
+        F.explode(F.sequence(F.col("ck"), F.lit(k - 1))).alias("pj"),
+        F.lit("a").alias("role"),
+    )
+    side_b = e2.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.sequence(F.lit(0), F.col("ck"))).alias("pi"),
+        F.col("ck").alias("pj"),
+        F.lit("b").alias("role"),
+    )
+    both = side_a.unionByName(side_b)
+
+    def gemm(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        diagonal = pdf["pi"].iat[0] == pdf["pj"].iat[0]
+        a = pdf[pdf["role"] == "a"]
+        b = a if diagonal else pdf[pdf["role"] == "b"]
+        if not len(a) or not len(b):
+            return pd.DataFrame({"vec_1": [], "vec_2": [], "cosine": []}).astype(
+                {"vec_1": "int64", "vec_2": "int64", "cosine": "float64"}
+            )
+        a_ids = a["vec_id"].to_numpy()
+        b_ids = b["vec_id"].to_numpy()
+        A = np.stack([np.asarray(v, dtype="float64") for v in a["embedding"]])
+        B = np.stack([np.asarray(v, dtype="float64") for v in b["embedding"]])
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        B /= np.linalg.norm(B, axis=1, keepdims=True)
+        S = np.round(A @ B.T, 6)
+        ai, bj = np.nonzero(S >= EMB_DUP_THRESHOLD)
+        v1 = np.minimum(a_ids[ai], b_ids[bj])
+        v2 = np.maximum(a_ids[ai], b_ids[bj])
+        keep = v1 < v2
+        return pd.DataFrame(
+            {"vec_1": v1[keep], "vec_2": v2[keep], "cosine": S[ai, bj][keep]}
+        )
+
+    return both.groupBy("pi", "pj").applyInPandas(
+        gemm, "vec_1 long, vec_2 long, cosine double"
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+SELECT a.vec_id AS vec_1, b.vec_id AS vec_2,
+       ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 6) >= {EMB_DUP_THRESHOLD}
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: exact all-pairs via blocked matrix multiply.
+
+    A pairwise crossJoin with per-pair expression folds is O(N²·d) through
+    row-at-a-time codegen — 85 s at sf0.1. The dense-linear-algebra shape
+    wants BLAS, picked by corpus size:
+
+    - N ≤ EMB_BROADCAST_MAX_VECTORS: broadcast the normalized corpus matrix,
+      each Arrow batch computes ``block @ corpus.T`` (one pass, fastest).
+    - larger: chunk BOTH sides and GEMM every chunk pair in its own
+      ``applyInPandas`` group (``_cosine_chunked``) — no driver collect, no
+      broadcast, per-task memory bounded by EMB_CHUNK_TARGET_ROWS, so the
+      exact computation survives 10⁹ vectors. (At dup-use thresholds the
+      IVF bucketing of ``similarity_ivf`` is the cheaper approximate route.)
+
+    Both paths produce identical output (tests/test_extensions.py pins the
+    chunked path against the broadcast path and the DuckDB oracle).
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = e.count()
+    if n <= EMB_BROADCAST_MAX_VECTORS:
+        return _cosine_broadcast(spark, e)
+    n_chunks = -(-n // EMB_CHUNK_TARGET_ROWS)
+    return _cosine_chunked(e, n_chunks)
 
 
 @query("dedup_minhash_lsh")  # rows-only: spark.ml hash seeds are JVM-internal

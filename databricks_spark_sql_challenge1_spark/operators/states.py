@@ -66,7 +66,7 @@ sub AS (
     + """
     GROUP BY c.c_nationkey
 )
-SELECT n.n_name AS nation, SUM(sub.cnt) AS total_abandoned_orders
+SELECT n.n_name AS nation, CAST(SUM(sub.cnt) AS BIGINT) AS total_abandoned_orders
 FROM sub FULL JOIN nation n ON sub.k = n.n_nationkey
 GROUP BY n.n_name
 ORDER BY total_abandoned_orders DESC NULLS LAST, nation ASC NULLS FIRST
@@ -100,7 +100,7 @@ sub AS (
     + """
     GROUP BY s.s_nationkey
 )
-SELECT n.n_name AS nation, SUM(sub.cnt) AS total_abandoned_orders
+SELECT n.n_name AS nation, CAST(SUM(sub.cnt) AS BIGINT) AS total_abandoned_orders
 FROM sub FULL JOIN nation n ON sub.k = n.n_nationkey
 GROUP BY n.n_name
 ORDER BY total_abandoned_orders DESC NULLS LAST, nation ASC NULLS FIRST
@@ -136,7 +136,7 @@ sub AS (
     + """
     GROUP BY c.c_nationkey
 )
-SELECT n.n_name AS nation, SUM(sub.cnt) AS total_abandoned_orders
+SELECT n.n_name AS nation, CAST(SUM(sub.cnt) AS BIGINT) AS total_abandoned_orders
 FROM sub FULL JOIN nation n ON sub.k = n.n_nationkey
 GROUP BY n.n_name
 ORDER BY total_abandoned_orders DESC NULLS LAST, nation ASC NULLS FIRST

@@ -351,11 +351,17 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("punct_ratio"),
     )
     canonical = stats.groupBy("fp").agg(F.min("doc_id").alias("canonical_doc_id"))
+    # Alias both sides: ``canonical`` derives from ``stats``, so an unaliased
+    # ``stats.fp == canonical.fp`` collapses to a trivially-true ``fp == fp``
+    # under Spark's self-join lineage resolution and the join would only be
+    # held together by the doc_id clause. The plan must really join on fp
+    # (asserted in tests/test_plans.py).
+    s, c = stats.alias("s"), canonical.alias("c")
     return (
-        stats.join(
-            canonical,
-            (stats.fp == canonical.fp)
-            & (stats.doc_id == canonical.canonical_doc_id),
+        s.join(
+            c,
+            (F.col("s.fp") == F.col("c.fp"))
+            & (F.col("s.doc_id") == F.col("c.canonical_doc_id")),
         )
         .where(
             (F.col("n_tokens") >= QUALITY_MIN_TOKENS)

@@ -39,3 +39,25 @@ def test_approx_percentiles_close_to_exact(spark):
     for k in exact:
         for e, a in zip(exact[k], approx[k]):
             assert abs(a - e) / e < 0.05
+
+
+def test_cosine_chunked_matches_broadcast(spark):
+    """The distributed chunk-pair GEMM path (no driver collect, no corpus
+    broadcast) must produce exactly the broadcast path's pairs — forced here
+    with several chunks so off-diagonal and diagonal groups both execute."""
+    from databricks_spark_sql_challenge1_spark.catalog import load_table
+    from databricks_spark_sql_challenge1_spark.operators.dedup import (
+        _cosine_broadcast,
+        _cosine_chunked,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    want = {
+        (r["vec_1"], r["vec_2"], r["cosine"])
+        for r in _cosine_broadcast(spark, e).collect()
+    }
+    got = {
+        (r["vec_1"], r["vec_2"], r["cosine"])
+        for r in _cosine_chunked(e, 5).collect()
+    }
+    assert want and got == want
