@@ -26,16 +26,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 (+extensions)."""
-    import databricks_spark_sql_challenge1_spark.operators  # noqa: F401  (registers)
-    from databricks_spark_sql_challenge1_spark.registry import QUERIES
+    """One entry per implemented operator from SURVEY.md §2 (+extensions).
 
-    return dict(QUERIES)
+    Ordered by ``registry.DRIVER_PRIORITY``: the driver verifies the first 50
+    entries, so queries needing fresh CORRECTNESS rows lead (see QUERIES.md
+    §driver-window for the r01 ∪ r02 coverage accounting).
+    """
+    import databricks_spark_sql_challenge1_spark.operators  # noqa: F401  (registers)
+    from databricks_spark_sql_challenge1_spark.registry import ordered_queries
+
+    return ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent ANSI SQL per query (omitted → rows-only check)."""
     import databricks_spark_sql_challenge1_spark.operators  # noqa: F401  (registers)
-    from databricks_spark_sql_challenge1_spark.registry import ORACLES
+    from databricks_spark_sql_challenge1_spark.registry import ordered_oracles
 
-    return dict(ORACLES)
+    return ordered_oracles()
