@@ -143,6 +143,56 @@ def top_abandoned_products(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "top_abandoned_products_salted",
+    oracle="""
+SELECT l.l_partkey AS partkey,
+       COUNT(DISTINCT o.o_orderkey) AS total_abandoned_orders
+FROM lineitem l
+RIGHT JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'O'
+GROUP BY l.l_partkey
+ORDER BY total_abandoned_orders DESC, partkey ASC NULLS FIRST
+LIMIT 100
+""",
+)
+def top_abandoned_products_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship through the explicit skew-salted aggregation path.
+
+    The reference semantics make ``partkey`` genuinely skewed: every order
+    with no entries null-extends into ONE hot NULL group (27,487 carts in the
+    reference run, ``ipynb:cell15``; ~28% of fixture orders). At 100 TB that
+    group overwhelms a single reducer, so ``salted_count_distinct`` splits it
+    by hash(o_orderkey) into disjoint salt buckets — two balanced shuffles,
+    then a SUM of partial distinct counts. Same oracle as
+    ``top_abandoned_products``: results must be bit-identical to the direct
+    plan (also pinned by tests/test_skew.py; measured effect in SCALE.md).
+    """
+    from databricks_spark_sql_challenge1_spark.functions.skew import (
+        salted_count_distinct,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "right")
+        .where(F.col("o_orderstatus") == "O")
+        .select(F.col("l_partkey").alias("partkey"), "o_orderkey")
+    )
+    return (
+        salted_count_distinct(joined, ["partkey"], "o_orderkey")
+        .select(
+            "partkey",
+            F.col("distinct_o_orderkey").alias("total_abandoned_orders"),
+        )
+        .orderBy(
+            F.col("total_abandoned_orders").desc(),
+            F.col("partkey").asc_nulls_first(),
+        )
+        .limit(100)
+    )
+
+
+@query(
     "top_abandoned_pairs",
     oracle="""
 SELECT least(ce1.l_partkey, ce2.l_partkey) AS product_1,

@@ -76,6 +76,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_tfidf_top_terms",
     "doc_fingerprint",
     "doc_rolling_fingerprint",
+    # 3: new in round 2
+    "top_abandoned_products_salted",
     # 4: streaming rows-only trio
     "streaming_tumbling_1h",
     "streaming_session_30m",

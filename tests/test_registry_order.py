@@ -39,6 +39,8 @@ MUST_VERIFY = {
     "streaming_tumbling_1h",
     "streaming_session_30m",
     "streaming_user_state",
+    # new in round 2
+    "top_abandoned_products_salted",
 }
 
 

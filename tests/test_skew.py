@@ -61,3 +61,18 @@ def test_approx_count_distinct_tolerance(spark):
         F.approx_count_distinct("o_orderkey", rsd=0.02).alias("n")
     ).first()["n"]
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_salted_flagship_equals_direct(spark):
+    """The registered salted variant must reproduce the direct flagship
+    exactly — including the hot NULL-partkey group the right join creates."""
+    from databricks_spark_sql_challenge1_spark.operators.abandonment import (
+        top_abandoned_products,
+        top_abandoned_products_salted,
+    )
+
+    direct = [tuple(r) for r in top_abandoned_products(spark, SF_DIR).collect()]
+    salted = [
+        tuple(r) for r in top_abandoned_products_salted(spark, SF_DIR).collect()
+    ]
+    assert salted == direct
