@@ -425,10 +425,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunked path against the broadcast path and the DuckDB oracle).
     """
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n = e.count()
-    if n <= EMB_BROADCAST_MAX_VECTORS:
+    # Bounded probe, not a full count: scan at most MAX+1 ids to learn
+    # whether the corpus exceeds the broadcast budget.
+    probe = e.select("vec_id").limit(EMB_BROADCAST_MAX_VECTORS + 1).count()
+    if probe <= EMB_BROADCAST_MAX_VECTORS:
         return _cosine_broadcast(spark, e)
-    n_chunks = -(-n // EMB_CHUNK_TARGET_ROWS)
+    n_chunks = -(-e.count() // EMB_CHUNK_TARGET_ROWS)
     return _cosine_chunked(e, n_chunks)
 
 

@@ -350,19 +350,18 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.length("text")
         ).alias("punct_ratio"),
     )
-    canonical = stats.groupBy("fp").agg(F.min("doc_id").alias("canonical_doc_id"))
-    # Alias both sides: ``canonical`` derives from ``stats``, so an unaliased
-    # ``stats.fp == canonical.fp`` collapses to a trivially-true ``fp == fp``
-    # under Spark's self-join lineage resolution and the join would only be
-    # held together by the doc_id clause. The plan must really join on fp
-    # (asserted in tests/test_plans.py).
-    s, c = stats.alias("s"), canonical.alias("c")
+    # Canonical-copy selection as a window min over fp: ONE shuffle, no join.
+    # (A groupBy(fp) + self-join re-keys on fp twice and — at corpus scale —
+    # the canonical side has ~one row per distinct document, far past
+    # broadcast range, forcing a second full shuffle. The original unaliased
+    # self-join also collapsed to a trivially-true ``fp == fp`` predicate
+    # under Spark's lineage resolution; tests/test_plans.py pins this shape.)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp")
     return (
-        s.join(
-            c,
-            (F.col("s.fp") == F.col("c.fp"))
-            & (F.col("s.doc_id") == F.col("c.canonical_doc_id")),
-        )
+        stats.withColumn("canonical_doc_id", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("canonical_doc_id"))
         .where(
             (F.col("n_tokens") >= QUALITY_MIN_TOKENS)
             & (F.col("punct_ratio") <= QUALITY_MAX_PUNCT)

@@ -65,22 +65,18 @@ def test_partial_aggregation_present(spark):
     assert "partial_count" in plan or "partial" in plan.lower(), plan
 
 
-def test_corpus_filter_joins_on_fingerprint(spark):
-    """Regression (round-1 advice): the stats↔canonical self-join must really
-    key on fp — an unaliased self-join collapses to a trivially-true
-    ``fp == fp`` and the dedup then only works by the one-fp-per-doc
-    coincidence."""
-    import re
-
+def test_corpus_filter_dedups_on_fingerprint(spark):
+    """Regression (round-1 advice): canonical-copy dedup must key on fp. The
+    original groupBy+self-join collapsed to a trivially-true ``fp == fp``
+    predicate; the fix computes min(doc_id) OVER (PARTITION BY fp) — assert
+    the plan has a Window partitioned on fp and no join at all (one shuffle,
+    the 100 TB shape)."""
     from databricks_spark_sql_challenge1_spark.operators.textstats import (
         corpus_filter_pipeline,
     )
 
     df = corpus_filter_pipeline(spark, SF_DIR)
     plan = simple_plan(df)
-    join_lines = [ln for ln in plan.splitlines() if "HashJoin" in ln]
-    assert join_lines, plan
-    # the equi-join key list must pair two distinct fp attributes
-    assert any(
-        len(set(re.findall(r"fp#\d+", ln))) == 2 for ln in join_lines
-    ), "\n".join(join_lines)
+    assert "Join" not in plan, plan
+    window_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert any("fp#" in ln for ln in window_lines), plan
