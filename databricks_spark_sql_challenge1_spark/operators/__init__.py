@@ -15,6 +15,7 @@ from databricks_spark_sql_challenge1_spark.operators import (  # noqa: F401
     states,
     temporal,
     textstats,
+    traindata,
     windows,
 )
 from databricks_spark_sql_challenge1_spark.streaming import events_stream  # noqa: F401

@@ -78,6 +78,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_rolling_fingerprint",
     # 3: new in round 2
     "top_abandoned_products_salted",
+    "docs_split_assign",
+    "token_budget_pack",
     # 4: streaming rows-only trio
     "streaming_tumbling_1h",
     "streaming_session_30m",

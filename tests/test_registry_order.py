@@ -41,6 +41,8 @@ MUST_VERIFY = {
     "streaming_user_state",
     # new in round 2
     "top_abandoned_products_salted",
+    "docs_split_assign",
+    "token_budget_pack",
 }
 
 
