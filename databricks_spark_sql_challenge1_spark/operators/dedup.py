@@ -468,3 +468,91 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("jaccard_approx").desc(), "doc_1", "doc_2")
     )
+
+
+# Random-hyperplane LSH for embedding near-dup: bands × bits-per-band tunes
+# recall at the target cosine threshold. Production near-dup (cosine ≥ 0.99,
+# angle ~8°) would use 4×16; the fixture's similarity ceiling is ~0.5
+# (~66°), so 8 narrow bands keep the demo's recall meaningful (~0.75 at the
+# 0.4 threshold; pinned in tests/test_extensions.py).
+EMB_LSH_BANDS = 8
+EMB_LSH_BITS = 4
+
+
+@query("dedup_embedding_lsh")  # rows-only: random-hyperplane signatures not in SQL
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup WITHOUT all-pairs: random-hyperplane LSH blocking.
+
+    Signature = sign bits of ``v @ planes`` (seeded, broadcast — a few KB);
+    band values become join keys, so candidate generation is a band-bucket
+    equi-join exactly like ``dedup_simhash_pairs``; candidates are then
+    verified with the exact JVM-side cosine. Scale shape: shuffle on
+    (band, value) — no N² term anywhere, the 10⁹-vector path the chunked
+    GEMM cannot be. Recall is tunable (bands × bits); the subset property
+    (output ⊆ exact all-pairs output) and recall floor are pinned in
+    tests/test_extensions.py against ``dedup_embedding_cosine``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = len(e.select("embedding").head()[0])
+    planes = np.random.RandomState(42).normal(
+        size=(dim, EMB_LSH_BANDS * EMB_LSH_BITS)
+    )
+    bc = spark.sparkContext.broadcast(planes)
+
+    def signatures(batches):
+        P = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack([np.asarray(v, dtype="float64") for v in pdf["embedding"]])
+            bits = (M @ P) >= 0  # (n, bands*bits)
+            out = []
+            for b in range(EMB_LSH_BANDS):
+                chunk = bits[:, b * EMB_LSH_BITS : (b + 1) * EMB_LSH_BITS]
+                vals = chunk @ (1 << np.arange(EMB_LSH_BITS))
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"].to_numpy(),
+                            "band": b,
+                            "band_val": vals.astype("int64"),
+                        }
+                    )
+                )
+            yield pd.concat(out)
+
+    sigs = e.mapInPandas(signatures, "vec_id long, band int, band_val long")
+    a, b_ = sigs.alias("a"), sigs.alias("b")
+    candidates = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_1"), F.col("b.vec_id").alias("vec_2")
+        )
+        .distinct()  # a pair may collide in several bands
+    )
+    ea = e.select(F.col("vec_id").alias("vec_1"), F.col("embedding").alias("emb_1"))
+    eb = e.select(F.col("vec_id").alias("vec_2"), F.col("embedding").alias("emb_2"))
+    dot = F.aggregate(
+        F.zip_with("emb_1", "emb_2", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        candidates.join(ea, "vec_1")
+        .join(eb, "vec_2")
+        .withColumn("cosine", F.round(dot / (norm("emb_1") * norm("emb_2")), 6))
+        .where(F.col("cosine") >= EMB_DUP_THRESHOLD)
+        .select("vec_1", "vec_2", "cosine")
+        .orderBy("vec_1", "vec_2")
+    )

@@ -61,3 +61,23 @@ def test_cosine_chunked_matches_broadcast(spark):
         for r in _cosine_chunked(e, 5).collect()
     }
     assert want and got == want
+
+
+def test_embedding_lsh_subset_and_recall(spark):
+    """LSH near-dup must be a subset of the exact all-pairs output (candidates
+    are exact-cosine-verified) with usable recall at the fixture's similarity
+    ceiling (deterministic: seeded planes, fixed data)."""
+    from databricks_spark_sql_challenge1_spark.operators.dedup import (
+        dedup_embedding_cosine,
+        dedup_embedding_lsh,
+    )
+
+    lsh = {
+        (r["vec_1"], r["vec_2"]) for r in dedup_embedding_lsh(spark, SF_DIR).collect()
+    }
+    exact = {
+        (r["vec_1"], r["vec_2"])
+        for r in dedup_embedding_cosine(spark, SF_DIR).collect()
+    }
+    assert lsh <= exact
+    assert len(lsh & exact) / len(exact) >= 0.5
