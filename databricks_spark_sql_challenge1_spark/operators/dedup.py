@@ -471,12 +471,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Random-hyperplane LSH for embedding near-dup: bands × bits-per-band tunes
-# recall at the target cosine threshold. Production near-dup (cosine ≥ 0.99,
-# angle ~8°) would use 4×16; the fixture's similarity ceiling is ~0.5
-# (~66°), so 8 narrow bands keep the demo's recall meaningful (~0.75 at the
-# 0.4 threshold; pinned in tests/test_extensions.py).
-EMB_LSH_BANDS = 8
-EMB_LSH_BITS = 4
+# recall at the target cosine threshold AND candidate volume (≈ bands ×
+# N²/2^bits). Production near-dup (cosine ≥ 0.99, angle ~8°) would use 4×16;
+# the fixture's similarity ceiling is ~0.5 (~66°, per-bit match p≈0.63), so
+# bands are narrow (6 bits) and numerous (12) to keep recall meaningful
+# (~0.55 at the 0.4 threshold; pinned in tests/test_extensions.py) without
+# candidate blowup in the tiny 2^bits hash space.
+EMB_LSH_BANDS = 12
+EMB_LSH_BITS = 6
 
 
 @query("dedup_embedding_lsh")  # rows-only: random-hyperplane signatures not in SQL
