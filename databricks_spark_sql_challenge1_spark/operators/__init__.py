@@ -4,6 +4,7 @@
 from databricks_spark_sql_challenge1_spark.operators import (  # noqa: F401
     abandonment,
     analytics_ext,
+    clustering,
     dashboards,
     dedup,
     export_denorm,

@@ -1,0 +1,139 @@
+"""Near-duplicate cluster assignment — the step between pair-finding
+(``dedup_simhash_pairs``) and keep-one-per-group training-data semantics.
+
+A pair list alone cannot drive dedup: if A~B and B~C but not A~C, dropping
+"the second of every pair" loses C's group membership. The standard fix is
+connected components over the near-dup graph; every document gets a
+``cluster_id`` (= min doc_id reachable) and exactly one member per cluster
+is canonical.
+
+Scale shape: iterative min-label propagation with pointer jumping
+(hop-doubling), the Spark-native analog of the MapReduce "Hash-to-Min" /
+large-star small-star family (Rastogi et al., "Finding Connected Components
+in Map-Reduce in Logarithmic Rounds"). Each round is two equi-joins — one
+shuffle on the edge src, one on the label key — and rounds grow as
+O(log diameter), not O(diameter). Near-dup graphs are quasi-cliques
+(diameter 2-3), so 3-4 rounds converge even at corpus scale. The per-round
+``localCheckpoint`` truncates lineage so plans stay bounded, and the
+convergence probe is a single scalar aggregate (labels are monotone
+non-increasing, so an unchanged sum == fixpoint).
+
+Reference analog: the notebook's dedup surface stops at pair reports; this
+operator is part of the training-pipeline extension surface (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from databricks_spark_sql_challenge1_spark.catalog import load_table
+from databricks_spark_sql_challenge1_spark.operators.dedup import (
+    _simhash_sql_duckdb,
+    dedup_simhash_pairs,
+    HAMMING_MAX,
+)
+from databricks_spark_sql_challenge1_spark.registry import query
+
+# Hop-doubling halves the unresolved path length every round; 20 rounds
+# resolve diameters up to 2^20 — far past any real near-dup graph.
+CC_MAX_ROUNDS = 20
+
+_PAIRS_SQL = f"""
+    SELECT a.doc_id AS doc_1, b.doc_id AS doc_2
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+"""
+
+
+@query(
+    "dedup_cluster_components",
+    oracle=f"""
+WITH RECURSIVE
+sig AS ({_simhash_sql_duckdb().replace("ORDER BY doc_id ASC", "")}),
+pairs AS ({_PAIRS_SQL}),
+edges AS (
+    SELECT doc_1 AS src, doc_2 AS dst FROM pairs
+    UNION ALL
+    SELECT doc_2 AS src, doc_1 AS dst FROM pairs
+),
+reach(node, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+),
+lab AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM lab
+ORDER BY doc_id ASC
+""",
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the SimHash near-dup graph.
+
+    cluster_id = min doc_id in the component (singletons cluster with
+    themselves); exactly one canonical row per cluster. The oracle computes
+    the same fixpoint via a DuckDB recursive CTE — an all-pairs reachability
+    walk that is only feasible at oracle scale, which is exactly why the
+    Spark side uses logarithmic-round label propagation instead.
+    """
+    pairs = dedup_simhash_pairs(spark, sf_dir).select("doc_1", "doc_2")
+    edges = (
+        pairs.select(F.col("doc_1").alias("src"), F.col("doc_2").alias("dst"))
+        .union(
+            pairs.select(F.col("doc_2").alias("src"), F.col("doc_1").alias("dst"))
+        )
+        .localCheckpoint()  # materialize once; reused every round
+    )
+    labels = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
+    for _ in range(CC_MAX_ROUNDS):
+        # round part 1: every node adopts min(own label, neighbors' labels)
+        nbr = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        stepped = (
+            labels.alias("l")
+            .join(nbr.alias("n"), F.col("l.doc_id") == F.col("n.doc_id"), "left")
+            .select(
+                F.col("l.doc_id").alias("doc_id"),
+                F.least(
+                    F.col("l.cluster_id"),
+                    F.coalesce(F.col("n.nbr_min"), F.col("l.cluster_id")),
+                ).alias("cluster_id"),
+            )
+        )
+        # round part 2: pointer jump — cluster_id := label(cluster_id).
+        # Labels are doc_ids, so the lookup is a self-join; this is the
+        # hop-doubling that makes convergence logarithmic in path length.
+        jump = stepped.select(
+            F.col("doc_id").alias("j_id"), F.col("cluster_id").alias("j_cluster")
+        )
+        labels = (
+            stepped.alias("s")
+            .join(jump.alias("j"), F.col("s.cluster_id") == F.col("j.j_id"))
+            .select(
+                F.col("s.doc_id").alias("doc_id"),
+                F.col("j.j_cluster").alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        # labels only ever decrease, so an unchanged sum is a fixpoint
+        cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    w = Window.partitionBy("cluster_id")
+    return (
+        labels.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+        .orderBy(F.col("doc_id").asc())
+    )

@@ -222,6 +222,35 @@ def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_bands(sig: DataFrame) -> DataFrame:
+    """Explode a (doc_id, simhash) frame into pigeonhole bands.
+
+    HAMMING_MAX + 1 bands: two signatures within Hamming distance
+    HAMMING_MAX must agree exactly on ≥ 1 band, so an equi-join on
+    (band_id, band_val) yields a candidate superset with no N² term.
+    """
+    n_bands = HAMMING_MAX + 1
+    band_width = SIMHASH_BITS // n_bands  # 4 bands × 8 bits
+    band_mask = (1 << band_width) - 1
+    return sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.expr(
+                            f"(simhash >> {b * band_width}) & {band_mask}"
+                        ).alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+
+
 @query(
     "dedup_simhash_pairs",
     oracle=f"""
@@ -243,27 +272,8 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is identical to the quadratic all-pairs join (the DuckDB oracle), but
     the join is an equi-join: no crossJoin, shuffles on band buckets only.
     """
-    n_bands = HAMMING_MAX + 1  # pigeonhole: bands > max errors
-    band_width = SIMHASH_BITS // n_bands  # 4 bands × 8 bits
-    band_mask = (1 << band_width) - 1
     sig = text_simhash(spark, sf_dir).cache()
-    bands = sig.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.expr(
-                            f"(simhash >> {b * band_width}) & {band_mask}"
-                        ).alias("band_val"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+    bands = _simhash_bands(sig)
     a = bands.alias("a")
     b = bands.alias("b")
     hamming = F.expr("bit_count(a.simhash ^ b.simhash)")
@@ -281,6 +291,72 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             hamming.cast("int").alias("hamming"),
         )
         .distinct()  # a pair may match on several bands
+    )
+
+
+# Incremental split: the fixture has no arrival timestamp on documents, so
+# doc_id % 5 == 0 stands in for "today's incoming batch" (20% of the corpus)
+# vs the already-ingested 80%. Fixtures contain NO exact-duplicate texts
+# (verified: 0 groups with count>1), so incremental dedup is defined on the
+# SimHash near-dup relation — the realistic production check anyway.
+INCREMENTAL_MOD = 5
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+WITH sig AS ({_simhash_sql_duckdb().replace("ORDER BY doc_id ASC", "")}),
+inc AS (SELECT * FROM sig WHERE doc_id % {INCREMENTAL_MOD} = 0),
+ex  AS (SELECT * FROM sig WHERE doc_id % {INCREMENTAL_MOD} <> 0),
+hits AS (
+    SELECT i.doc_id, COUNT(*) AS n
+    FROM inc i JOIN ex e
+      ON bit_count(xor(i.simhash, e.simhash)) <= {HAMMING_MAX}
+    GROUP BY i.doc_id
+)
+SELECT i.doc_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_near_dups,
+       COALESCE(h.n, 0) > 0 AS is_dup
+FROM inc i LEFT JOIN hits h ON h.doc_id = i.doc_id
+ORDER BY i.doc_id ASC
+""",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: flag incoming docs with a near-dup already in the
+    ingested corpus (SimHash Hamming ≤ HAMMING_MAX), keep the rest.
+
+    Same band-blocked equi-join as ``dedup_simhash_pairs`` but across the
+    incoming/existing split — candidate generation touches only docs that
+    collide on a band, so the incremental check costs O(batch) shuffles,
+    not O(corpus²). At 100 TB the existing side's band table is a
+    precomputed, bucketed index the daily batch joins against.
+    """
+    sig = text_simhash(spark, sf_dir)
+    incoming = sig.where(F.col("doc_id") % INCREMENTAL_MOD == 0)
+    existing = sig.where(F.col("doc_id") % INCREMENTAL_MOD != 0)
+    i = _simhash_bands(incoming).alias("i")
+    e = _simhash_bands(existing).alias("e")
+    hits = (
+        i.join(
+            e,
+            (F.col("i.band_id") == F.col("e.band_id"))
+            & (F.col("i.band_val") == F.col("e.band_val")),
+        )
+        .where(F.expr("bit_count(i.simhash ^ e.simhash)") <= HAMMING_MAX)
+        .select(F.col("i.doc_id").alias("doc_id"), F.col("e.doc_id").alias("ex_id"))
+        .distinct()  # a pair may collide on several bands
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        incoming.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_near_dups"),
+            (F.coalesce(F.col("n"), F.lit(0)) > 0).alias("is_dup"),
+        )
+        .orderBy(F.col("doc_id").asc())
     )
 
 

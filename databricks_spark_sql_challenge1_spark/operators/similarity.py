@@ -168,6 +168,157 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Product quantization (IVF-PQ's compression half) ----------------------
+# Codebooks are deterministic (sub-vectors of every CENTROID_STRIDE-th
+# vector) so DuckDB can replay the exact computation — same trick as the
+# IVF centroid set. Production fits codebooks with sampled k-means; the
+# encode/score algebra below is unchanged by where codebooks come from.
+PQ_M = 8  # subspaces
+PQ_SUB = 8  # dims per subspace (embedding dim 64 = 8 × 8)
+
+
+def _sqdist(a, b):
+    """Σ (a_i - b_i)² as an in-order JVM fold (matches DuckDB list_sum over
+    list_transform, element order preserved on both engines)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_subspaces(df: DataFrame, id_col: str, out_id: str) -> DataFrame:
+    """(id, emb) → (out_id, m, sub): one row per PQ subspace slice."""
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.posexplode(
+            F.array(
+                *[F.slice("emb", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)]
+            )
+        ).alias("m", "sub"),
+    )
+
+
+_PQ_SUB_SQL = f"""
+    SELECT vec_id, m, emb[m * {PQ_SUB} + 1:m * {PQ_SUB} + {PQ_SUB}] AS sub
+    FROM e, (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m)
+"""
+
+_SQDIST_SQL = (
+    f"list_sum(list_transform(generate_series(1, {PQ_SUB}), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
+
+
+@query(
+    "similarity_pq",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+sub AS ({_PQ_SUB_SQL}),
+cb AS (SELECT vec_id AS centroid_id, m, sub AS csub FROM sub
+       WHERE vec_id % {CENTROID_STRIDE} = 0),
+codes AS (
+    SELECT vec_id, m, centroid_id AS code
+    FROM (
+        SELECT s.vec_id, s.m, cb.centroid_id,
+               row_number() OVER (
+                   PARTITION BY s.vec_id, s.m
+                   ORDER BY ROUND({_SQDIST_SQL.format(a="s.sub", b="cb.csub")}, 6) ASC,
+                            cb.centroid_id ASC) AS rk
+        FROM sub s JOIN cb ON cb.m = s.m
+    ) WHERE rk = 1
+),
+dtable AS (
+    SELECT s.vec_id AS query_id, s.m, cb.centroid_id AS code,
+           {_SQDIST_SQL.format(a="s.sub", b="cb.csub")} AS d
+    FROM sub s JOIN cb ON cb.m = s.m
+    WHERE s.vec_id < {N_QUERIES}
+),
+scored AS (
+    SELECT d.query_id, c.vec_id AS neighbor_id, ROUND(SUM(d.d), 4) AS adist
+    FROM codes c JOIN dtable d ON d.m = c.m AND d.code = c.code
+    WHERE c.vec_id <> d.query_id
+    GROUP BY d.query_id, c.vec_id
+)
+SELECT query_id, neighbor_id, adist
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adist ASC, neighbor_id ASC) AS rk
+    FROM scored
+)
+WHERE rk <= {TOP_K}
+ORDER BY query_id ASC, adist ASC, neighbor_id ASC
+""",
+)
+def similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ (product-quantization) approximate top-k — the memory half of
+    IVF-PQ: vectors live as {PQ_M} one-byte codes, queries scan codes via a
+    precomputed subspace distance table (ADC).
+
+    Shapes: codebook (K×M sub-vectors, a few KB) broadcasts for encoding;
+    the query distance table (Q×M×K rows) broadcasts for scoring, so the
+    scan is codes ⋈ broadcast(dtable) → one shuffle for the per-(query,
+    neighbor) sum. At 10⁹ vectors the codes table is ~{PQ_M} GB — the
+    point of PQ — and production fuses the dtable lookup into the scan
+    (mapPartitions over packed codes); the relational plan here keeps the
+    identical algebra oracle-checkable.
+    """
+    scored = _pq_scored(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "adist")
+        .orderBy(
+            F.col("query_id").asc(), F.col("adist").asc(), F.col("neighbor_id").asc()
+        )
+    )
+
+
+def _pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ADC scoring set (query_id, neighbor_id, adist), no top-k cut."""
+    e = _emb(spark, sf_dir)
+    sub = _pq_subspaces(e, "vec_id", "vec_id")
+    cb = _pq_subspaces(
+        e.where(F.col("vec_id") % CENTROID_STRIDE == 0), "vec_id", "centroid_id"
+    ).select("centroid_id", "m", F.col("sub").alias("csub"))
+
+    s = sub.alias("s")
+    c = cb.alias("c")
+    enc_w = Window.partitionBy("s.vec_id", "s.m").orderBy(
+        F.round(_sqdist(F.col("s.sub"), F.col("c.csub")), 6).asc(),
+        F.col("c.centroid_id").asc(),
+    )
+    codes = (
+        s.join(F.broadcast(c), F.col("s.m") == F.col("c.m"))
+        .withColumn("rk", F.row_number().over(enc_w))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("s.vec_id").alias("vec_id"),
+            F.col("s.m").alias("m"),
+            F.col("c.centroid_id").alias("code"),
+        )
+    )
+    dtable = (
+        s.where(F.col("s.vec_id") < N_QUERIES)
+        .join(F.broadcast(c), F.col("s.m") == F.col("c.m"))
+        .select(
+            F.col("s.vec_id").alias("query_id"),
+            F.col("s.m").alias("m"),
+            F.col("c.centroid_id").alias("code"),
+            _sqdist(F.col("s.sub"), F.col("c.csub")).alias("d"),
+        )
+    )
+    return (
+        codes.join(F.broadcast(dtable), ["m", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("d"), 4).alias("adist"))
+    )
+
+
 @query(
     "embedding_centroids",
     oracle="""

@@ -397,3 +397,58 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.alias("fingerprint"),
         F.conv(F.substring(fp, 1, 15), 16, 10).cast("bigint").alias("fingerprint_int"),
     ).orderBy(F.col("doc_id").asc())
+
+
+# vocabulary: cap far above the fixture vocab (~60 terms) so the query is
+# the real top-K shape while fixtures exercise the full-corpus path
+VOCAB_MAX_TERMS = 1000
+VOCAB_MIN_FREQ = 2
+
+
+@query(
+    "corpus_vocabulary",
+    oracle=f"""
+WITH toks AS (
+    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+    FROM documents
+),
+freq AS (
+    SELECT term, COUNT(*) AS freq FROM toks GROUP BY term
+    HAVING COUNT(*) >= {VOCAB_MIN_FREQ}
+)
+SELECT CAST(row_number() OVER (ORDER BY freq DESC, term ASC) - 1 AS BIGINT)
+           AS term_id,
+       term, freq
+FROM freq
+ORDER BY term_id ASC
+LIMIT {VOCAB_MAX_TERMS}
+""",
+)
+def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary table construction: corpus term frequencies → dense
+    term_id by (freq DESC, term ASC) — the id-assignment step before
+    integer tokenization (HashingTF-free, reproducible ids).
+
+    One shuffle for the term groupBy (map-side partial counts collapse the
+    per-partition duplicates first); the ranking window runs over the
+    already-aggregated vocabulary, which is orders of magnitude smaller
+    than the corpus (Heaps' law), so the single-partition window is safe
+    at any corpus scale. LIMIT keeps the vocab bounded; the HAVING floor
+    drops hapax noise before ranking.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.col("freq") >= VOCAB_MIN_FREQ)
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+    return (
+        freq.withColumn("term_id", (F.row_number().over(w) - 1).cast("bigint"))
+        .select("term_id", "term", "freq")
+        .orderBy(F.col("term_id").asc())
+        .limit(VOCAB_MAX_TERMS)
+    )

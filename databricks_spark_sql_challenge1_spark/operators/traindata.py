@@ -16,6 +16,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from databricks_spark_sql_challenge1_spark.catalog import load_table
+from databricks_spark_sql_challenge1_spark.operators.dedup import (
+    _SHINGLES_SQL,
+    _shingles_spark,
+)
 from databricks_spark_sql_challenge1_spark.registry import query
 
 # split: md5 bucket 0-79 train / 80-89 val / 90-99 test
@@ -119,3 +123,124 @@ def token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pack_id"),
         cum.cast("bigint").alias("cum_tokens"),
     ).orderBy(F.col("lang").asc(), F.col("doc_id").asc())
+
+
+# chunking: overlapping fixed-size token windows (tiny sizes so fixture docs
+# of ~30-100 tokens yield multiple chunks; production = context length)
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 16
+
+
+@query(
+    "docs_chunk_windows",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+    FROM documents
+),
+s AS (
+    SELECT doc_id, toks,
+           unnest(generate_series(0, len(toks) - 1, {CHUNK_STRIDE})) AS start
+    FROM t
+)
+SELECT doc_id,
+       CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(len(toks[start + 1:start + {CHUNK_TOKENS}]) AS BIGINT)
+           AS n_chunk_tokens,
+       array_to_string(toks[start + 1:start + {CHUNK_TOKENS}], ' ')
+           AS chunk_text
+FROM s
+ORDER BY doc_id ASC, chunk_id ASC
+""",
+)
+def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: overlapping CHUNK_TOKENS-token windows every
+    CHUNK_STRIDE tokens — the doc→context-window expansion step before
+    packing/training.
+
+    Pure narrow pipeline: sequence → transform → explode, all JVM-side
+    codegen, no shuffle (the final ORDER BY is presentation-only; a real
+    pipeline writes chunks partition-preserving). Output grows by the
+    overlap factor (~2× at stride = size/2) — bounded, predictable fan-out
+    at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    starts = F.expr(f"sequence(0, size(toks) - 1, {CHUNK_STRIDE})")
+    chunk = F.expr(f"slice(toks, start + 1, {CHUNK_TOKENS})")
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", "toks", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / CHUNK_STRIDE).cast("bigint").alias("chunk_id"),
+            F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+        .orderBy(F.col("doc_id").asc(), F.col("chunk_id").asc())
+    )
+
+
+# contamination: benchmark stand-in = every 10th doc (fixtures carry no
+# held-out eval set); a corpus doc is contaminated when ≥ half its distinct
+# 3-gram shingles appear in any benchmark doc.
+BENCH_MOD = 10
+CONTAMINATION_THRESHOLD = 0.5
+
+
+@query(
+    "docs_contamination",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+corpus AS (SELECT * FROM sh WHERE doc_id % {BENCH_MOD} <> 0),
+tot AS (SELECT doc_id, COUNT(*) AS n FROM corpus GROUP BY doc_id),
+hit AS (
+    SELECT c.doc_id, COUNT(*) AS c
+    FROM corpus c JOIN bench b ON c.shingle = b.shingle
+    GROUP BY c.doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n AS BIGINT) AS n_shingles,
+       CAST(COALESCE(h.c, 0) AS BIGINT) AS n_overlap,
+       ROUND(CAST(COALESCE(h.c, 0) AS DOUBLE) / t.n, 4) AS contamination,
+       CAST(COALESCE(h.c, 0) AS DOUBLE) / t.n >= {CONTAMINATION_THRESHOLD}
+           AS is_contaminated
+FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id
+ORDER BY t.doc_id ASC
+""",
+)
+def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-document fraction of distinct n-gram
+    shingles that also occur in the benchmark set.
+
+    The benchmark shingle set is DISTINCT-reduced and broadcast (real eval
+    suites are thousands of docs — a few MB of shingle hashes), so the
+    check is a broadcast semi-join over the corpus shingles: one shuffle
+    for the per-doc counts, no corpus×corpus term. Flagged docs are what a
+    training pipeline drops before packing.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles_spark(docs)
+    bench = (
+        sh.where(F.col("doc_id") % BENCH_MOD == 0).select("shingle").distinct()
+    )
+    corpus = sh.where(F.col("doc_id") % BENCH_MOD != 0)
+    tot = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    hit = (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    frac = F.coalesce(F.col("c"), F.lit(0)).cast("double") / F.col("n")
+    return (
+        tot.join(hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_shingles"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("n_overlap"),
+            F.round(frac, 4).alias("contamination"),
+            (frac >= CONTAMINATION_THRESHOLD).alias("is_contaminated"),
+        )
+        .orderBy(F.col("doc_id").asc())
+    )

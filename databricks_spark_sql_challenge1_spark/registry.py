@@ -80,10 +80,18 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "top_abandoned_products_salted",
     "docs_split_assign",
     "token_budget_pack",
+    "dedup_embedding_lsh",
+    "dedup_cluster_components",
+    "dedup_incremental",
+    "docs_chunk_windows",
+    "docs_contamination",
+    "similarity_pq",
+    "corpus_vocabulary",
     # 4: streaming rows-only trio
     "streaming_tumbling_1h",
     "streaming_session_30m",
     "streaming_user_state",
+    "streaming_dedup_events",
     # 5: stable round-1-green re-verifications
     "top_abandoned_products",
     "top_abandoned_pairs",
@@ -93,11 +101,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "abandonment_by_day",
     "order_export_denorm",
     "launch_cohort_analysis",
-    "clean_orders",
-    "set_ops_customers",
-    "rollup_order_values",
-    "monthly_order_trend_lag",
-    "pivot_status_by_priority",
     "price_percentiles",
     "dedup_exact",
     "dedup_fingerprint",

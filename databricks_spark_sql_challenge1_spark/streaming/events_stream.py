@@ -172,3 +172,26 @@ def streaming_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain_to_memory(windowed, spark)
+
+
+@query("streaming_dedup_events")  # rows-only: streaming state not in SQL
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup feeding an aggregate: drop duplicate
+    (user_id, event_type) arrivals under a 1-hour watermark, then count
+    unique users per event type — two chained stateful operators (dedup
+    state + agg state), the shape of a streaming ingest pipeline that must
+    not double-count replayed events.
+
+    Dedup state is keyed on (user_id, event_type) and expired by the
+    watermark; at scale this is RocksDB-backed like the session/window
+    state (SCALE.md §Streaming). Semantics pinned by tests/test_streaming.py
+    against the batch distinct-count.
+    """
+    stream = _events_stream(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique_users"))
+    )
+    return _drain_to_memory(deduped, spark)

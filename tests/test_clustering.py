@@ -1,0 +1,102 @@
+"""Semantic pins for the cluster/incremental/chunk/contamination operators
+beyond oracle parity: structural invariants that must hold on any corpus."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from databricks_spark_sql_challenge1_spark.catalog import load_table
+from databricks_spark_sql_challenge1_spark.operators.clustering import (
+    dedup_cluster_components,
+)
+from databricks_spark_sql_challenge1_spark.operators.dedup import (
+    INCREMENTAL_MOD,
+    dedup_incremental,
+    dedup_simhash_pairs,
+)
+from databricks_spark_sql_challenge1_spark.operators.traindata import (
+    BENCH_MOD,
+    CHUNK_STRIDE,
+    CHUNK_TOKENS,
+    docs_chunk_windows,
+    docs_contamination,
+)
+from tests.conftest import SF_DIR
+
+
+def test_cluster_components_invariants(spark):
+    labels = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
+        for r in dedup_cluster_components(spark, SF_DIR).collect()
+    }
+    docs = {r[0] for r in load_table(spark, SF_DIR, "documents").select("doc_id").collect()}
+    assert set(labels) == docs  # every doc labeled, singletons included
+
+    # every near-dup pair ends up in the same cluster
+    pairs = dedup_simhash_pairs(spark, SF_DIR).select("doc_1", "doc_2").collect()
+    assert pairs  # fixture graph is non-trivial
+    for r in pairs:
+        assert labels[r["doc_1"]][0] == labels[r["doc_2"]][0]
+
+    # cluster_id is the min member, exactly one canonical per cluster,
+    # cluster_size counts members
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for doc, (cid, _, _) in labels.items():
+        members[cid].append(doc)
+    for cid, docs_in in members.items():
+        assert cid == min(docs_in)
+        assert sum(1 for d in docs_in if labels[d][2]) == 1
+        assert all(labels[d][1] == len(docs_in) for d in docs_in)
+
+
+def test_incremental_matches_cross_split_pairs(spark):
+    """is_dup must agree exactly with 'some simhash pair crosses the split'."""
+    pairs = dedup_simhash_pairs(spark, SF_DIR).select("doc_1", "doc_2").collect()
+    crossing = set()
+    for r in pairs:
+        a, b = r["doc_1"], r["doc_2"]
+        if a % INCREMENTAL_MOD == 0 and b % INCREMENTAL_MOD != 0:
+            crossing.add(a)
+        if b % INCREMENTAL_MOD == 0 and a % INCREMENTAL_MOD != 0:
+            crossing.add(b)
+    inc = dedup_incremental(spark, SF_DIR).collect()
+    assert {r["doc_id"] for r in inc if r["is_dup"]} == crossing
+    assert all((r["n_near_dups"] > 0) == r["is_dup"] for r in inc)
+
+
+def test_chunk_windows_cover_and_bound(spark):
+    docs = {
+        r["doc_id"]: r["text"].split()
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+    chunks = docs_chunk_windows(spark, SF_DIR).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, rows in by_doc.items():
+        toks = docs[doc_id]
+        rows.sort(key=lambda r: r["chunk_id"])
+        assert len(rows) == math.ceil(len(toks) / CHUNK_STRIDE)
+        # chunk k covers tokens [k*stride, k*stride + size)
+        for r in rows:
+            start = r["chunk_id"] * CHUNK_STRIDE
+            want = toks[start : start + CHUNK_TOKENS]
+            assert r["chunk_text"].split() == want
+            assert r["n_chunk_tokens"] == len(want) <= CHUNK_TOKENS
+
+
+def test_contamination_bounds_and_exclusions(spark):
+    rows = docs_contamination(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_id"] % BENCH_MOD != 0  # benchmark docs not scored
+        assert 0.0 <= r["contamination"] <= 1.0
+        assert 0 <= r["n_overlap"] <= r["n_shingles"]
+        assert r["is_contaminated"] == (
+            r["n_overlap"] / r["n_shingles"] >= 0.5
+        )

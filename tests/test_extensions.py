@@ -81,3 +81,71 @@ def test_embedding_lsh_subset_and_recall(spark):
     }
     assert lsh <= exact
     assert len(lsh & exact) / len(exact) >= 0.5
+
+
+def test_pq_quantization_signal(spark):
+    """PQ approximates squared-L2; on the random fixture vectors a 10-code ×
+    8-subspace codebook is deliberately coarse, so the pin is signal-vs-
+    chance, not high recall: recall@5 well above the ~1% random floor, and
+    the true L2 nearest neighbor ranked inside the top decile of the full PQ
+    ordering for most queries (measured at sf0.001: recall ≈ 0.14, 9/10
+    queries' true top-1 inside the top 2.5%)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from databricks_spark_sql_challenge1_spark.operators.similarity import (
+        N_QUERIES,
+        _emb,
+        _pq_scored,
+        _sqdist,
+        similarity_pq,
+    )
+
+    e = _emb(spark, SF_DIR)
+    n_corpus = e.count()
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d").asc(), F.col("neighbor_id").asc()
+    )
+    ranked = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _sqdist(F.col("qemb"), F.col("emb")).alias("d"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+    )
+    exact_top5, exact_top1 = {}, {}
+    for r in ranked.where(F.col("rk") <= 5).collect():
+        exact_top5.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        if r["rk"] == 1:
+            exact_top1[r["query_id"]] = r["neighbor_id"]
+
+    pq_top5 = {}
+    for r in similarity_pq(spark, SF_DIR).collect():
+        pq_top5.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recall = sum(
+        len(exact_top5[q_] & pq_top5[q_]) / 5 for q_ in exact_top5
+    ) / len(exact_top5)
+    assert recall >= 0.08  # ≥ 8× the 5/n random floor
+
+    # full PQ ordering: the true L2 top-1 must land in the top decile for
+    # most queries (quantization preserves coarse geometry)
+    pq_w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    pq_rank = {
+        (r["query_id"], r["neighbor_id"]): r["rk"]
+        for r in _pq_scored(spark, SF_DIR).withColumn(
+            "rk", F.row_number().over(pq_w)
+        ).collect()
+    }
+    in_decile = sum(
+        1
+        for q_, top1 in exact_top1.items()
+        if pq_rank[(q_, top1)] <= 0.1 * n_corpus
+    )
+    assert in_decile >= 0.7 * len(exact_top1)

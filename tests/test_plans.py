@@ -80,3 +80,40 @@ def test_corpus_filter_dedups_on_fingerprint(spark):
     assert "Join" not in plan, plan
     window_lines = [ln for ln in plan.splitlines() if "Window" in ln]
     assert any("fp#" in ln for ln in window_lines), plan
+
+
+def test_contamination_benchmark_broadcasts(spark):
+    """The benchmark shingle set must come in as a broadcast semi-join side,
+    and the corpus side must never cross-join."""
+    from databricks_spark_sql_challenge1_spark.operators.traindata import (
+        docs_contamination,
+    )
+
+    df = docs_contamination(spark, SF_DIR)
+    assert uses_broadcast_join(df), simple_plan(df)
+    assert not has_cartesian(df), simple_plan(df)
+
+
+def test_chunk_windows_is_narrow(spark):
+    """Chunking must stay a narrow map (sequence→slice→explode): no join, no
+    aggregate; the only exchange allowed is the presentation-time sort."""
+    from databricks_spark_sql_challenge1_spark.operators.traindata import (
+        docs_chunk_windows,
+    )
+
+    plan = simple_plan(docs_chunk_windows(spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert all("rangepartitioning" in ln for ln in exchanges), plan
+
+
+def test_incremental_dedup_no_cartesian(spark):
+    """The incoming-vs-existing check must be the band equi-join, never an
+    all-pairs degeneration."""
+    from databricks_spark_sql_challenge1_spark.operators.dedup import (
+        dedup_incremental,
+    )
+
+    df = dedup_incremental(spark, SF_DIR)
+    assert not has_cartesian(df), simple_plan(df)

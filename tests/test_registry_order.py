@@ -39,10 +39,20 @@ MUST_VERIFY = {
     "streaming_tumbling_1h",
     "streaming_session_30m",
     "streaming_user_state",
+    "streaming_dedup_events",
     # new in round 2
     "top_abandoned_products_salted",
     "docs_split_assign",
     "token_budget_pack",
+    "dedup_embedding_lsh",
+    "dedup_cluster_components",
+    "dedup_incremental",
+    "docs_chunk_windows",
+    "docs_contamination",
+    "similarity_pq",
+    "corpus_vocabulary",
+    # refactored this round (shared band helper) — keep in window
+    "dedup_simhash_pairs",
 }
 
 

@@ -32,6 +32,24 @@ def test_streaming_session_equals_batch(spark):
     assert _rows(stream.select(*batch.columns)) == _rows(batch)
 
 
+def test_streaming_dedup_equals_batch_distinct(spark):
+    from pyspark.sql import functions as F
+
+    from databricks_spark_sql_challenge1_spark.catalog import load_table
+    from databricks_spark_sql_challenge1_spark.streaming.events_stream import (
+        streaming_dedup_events,
+    )
+
+    stream = streaming_dedup_events(spark, SF_DIR)
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_unique_users"))
+    )
+    assert sorted(stream.columns) == sorted(batch.columns)
+    assert _rows(stream.select(*batch.columns)) == _rows(batch)
+
+
 def test_idempotent_ingest_sink(spark, tmp_path):
     """Replaying the ingest (fresh checkpoint, same source) must not
     double-land events."""
