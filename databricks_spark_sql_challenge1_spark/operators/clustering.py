@@ -46,9 +46,10 @@ _PAIRS_SQL = f"""
 """
 
 
-@query(
-    "dedup_cluster_components",
-    oracle=f"""
+# Shared recursive prefix: SimHash signatures → near-dup pairs → symmetric
+# edges → all-pairs reachability → min-label per node. Only feasible at
+# oracle scale, which is exactly why the Spark side iterates instead.
+_CC_LAB_SQL = f"""
 WITH RECURSIVE
 sig AS ({_simhash_sql_duckdb().replace("ORDER BY doc_id ASC", "")}),
 pairs AS ({_PAIRS_SQL}),
@@ -63,6 +64,12 @@ reach(node, r) AS (
     SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
 ),
 lab AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node)
+"""
+
+
+@query(
+    "dedup_cluster_components",
+    oracle=f"""{_CC_LAB_SQL}
 SELECT doc_id, cluster_id,
        COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
        doc_id = cluster_id AS is_canonical
@@ -136,4 +143,69 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.withColumn("cluster_size", F.count(F.lit(1)).over(w))
         .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
         .orderBy(F.col("doc_id").asc())
+    )
+
+
+@query(
+    "dedup_keep_best",
+    oracle=f"""{_CC_LAB_SQL},
+tok AS (
+    SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+    FROM documents
+),
+j AS (
+    SELECT l.doc_id, l.cluster_id, t.n_tokens
+    FROM lab l JOIN tok t ON t.doc_id = l.doc_id
+),
+r AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY n_tokens DESC, doc_id ASC) AS rk,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS sz
+    FROM j
+)
+SELECT cluster_id,
+       doc_id AS kept_doc_id,
+       CAST(n_tokens AS BIGINT) AS kept_tokens,
+       sz AS n_members,
+       sz - 1 AS n_dropped
+FROM r WHERE rk = 1
+ORDER BY cluster_id ASC
+""",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup *decision*: one survivor per near-dup cluster, chosen by
+    quality (longest document; doc_id tiebreak) instead of the arbitrary
+    min-id canonical — pairs → clusters → keep-one, the complete pipeline
+    a training corpus actually applies.
+
+    Adds one broadcast-sized join (per-doc token counts are computed in the
+    same scan pass at scale) and one window over cluster_id on top of
+    ``dedup_cluster_components``; no new shuffle class.
+    """
+    labels = dedup_cluster_components(spark, sf_dir).select("doc_id", "cluster_id")
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    sz = Window.partitionBy("cluster_id")
+    return (
+        labels.join(tok, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(sz))
+        .where(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("n_tokens").cast("bigint").alias("kept_tokens"),
+            "n_members",
+            (F.col("n_members") - 1).alias("n_dropped"),
+        )
+        .orderBy(F.col("cluster_id").asc())
     )

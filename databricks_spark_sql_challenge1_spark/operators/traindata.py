@@ -244,3 +244,63 @@ def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("doc_id").asc())
     )
+
+
+# rebalancing: hash-bucket granularity for the per-language keep rate
+MIX_BUCKETS = 1000
+
+
+@query(
+    "docs_lang_rebalance",
+    oracle=f"""
+WITH b AS (
+    SELECT doc_id, lang,
+           CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS UBIGINT)
+                % {MIX_BUCKETS} AS BIGINT) AS bucket
+    FROM documents
+),
+c AS (SELECT lang, COUNT(*) AS n FROM b GROUP BY lang),
+m AS (SELECT MIN(n) AS mn FROM c)
+SELECT b.doc_id, b.lang, b.bucket,
+       CAST(c.n AS BIGINT) AS lang_docs,
+       ROUND(CAST(m.mn AS DOUBLE) / c.n, 4) AS target_rate,
+       b.bucket < CAST(m.mn AS DOUBLE) / c.n * {MIX_BUCKETS} AS kept
+FROM b JOIN c ON c.lang = b.lang CROSS JOIN m
+ORDER BY b.doc_id ASC
+""",
+)
+def docs_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing: downsample every language to the smallest
+    language's size via deterministic md5-bucket thresholds — the
+    domain/language reweighting step of corpus assembly.
+
+    Reproducible like ``docs_split_assign`` (hash thresholds, not
+    ``sample()``): membership survives reruns and repartitioning, and the
+    realized rate concentrates around the target by the hash's uniformity.
+    Shapes: one small groupBy for per-language counts (broadcast back), a
+    1×1 scalar cross join for the global min — the corpus-side pass is a
+    pure map at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % MIX_BUCKETS
+    )
+    b = docs.select("doc_id", "lang", bucket.alias("bucket"))
+    c = b.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    m = c.agg(F.min("n").alias("mn"))
+    rate = F.col("mn").cast("double") / F.col("n")
+    return (
+        b.join(F.broadcast(c), "lang")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "doc_id",
+            "lang",
+            "bucket",
+            F.col("n").cast("bigint").alias("lang_docs"),
+            F.round(rate, 4).alias("target_rate"),
+            (F.col("bucket") < rate * MIX_BUCKETS).alias("kept"),
+        )
+        .orderBy(F.col("doc_id").asc())
+    )

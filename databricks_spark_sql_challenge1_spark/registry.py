@@ -87,11 +87,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "docs_contamination",
     "similarity_pq",
     "corpus_vocabulary",
+    "dedup_keep_best",
+    "docs_lang_rebalance",
     # 4: streaming rows-only trio
     "streaming_tumbling_1h",
     "streaming_session_30m",
     "streaming_user_state",
     "streaming_dedup_events",
+    "streaming_click_attribution",
     # 5: stable round-1-green re-verifications
     "top_abandoned_products",
     "top_abandoned_pairs",

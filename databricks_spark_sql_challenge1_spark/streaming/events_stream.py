@@ -195,3 +195,58 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_unique_users"))
     )
     return _drain_to_memory(deduped, spark)
+
+
+@query("streaming_click_attribution")  # rows-only: stream-stream join state
+def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each purchase attributed to the same
+    user's clicks in the preceding 30 minutes — both sides are unbounded
+    streams, so Spark buffers each side in watermark-bounded join state
+    (the flagship Structured Streaming capability the batch range join
+    can't express over live data).
+
+    The time-bound predicate is what makes the state finite: with both
+    watermarks at 1 hour and the interval at 30 minutes, rows age out of
+    the buffer deterministically. Append output (joins emit no
+    retractions). Semantics pinned by tests/test_streaming.py against the
+    identical batch join.
+    """
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "click_ts",
+        F.round(F.col("purchase_value"), 2).alias("purchase_value"),
+    )
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -100,3 +100,46 @@ def test_contamination_bounds_and_exclusions(spark):
         assert r["is_contaminated"] == (
             r["n_overlap"] / r["n_shingles"] >= 0.5
         )
+
+
+def test_keep_best_invariants(spark):
+    from databricks_spark_sql_challenge1_spark.operators.clustering import (
+        dedup_keep_best,
+    )
+
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_cluster_components(spark, SF_DIR).collect()
+    }
+    toks = {
+        r["doc_id"]: len(r["text"].split())
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+    kept = dedup_keep_best(spark, SF_DIR).collect()
+    assert {r["cluster_id"] for r in kept} == set(labels.values())
+    assert sum(r["n_members"] for r in kept) == len(labels)
+    for r in kept:
+        members = [d for d, c in labels.items() if c == r["cluster_id"]]
+        best = max(members, key=lambda d: (toks[d], -d))
+        assert r["kept_doc_id"] == best
+        assert r["kept_tokens"] == toks[best]
+        assert r["n_dropped"] == len(members) - 1
+
+
+def test_lang_rebalance_targets(spark):
+    from collections import Counter
+
+    from databricks_spark_sql_challenge1_spark.operators.traindata import (
+        docs_lang_rebalance,
+    )
+
+    rows = docs_lang_rebalance(spark, SF_DIR).collect()
+    totals = Counter(r["lang"] for r in rows)
+    kept = Counter(r["lang"] for r in rows if r["kept"])
+    mn = min(totals.values())
+    for lang in totals:
+        # hash-threshold sampling concentrates around the target rate
+        assert abs(kept[lang] - mn) <= max(5, 0.35 * mn), (lang, kept[lang], mn)
+    # smallest language keeps everything (rate 1.0)
+    smallest = min(totals, key=lambda k: totals[k])
+    assert kept[smallest] == totals[smallest]

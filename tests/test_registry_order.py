@@ -40,6 +40,7 @@ MUST_VERIFY = {
     "streaming_session_30m",
     "streaming_user_state",
     "streaming_dedup_events",
+    "streaming_click_attribution",
     # new in round 2
     "top_abandoned_products_salted",
     "docs_split_assign",
@@ -51,6 +52,8 @@ MUST_VERIFY = {
     "docs_contamination",
     "similarity_pq",
     "corpus_vocabulary",
+    "dedup_keep_best",
+    "docs_lang_rebalance",
     # refactored this round (shared band helper) — keep in window
     "dedup_simhash_pairs",
 }

@@ -91,3 +91,43 @@ def test_streaming_user_state_totals(spark):
     )
     cols = ["user_id", "n_events", "sum_value", "last_ts"]
     assert _rows(state.select(*cols)) == _rows(batch.select(*cols))
+
+
+def test_streaming_attribution_equals_batch_join(spark):
+    """The stream-stream interval join must emit exactly the batch interval
+    join's rows (availableNow drains everything; append mode, no late data
+    in the fixture)."""
+    from pyspark.sql import functions as F
+
+    from databricks_spark_sql_challenge1_spark.catalog import load_table
+    from databricks_spark_sql_challenge1_spark.streaming.events_stream import (
+        streaming_click_attribution,
+    )
+
+    stream = streaming_click_attribution(spark, SF_DIR)
+    ev = load_table(spark, SF_DIR, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    batch = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")
+        ),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "click_ts",
+        F.round(F.col("purchase_value"), 2).alias("purchase_value"),
+    )
+    assert sorted(stream.columns) == sorted(batch.columns)
+    assert _rows(stream.select(*batch.columns)) == _rows(batch)
+    assert stream.count() > 0  # fixture has same-user click->purchase pairs
