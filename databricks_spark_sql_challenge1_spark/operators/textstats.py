@@ -452,3 +452,61 @@ def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("term_id").asc())
         .limit(VOCAB_MAX_TERMS)
     )
+
+
+@query(
+    "text_entropy",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+    FROM documents
+),
+c AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM t GROUP BY doc_id, tok),
+tot AS (SELECT doc_id, SUM(cnt) AS n FROM c GROUP BY doc_id)
+SELECT c.doc_id,
+       CAST(tot.n AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       ROUND(-SUM((cnt / n) * log2(cnt / n)), 4) AS token_entropy
+FROM c JOIN tot ON tot.doc_id = c.doc_id
+GROUP BY c.doc_id, tot.n
+ORDER BY c.doc_id ASC
+""",
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per document — the repetitiveness
+    signal quality filters use (low entropy = boilerplate/spam-like
+    repetition; the fixture corpus sits near the uniform ceiling of its
+    tiny vocabulary).
+
+    One groupBy on (doc_id, token), a per-doc window for the total, and a
+    final per-doc fold — all JVM-side arithmetic; the entropy SUM is
+    rounded to 4 decimals on both engines so float summation order can't
+    flip the value hash.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n = F.sum("cnt").over(Window.partitionBy("doc_id"))
+    p = F.col("cnt") / F.col("n")
+    return (
+        c.withColumn("n", n)
+        .groupBy("doc_id", "n")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.round(-F.sum(p * F.log2(p)), 4).alias("token_entropy"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_tokens"),
+            "n_distinct",
+            "token_entropy",
+        )
+        .orderBy(F.col("doc_id").asc())
+    )

@@ -171,3 +171,58 @@ def events_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("user_id").asc(), F.col("session_start").asc())
     )
+
+
+ANOMALY_Z = 2.0
+
+
+@query(
+    "events_hourly_anomaly",
+    oracle=f"""
+WITH h AS (
+    SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+s AS (
+    SELECT event_type, AVG(n) AS mu, STDDEV_SAMP(n) AS sd
+    FROM h GROUP BY event_type
+)
+SELECT h.event_type, h.hour,
+       CAST(h.n AS BIGINT) AS n_events,
+       ROUND((h.n - s.mu) / s.sd, 3) AS zscore,
+       ABS(ROUND((h.n - s.mu) / s.sd, 3)) >= {ANOMALY_Z} AS is_anomaly
+FROM h JOIN s ON s.event_type = h.event_type
+ORDER BY h.event_type ASC, h.hour ASC
+""",
+)
+def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly flags: z-score of each hour's event count against
+    its event type's hourly mean/stddev — the monitoring query a streaming
+    ingest pipeline runs over its own volume.
+
+    Two aggregations over the same hourly rollup (groupBy, then a tiny
+    per-type stats table joined back broadcast); both shuffles are on
+    low-cardinality keys, and the hourly rollup is the only pass over raw
+    events. z is rounded to 3 decimals on both engines before the threshold
+    compare so stddev implementation drift (ulp-level) cannot flip a flag.
+    """
+    events = load_table(spark, sf_dir, "events")
+    h = (
+        events.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    s = h.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sd")
+    )
+    z = F.round((F.col("n") - F.col("mu")) / F.col("sd"), 3)
+    return (
+        h.join(F.broadcast(s), "event_type")
+        .select(
+            "event_type",
+            "hour",
+            F.col("n").cast("bigint").alias("n_events"),
+            z.alias("zscore"),
+            (F.abs(z) >= ANOMALY_Z).alias("is_anomaly"),
+        )
+        .orderBy(F.col("event_type").asc(), F.col("hour").asc())
+    )

@@ -89,6 +89,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_vocabulary",
     "dedup_keep_best",
     "docs_lang_rebalance",
+    "events_hourly_anomaly",
+    "text_entropy",
     # 4: streaming rows-only trio
     "streaming_tumbling_1h",
     "streaming_session_30m",
@@ -104,8 +106,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "abandonment_by_day",
     "order_export_denorm",
     "launch_cohort_analysis",
-    "price_percentiles",
-    "dedup_exact",
     "dedup_fingerprint",
     "dedup_ngram_jaccard",
     "text_simhash",

@@ -54,6 +54,8 @@ MUST_VERIFY = {
     "corpus_vocabulary",
     "dedup_keep_best",
     "docs_lang_rebalance",
+    "events_hourly_anomaly",
+    "text_entropy",
     # refactored this round (shared band helper) — keep in window
     "dedup_simhash_pairs",
 }
