@@ -74,3 +74,23 @@ def save_table(df: DataFrame, table: str, fmt: str | None = None) -> None:
 def register_temp(df: DataFrame, name: str) -> None:
     """S7 analog for metastore-less runs."""
     df.createOrReplaceTempView(name)
+
+
+def write_partitioned(df: DataFrame, path: str, *partition_cols: str) -> None:
+    """Hive-style partitioned parquet write (``partitionBy`` layout).
+
+    The 100 TB layout primitive: facts land partitioned by a coarse,
+    low-cardinality key (typically a date derivative) so downstream range
+    predicates prune whole directories instead of row-group-filtering every
+    file. Pair with ``spark.sql.files.maxPartitionBytes`` to keep task
+    splits bounded; avoid high-cardinality partition keys (small-files
+    explosion) — bucketing (sources/bucketing.py) covers the join-key case.
+    """
+    df.write.partitionBy(*partition_cols).mode("overwrite").parquet(path)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read a partitioned layout back; partition columns come from the
+    directory structure and predicates on them become PartitionFilters in
+    the scan (pruning proven in tests/test_sources.py)."""
+    return spark.read.parquet(path)

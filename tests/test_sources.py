@@ -97,3 +97,32 @@ def test_export_as_txt_layout(spark, tmp_path):
     header = lines[0].split("|")
     assert header == df.columns
     assert all(len(line.split("|")) == len(header) for line in lines[1:])
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Predicates on the partition column must become PartitionFilters on
+    the scan (directory pruning) — and never degrade to a full scan."""
+    from pyspark.sql import functions as F
+
+    from databricks_spark_sql_challenge1_spark.catalog import load_table
+    from databricks_spark_sql_challenge1_spark.plans.explain import formatted_plan
+    from databricks_spark_sql_challenge1_spark.sources.ingest import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    orders = load_table(spark, SF_DIR, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    write_partitioned(orders, path, "order_year")
+
+    back = read_partitioned(spark, path).where(F.col("order_year") == 2001)
+    plan = formatted_plan(back)
+    scan = next(
+        seg for seg in plan.split("\n\n") if "PartitionFilters" in seg
+    )
+    assert "order_year" in scan.split("PartitionFilters", 1)[1].splitlines()[0]
+
+    expected = orders.where(F.col("order_year") == 2001).count()
+    assert back.count() == expected > 0
