@@ -221,3 +221,79 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("o_orderstatus").asc())
     )
+
+
+RFM_TILES = 4
+
+
+@query(
+    "customer_rfm_segments",
+    oracle=f"""
+WITH m AS (
+    SELECT o_custkey AS custkey,
+           CAST(datediff('day', MAX(o_orderdate),
+                         (SELECT MAX(o_orderdate) FROM orders)) AS BIGINT)
+               AS recency_days,
+           COUNT(*) AS frequency,
+           ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS monetary
+    FROM orders GROUP BY o_custkey
+)
+SELECT custkey, recency_days, frequency, monetary,
+       CAST(ntile({RFM_TILES}) OVER (ORDER BY recency_days ASC, custkey ASC)
+            AS BIGINT) AS r_score,
+       CAST(ntile({RFM_TILES}) OVER (ORDER BY frequency DESC, custkey ASC)
+            AS BIGINT) AS f_score,
+       CAST(ntile({RFM_TILES}) OVER (ORDER BY monetary DESC, custkey ASC)
+            AS BIGINT) AS m_score
+FROM m
+ORDER BY custkey ASC
+""",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary quartile
+    scores (1 = best) — the classic CRM segmentation over the order fact.
+
+    The per-customer aggregate is one shuffle; the three global ntiles are
+    exact and therefore single-partition sorts over the customer dimension
+    (fine up to ~10⁸ rows locally sorted; at true 100 TB customer counts
+    the exact ntile swaps for approx_percentile cutoffs broadcast against
+    the aggregate — same output contract, no global sort). Every ORDER BY
+    carries a custkey tiebreak so tile assignment is engine-deterministic.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("a"))
+    m = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "custkey",
+            F.datediff(F.col("a"), F.col("last_order"))
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    return m.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(RFM_TILES)
+        .over(Window.orderBy(F.col("recency_days").asc(), F.col("custkey").asc()))
+        .cast("bigint")
+        .alias("r_score"),
+        F.ntile(RFM_TILES)
+        .over(Window.orderBy(F.col("frequency").desc(), F.col("custkey").asc()))
+        .cast("bigint")
+        .alias("f_score"),
+        F.ntile(RFM_TILES)
+        .over(Window.orderBy(F.col("monetary").desc(), F.col("custkey").asc()))
+        .cast("bigint")
+        .alias("m_score"),
+    ).orderBy(F.col("custkey").asc())

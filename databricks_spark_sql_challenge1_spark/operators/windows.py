@@ -226,3 +226,49 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("event_type").asc(), F.col("hour").asc())
     )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+WITH f AS (
+    SELECT user_id, CAST(MIN(date_trunc('week', ts)) AS DATE) AS cohort_week
+    FROM events GROUP BY user_id
+),
+a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events)
+SELECT f.cohort_week,
+       CAST(datediff('day', f.cohort_week, a.wk) // 7 AS BIGINT) AS weeks_since,
+       COUNT(DISTINCT a.user_id) AS n_active_users
+FROM a JOIN f ON f.user_id = a.user_id
+GROUP BY f.cohort_week, datediff('day', f.cohort_week, a.wk) // 7
+ORDER BY f.cohort_week ASC, weeks_since ASC
+""",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention grid: users grouped by first-activity week, counted
+    in each subsequent week they stay active — the standard retention
+    matrix, computed as two aggregates and an equi-join.
+
+    The first-touch table is one shuffle on user_id and is far smaller than
+    events (one row per user); it joins back to the distinct user-week
+    activity with user_id co-partitioning, then the grid aggregate shuffles
+    on (cohort_week, weeks_since) — low cardinality. Both week truncations
+    are ISO-Monday on both engines.
+    """
+    events = load_table(spark, sf_dir, "events")
+    f = events.groupBy("user_id").agg(
+        F.to_date(F.min(F.date_trunc("week", "ts"))).alias("cohort_week")
+    )
+    a = events.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("wk")
+    ).distinct()
+    weeks_since = F.floor(
+        F.datediff(F.col("wk"), F.col("cohort_week")) / 7
+    ).cast("bigint")
+    return (
+        a.join(f, "user_id")
+        .groupBy("cohort_week", weeks_since.alias("weeks_since"))
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+        .orderBy(F.col("cohort_week").asc(), F.col("weeks_since").asc())
+    )

@@ -91,6 +91,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "docs_lang_rebalance",
     "events_hourly_anomaly",
     "text_entropy",
+    "customer_rfm_segments",
+    "events_retention_cohorts",
     # 4: streaming rows-only trio
     "streaming_tumbling_1h",
     "streaming_session_30m",
@@ -106,9 +108,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "abandonment_by_day",
     "order_export_denorm",
     "launch_cohort_analysis",
-    "dedup_fingerprint",
     "dedup_ngram_jaccard",
-    "text_simhash",
     "dedup_simhash_pairs",
     "events_json_extract",
     "events_json_schema",

@@ -56,6 +56,8 @@ MUST_VERIFY = {
     "docs_lang_rebalance",
     "events_hourly_anomaly",
     "text_entropy",
+    "customer_rfm_segments",
+    "events_retention_cohorts",
     # refactored this round (shared band helper) — keep in window
     "dedup_simhash_pairs",
 }
