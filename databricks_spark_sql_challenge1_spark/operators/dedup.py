@@ -331,7 +331,9 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     not O(corpus²). At 100 TB the existing side's band table is a
     precomputed, bucketed index the daily batch joins against.
     """
-    sig = text_simhash(spark, sf_dir)
+    # cache: both the incoming and existing sides derive from this one
+    # aggregation — without it the tokenize+simhash pass runs twice
+    sig = text_simhash(spark, sf_dir).cache()
     incoming = sig.where(F.col("doc_id") % INCREMENTAL_MOD == 0)
     existing = sig.where(F.col("doc_id") % INCREMENTAL_MOD != 0)
     i = _simhash_bands(incoming).alias("i")
