@@ -39,6 +39,70 @@ from databricks_spark_sql_challenge1_spark.registry import query
 # resolve diameters up to 2^20 — far past any real near-dup graph.
 CC_MAX_ROUNDS = 20
 
+
+def connected_components(
+    nodes: DataFrame, pairs: DataFrame, max_rounds: int = CC_MAX_ROUNDS
+) -> DataFrame:
+    """Generic distributed connected components.
+
+    ``nodes``: one column of integer node ids (first column used);
+    ``pairs``: two columns of undirected edge endpoints (first two used).
+    Returns (doc_id, cluster_id) with cluster_id = min reachable node id.
+    Algorithm and scale shape documented in the module docstring; the
+    algebra is pinned against a pure-Python union-find on random graphs in
+    tests/test_properties.py.
+    """
+    nid = nodes.columns[0]
+    a, b = pairs.columns[:2]
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .localCheckpoint()  # materialize once; reused every round
+    )
+    labels = nodes.select(
+        F.col(nid).alias("doc_id"), F.col(nid).alias("cluster_id")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
+    for _ in range(max_rounds):
+        # round part 1: every node adopts min(own label, neighbors' labels)
+        nbr = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        stepped = (
+            labels.alias("l")
+            .join(nbr.alias("n"), F.col("l.doc_id") == F.col("n.doc_id"), "left")
+            .select(
+                F.col("l.doc_id").alias("doc_id"),
+                F.least(
+                    F.col("l.cluster_id"),
+                    F.coalesce(F.col("n.nbr_min"), F.col("l.cluster_id")),
+                ).alias("cluster_id"),
+            )
+        )
+        # round part 2: pointer jump — cluster_id := label(cluster_id).
+        # Labels are node ids, so the lookup is a self-join; this is the
+        # hop-doubling that makes convergence logarithmic in path length.
+        jump = stepped.select(
+            F.col("doc_id").alias("j_id"), F.col("cluster_id").alias("j_cluster")
+        )
+        labels = (
+            stepped.alias("s")
+            .join(jump.alias("j"), F.col("s.cluster_id") == F.col("j.j_id"))
+            .select(
+                F.col("s.doc_id").alias("doc_id"),
+                F.col("j.j_cluster").alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        # labels only ever decrease, so an unchanged sum is a fixpoint
+        cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
 _PAIRS_SQL = f"""
     SELECT a.doc_id AS doc_1, b.doc_id AS doc_2
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
@@ -87,57 +151,8 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark side uses logarithmic-round label propagation instead.
     """
     pairs = dedup_simhash_pairs(spark, sf_dir).select("doc_1", "doc_2")
-    edges = (
-        pairs.select(F.col("doc_1").alias("src"), F.col("doc_2").alias("dst"))
-        .union(
-            pairs.select(F.col("doc_2").alias("src"), F.col("doc_1").alias("dst"))
-        )
-        .localCheckpoint()  # materialize once; reused every round
-    )
-    labels = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.col("doc_id").alias("cluster_id"))
-        .localCheckpoint()
-    )
-    prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
-    for _ in range(CC_MAX_ROUNDS):
-        # round part 1: every node adopts min(own label, neighbors' labels)
-        nbr = (
-            edges.join(labels, edges["src"] == labels["doc_id"])
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        stepped = (
-            labels.alias("l")
-            .join(nbr.alias("n"), F.col("l.doc_id") == F.col("n.doc_id"), "left")
-            .select(
-                F.col("l.doc_id").alias("doc_id"),
-                F.least(
-                    F.col("l.cluster_id"),
-                    F.coalesce(F.col("n.nbr_min"), F.col("l.cluster_id")),
-                ).alias("cluster_id"),
-            )
-        )
-        # round part 2: pointer jump — cluster_id := label(cluster_id).
-        # Labels are doc_ids, so the lookup is a self-join; this is the
-        # hop-doubling that makes convergence logarithmic in path length.
-        jump = stepped.select(
-            F.col("doc_id").alias("j_id"), F.col("cluster_id").alias("j_cluster")
-        )
-        labels = (
-            stepped.alias("s")
-            .join(jump.alias("j"), F.col("s.cluster_id") == F.col("j.j_id"))
-            .select(
-                F.col("s.doc_id").alias("doc_id"),
-                F.col("j.j_cluster").alias("cluster_id"),
-            )
-            .localCheckpoint()
-        )
-        # labels only ever decrease, so an unchanged sum is a fixpoint
-        cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+    nodes = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = connected_components(nodes, pairs)
     w = Window.partitionBy("cluster_id")
     return (
         labels.withColumn("cluster_size", F.count(F.lit(1)).over(w))
