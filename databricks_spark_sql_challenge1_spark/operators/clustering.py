@@ -54,9 +54,19 @@ def connected_components(
     """
     nid = nodes.columns[0]
     a, b = pairs.columns[:2]
+    # symmetrize in ONE scan of pairs (explode, not self-union): pairs is
+    # typically an expensive join (e.g. the SimHash band join) and a union
+    # would evaluate it twice inside the materializing action
     edges = (
-        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-        .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(a).alias("src"), F.col(b).alias("dst")),
+                    F.struct(F.col(b).alias("src"), F.col(a).alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .localCheckpoint()  # materialize once; reused every round
     )
     labels = nodes.select(
@@ -102,6 +112,15 @@ def connected_components(
             break
         prev_sum = cur_sum
     return labels
+
+def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) labels over the SimHash near-dup graph — the
+    shared prefix of every clustering query, without the presentation-only
+    window/sort that ``dedup_cluster_components`` adds on top."""
+    pairs = dedup_simhash_pairs(spark, sf_dir).select("doc_1", "doc_2")
+    nodes = load_table(spark, sf_dir, "documents").select("doc_id")
+    return connected_components(nodes, pairs)
+
 
 _PAIRS_SQL = f"""
     SELECT a.doc_id AS doc_1, b.doc_id AS doc_2
@@ -150,9 +169,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     walk that is only feasible at oracle scale, which is exactly why the
     Spark side uses logarithmic-round label propagation instead.
     """
-    pairs = dedup_simhash_pairs(spark, sf_dir).select("doc_1", "doc_2")
-    nodes = load_table(spark, sf_dir, "documents").select("doc_id")
-    labels = connected_components(nodes, pairs)
+    labels = _cluster_labels(spark, sf_dir)
     w = Window.partitionBy("cluster_id")
     return (
         labels.withColumn("cluster_size", F.count(F.lit(1)).over(w))
@@ -196,9 +213,9 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Adds one broadcast-sized join (per-doc token counts are computed in the
     same scan pass at scale) and one window over cluster_id on top of
-    ``dedup_cluster_components``; no new shuffle class.
+    the shared cluster labels; no new shuffle class.
     """
-    labels = dedup_cluster_components(spark, sf_dir).select("doc_id", "cluster_id")
+    labels = _cluster_labels(spark, sf_dir)
     tok = (
         load_table(spark, sf_dir, "documents")
         .select(
