@@ -512,6 +512,145 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cosine_chunked(e, n_chunks)
 
 
+# --- portable MinHash (oracle-backed, unlike the spark.ml variant) ---------
+
+# Universal-hash family h_i(x) = (a_i * x + b_i) mod P over the 60-bit
+# md5-derived shingle hash reduced mod P. P = 2^31 - 1 (Mersenne prime);
+# coefficients fixed (random.Random(7)) and embedded as literals so Spark and
+# DuckDB compute bit-identical signatures. a_i*x < 2^62 fits BIGINT on both.
+MINHASH_P = 2147483647
+MINHASH_K = 16  # 4 bands × 4 rows
+MINHASH_BANDS = 4
+MINHASH_ROWS = 4
+# banding already requires 4 consecutive equal slots (est ≥ 0.25); the est
+# floor prunes single-band flukes. E[est] = true Jaccard (k=16 → σ ≤ 0.125).
+MINHASH_EST_MIN = 0.375
+_MINHASH_A = (
+    695425565, 2035525363, 323946140, 847877000, 1397871145, 103694313,
+    155555738, 1763673107, 1150797846, 202142729, 785310973, 1251527727,
+    124551739, 1953574603, 1089709947, 461060839,
+)
+_MINHASH_B = (
+    80521324, 184570285, 931247021, 898017869, 150013383, 516819858,
+    194804716, 1183364967, 911648019, 126938843, 1775651415, 1214302567,
+    265862673, 2034632750, 479402028, 1354258844,
+)
+
+
+def _minhash_sig_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, m0..m15) MinHash signature via one explode + one groupBy."""
+    sh = _shingles_spark(load_table(spark, sf_dir, "documents"))
+    x = (
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint")
+        % MINHASH_P
+    )
+    hashed = sh.select("doc_id", x.alias("x"))
+    mins = [
+        F.min(
+            (F.col("x") * F.lit(a) + F.lit(b)) % MINHASH_P
+        ).alias(f"m{i}")
+        for i, (a, b) in enumerate(zip(_MINHASH_A, _MINHASH_B))
+    ]
+    return hashed.groupBy("doc_id").agg(*mins)
+
+
+def _minhash_sig_sql() -> str:
+    mins = ", ".join(
+        f"MIN((x * {a} + {b}) % {MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(zip(_MINHASH_A, _MINHASH_B))
+    )
+    return f"""
+sh AS ({_SHINGLES_SQL}),
+hx AS (
+    SELECT doc_id,
+           CAST(CAST('0x' || substr(md5(shingle), 1, 15) AS UBIGINT) AS BIGINT)
+               % {MINHASH_P} AS x
+    FROM sh
+),
+sig AS (SELECT doc_id, {mins} FROM hx GROUP BY doc_id)
+"""
+
+
+def _minhash_band_agree_sql() -> str:
+    bands = []
+    for band in range(MINHASH_BANDS):
+        cols = range(band * MINHASH_ROWS, (band + 1) * MINHASH_ROWS)
+        bands.append("(" + " AND ".join(f"a.m{i} = b.m{i}" for i in cols) + ")")
+    return " OR ".join(bands)
+
+
+_MINHASH_EST_SQL = (
+    "("
+    + " + ".join(f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(MINHASH_K))
+    + f") / {MINHASH_K}.0"
+)
+
+
+@query(
+    "dedup_minhash_portable",
+    oracle=f"""
+WITH {_minhash_sig_sql().lstrip()}
+SELECT a.doc_id AS doc_1, b.doc_id AS doc_2,
+       ROUND({_MINHASH_EST_SQL}, 4) AS est_jaccard
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE ({_minhash_band_agree_sql()})
+  AND {_MINHASH_EST_SQL} >= {MINHASH_EST_MIN}
+ORDER BY est_jaccard DESC, doc_1 ASC, doc_2 ASC
+""",
+)
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup with engine-portable hashes — every number the
+    driver checks is reproducible bit-for-bit in DuckDB, unlike the spark.ml
+    variant (``dedup_minhash_lsh``) whose JVM-internal seeds force a
+    rows-only check.
+
+    Scale shape = the classic banded LSH: one explode + one groupBy builds
+    k=16 min-signatures (single shuffle on doc_id); candidates come from an
+    equi-join on (band_id, band_key) — 4 bands of 4 slots — so only
+    signature-colliding docs ever meet (no N² term); the estimated Jaccard
+    (fraction of equal slots, E[est] = true Jaccard) is computed from the
+    joined signatures and filtered. The oracle replicates the whole pipeline
+    as all-pairs SQL with an explicit band-agreement predicate — feasible at
+    oracle scale only, which is the point of the banding.
+    """
+    sig = _minhash_sig_spark(spark, sf_dir)
+    band_structs = []
+    for band in range(MINHASH_BANDS):
+        cols = range(band * MINHASH_ROWS, (band + 1) * MINHASH_ROWS)
+        band_structs.append(
+            F.struct(
+                F.lit(band).alias("band_id"),
+                F.concat_ws("|", *[F.col(f"m{i}") for i in cols]).alias("band_key"),
+            )
+        )
+    bands = sig.select(
+        "doc_id",
+        *[F.col(f"m{i}") for i in range(MINHASH_K)],
+        F.explode(F.array(*band_structs)).alias("band"),
+    ).select("*", "band.band_id", "band.band_key").drop("band")
+    a, b = bands.alias("a"), bands.alias("b")
+    est = sum(
+        F.when(F.col(f"a.m{i}") == F.col(f"b.m{i}"), 1).otherwise(0)
+        for i in range(MINHASH_K)
+    ) / float(MINHASH_K)
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_1"),
+            F.col("b.doc_id").alias("doc_2"),
+            F.round(est, 4).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= MINHASH_EST_MIN)
+        .distinct()  # a pair may collide in several bands
+        .orderBy(F.col("est_jaccard").desc(), F.col("doc_1").asc(), F.col("doc_2").asc())
+    )
+
+
 @query("dedup_minhash_lsh")  # rows-only: spark.ml hash seeds are JVM-internal
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup via spark.ml (HashingTF → MinHashLSH →

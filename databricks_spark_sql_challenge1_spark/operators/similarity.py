@@ -365,3 +365,43 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("label").asc())
     )
+
+
+@query(
+    "embedding_dim_stats",
+    oracle="""
+SELECT CAST(i - 1 AS INTEGER) AS pos,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(emb[i]), 4) AS mean_val,
+       ROUND(stddev_pop(emb[i]), 4) AS std_val,
+       ROUND(MIN(emb[i]), 6) AS min_val,
+       ROUND(MAX(emb[i]), 6) AS max_val
+FROM (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+     unnest(generate_series(1, len(emb))) AS t(i)
+GROUP BY i
+ORDER BY pos ASC
+""",
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics (mean/std/min/max) — the whitening /
+    normalization moments an embedding pipeline computes before indexing
+    (and the standard drift check between embedding batches).
+
+    posexplode → one groupBy on the dimension index: d groups regardless of
+    corpus size, partial aggregation map-side, all JVM codegen. Moments are
+    rounded (4) on both engines so float summation order cannot flip the
+    value hash; min/max are exact and rounded at 6 for presentation only.
+    """
+    e = _emb(spark, sf_dir)
+    return (
+        e.select(F.posexplode("emb").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("v"), 4).alias("mean_val"),
+            F.round(F.stddev_pop("v"), 4).alias("std_val"),
+            F.round(F.min("v"), 6).alias("min_val"),
+            F.round(F.max("v"), 6).alias("max_val"),
+        )
+        .orderBy(F.col("pos").asc())
+    )

@@ -185,3 +185,53 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").asc(), F.col("event_1").asc(), F.col("event_2").asc()
         )
     )
+
+
+@query(
+    "events_type_transitions",
+    oracle="""
+WITH s AS (
+    SELECT event_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC) AS next_type
+    FROM events
+)
+SELECT event_type, next_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY event_type),
+             4) AS p_next
+FROM s
+WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+ORDER BY event_type ASC, next_type ASC
+""",
+)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event sequence
+    — the sequence-mining summary (what follows what, with conditional
+    probability) behind funnel design and bot/spam sequence filters.
+
+    One window per user (lead over (ts, event_id) — the same total order the
+    funnel query pins) then a groupBy on the (from, to) pair: a shuffle on
+    user_id and a tiny #types² aggregate. The per-source normalization is a
+    window over the aggregated frame — #types rows, negligible at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    nxt = F.lead("event_type").over(
+        Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    )
+    s = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", nxt)
+        .where(F.col("next_type").isNotNull())
+    )
+    agg = s.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy("event_type")
+    return agg.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 4).alias("p_next"),
+    ).orderBy(F.col("event_type").asc(), F.col("next_type").asc())

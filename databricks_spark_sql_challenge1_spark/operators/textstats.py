@@ -510,3 +510,80 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("doc_id").asc())
     )
+
+
+# Gopher-style within-document repetition thresholds, fixture-tuned
+# (FIXTURES.md): the corpus's 3-gram dup fraction tops out at 0.07 and the
+# top-3-gram share is either ~0 or exactly one repeated shingle (~0.1), so
+# these flag a meaningful minority (~12% of docs) instead of all-or-nothing.
+REP_DUP_FRAC_MAX = 0.02
+REP_TOP_FRAC_MAX = 0.1
+
+
+@query(
+    "docs_repetition_stats",
+    oracle=f"""
+WITH sh AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 0)),
+               i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+          FROM documents)
+),
+c AS (SELECT doc_id, shingle, COUNT(*) AS cnt FROM sh GROUP BY doc_id, shingle),
+d AS (
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_ngrams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           MAX(cnt) AS maxc
+    FROM c GROUP BY doc_id
+)
+SELECT doc_id, n_ngrams, n_distinct,
+       ROUND(1 - CAST(n_distinct AS DOUBLE) / n_ngrams, 4) AS dup_ngram_frac,
+       ROUND(CAST(maxc AS DOUBLE) / n_ngrams, 4) AS top_ngram_frac,
+       (1 - CAST(n_distinct AS DOUBLE) / n_ngrams > {REP_DUP_FRAC_MAX}
+        OR CAST(maxc AS DOUBLE) / n_ngrams >= {REP_TOP_FRAC_MAX}) AS is_repetitive
+FROM d
+ORDER BY doc_id ASC
+""",
+)
+def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals — the Gopher-rules repetition
+    filter (duplicate word-3-gram fraction + most-frequent-3-gram share)
+    a training-corpus quality pass applies before dedup.
+
+    Counts NON-distinct shingles (unlike the dedup queries' distinct shingle
+    sets): explode → groupBy (doc_id, shingle) → per-doc fold. Both
+    aggregations partial map-side; keys are doc-prefixed so there is no hot
+    key at corpus scale. Docs with < 3 tokens have no 3-gram and drop out on
+    both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = F.expr(
+        "transform(sequence(1, greatest(size(tokens) - 2, 0)), "
+        "i -> array_join(slice(tokens, i, 3), ' '))"
+    )
+    c = (
+        docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("tokens"))
+        .select("doc_id", F.explode(shingles).alias("shingle"))
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    d = c.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_ngrams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.max("cnt").alias("maxc"),
+    )
+    dup_frac = F.lit(1) - F.col("n_distinct").cast("double") / F.col("n_ngrams")
+    top_frac = F.col("maxc").cast("double") / F.col("n_ngrams")
+    return d.select(
+        "doc_id",
+        "n_ngrams",
+        "n_distinct",
+        F.round(dup_frac, 4).alias("dup_ngram_frac"),
+        F.round(top_frac, 4).alias("top_ngram_frac"),
+        ((dup_frac > REP_DUP_FRAC_MAX) | (top_frac >= REP_TOP_FRAC_MAX)).alias(
+            "is_repetitive"
+        ),
+    ).orderBy(F.col("doc_id").asc())

@@ -55,6 +55,11 @@ def query(name: str, oracle: str | None = None):
 # faithfully-empty launch queries, and four trivial single-row queries) — the
 # r01 ∪ r02 union covers every registered query. See QUERIES.md §driver-window.
 DRIVER_PRIORITY: tuple[str, ...] = (
+    # 0: new late in round 2 (never driver-witnessed)
+    "dedup_minhash_portable",
+    "docs_repetition_stats",
+    "events_type_transitions",
+    "embedding_dim_stats",
     # 1: changed this round
     "nations_by_supplier",
     "nations_by_customer",
@@ -99,7 +104,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "streaming_user_state",
     "streaming_dedup_events",
     "streaming_click_attribution",
-    # 5: stable round-1-green re-verifications
+    # 5: stable round-1-green re-verifications — the two refactored-in-r02
+    # dedup queries lead so they stay inside the window as section 0 grows
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
     "top_abandoned_products",
     "top_abandoned_pairs",
     "abandonment_mom_increase",
@@ -108,8 +116,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "abandonment_by_day",
     "order_export_denorm",
     "launch_cohort_analysis",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
     "events_json_extract",
     "events_json_schema",
     "multimodal_frame_stats",

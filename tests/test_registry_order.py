@@ -60,6 +60,11 @@ MUST_VERIFY = {
     "events_retention_cohorts",
     # refactored this round (shared band helper) — keep in window
     "dedup_simhash_pairs",
+    # new late in round 2
+    "dedup_minhash_portable",
+    "docs_repetition_stats",
+    "events_type_transitions",
+    "embedding_dim_stats",
 }
 
 
