@@ -241,3 +241,74 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cluster_id").asc())
     )
+
+
+@query(
+    "copurchase_components",
+    oracle="""
+WITH RECURSIVE
+pairs AS (
+    SELECT least(ce1.l_partkey, ce2.l_partkey) AS product_1,
+           greatest(ce1.l_partkey, ce2.l_partkey) AS product_2,
+           COUNT(DISTINCT o.o_orderkey) AS total_abandoned_orders
+    FROM lineitem ce1
+    JOIN lineitem ce2
+      ON ce1.l_orderkey = ce2.l_orderkey AND ce1.l_partkey <> ce2.l_partkey
+    JOIN orders o ON ce1.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'O'
+    GROUP BY 1, 2
+    ORDER BY total_abandoned_orders DESC, product_1 ASC, product_2 ASC
+    LIMIT 100
+),
+nodes AS (
+    SELECT product_1 AS id FROM pairs
+    UNION
+    SELECT product_2 FROM pairs
+),
+edges AS (
+    SELECT product_1 AS src, product_2 AS dst FROM pairs
+    UNION ALL
+    SELECT product_2, product_1 FROM pairs
+),
+reach(node, r) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+),
+lab AS (SELECT node AS partkey, MIN(r) AS group_id FROM reach GROUP BY node)
+SELECT partkey, group_id,
+       COUNT(*) OVER (PARTITION BY group_id) AS group_size
+FROM lab
+ORDER BY partkey ASC
+""",
+)
+def copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-affinity groups: connected components over the top-100
+    co-abandonment pair graph (ref #6's output) — "which products travel
+    together", the basket-analysis step after pair mining.
+
+    Demonstrates ``connected_components`` as a domain-generic operator: the
+    same logarithmic-round label propagation that clusters near-dup
+    documents runs unchanged on a product graph. The pair list is top-k
+    bounded, so the iterative part runs on a tiny edge set; the expensive
+    stage is the pair mining itself (same plan as ``top_abandoned_pairs``).
+    """
+    from databricks_spark_sql_challenge1_spark.operators.abandonment import (
+        top_abandoned_pairs,
+    )
+
+    pairs = top_abandoned_pairs(spark, sf_dir).select("product_1", "product_2")
+    pairs = pairs.localCheckpoint()  # top-k result: tiny; avoids re-mining per CC round
+    nodes = (
+        pairs.select(F.col("product_1").alias("id"))
+        .union(pairs.select("product_2"))
+        .distinct()
+    )
+    labels = connected_components(nodes, pairs)
+    return (
+        labels.select(
+            F.col("doc_id").alias("partkey"), F.col("cluster_id").alias("group_id")
+        )
+        .withColumn("group_size", F.count(F.lit(1)).over(Window.partitionBy("group_id")))
+        .orderBy(F.col("partkey").asc())
+    )

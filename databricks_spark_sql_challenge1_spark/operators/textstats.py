@@ -587,3 +587,129 @@ def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_repetitive"
         ),
     ).orderBy(F.col("doc_id").asc())
+
+
+# Sparse-vector similarity over truncated TF-IDF: keep each doc's top-5
+# discriminative terms, meet only through the term inverted index (no N²),
+# report the top-3 neighbors per doc.
+TFIDF_VEC_TERMS = 5
+TFIDF_NEIGHBORS_K = 3
+
+
+@query(
+    "tfidf_doc_neighbors",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+    FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+wgt AS (
+    SELECT tf.doc_id, tf.term,
+           tf.tf * ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / dfq.df) AS w
+    FROM tf JOIN dfq ON dfq.term = tf.term
+    WHERE tf.tf * ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / dfq.df) > 0
+),
+t5 AS (
+    SELECT doc_id, term, w FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY w DESC, term ASC) AS rk
+        FROM wgt
+    ) WHERE rk <= {TFIDF_VEC_TERMS}
+),
+nrm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nw FROM t5 GROUP BY doc_id),
+dot AS (
+    SELECT a.doc_id AS doc_id, b.doc_id AS neighbor_id, SUM(a.w * b.w) AS d
+    FROM t5 a JOIN t5 b ON a.term = b.term AND a.doc_id <> b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_id, neighbor_id, sim, CAST(rk AS BIGINT) AS nbr_rank
+FROM (
+    SELECT dot.doc_id, neighbor_id,
+           ROUND(d / (na.nw * nb.nw), 4) AS sim,
+           row_number() OVER (PARTITION BY dot.doc_id
+                              ORDER BY ROUND(d / (na.nw * nb.nw), 4) DESC,
+                                       neighbor_id ASC) AS rk
+    FROM dot
+    JOIN nrm na ON na.doc_id = dot.doc_id
+    JOIN nrm nb ON nb.doc_id = neighbor_id
+)
+WHERE rk <= {TFIDF_NEIGHBORS_K}
+ORDER BY doc_id ASC, nbr_rank ASC
+""",
+)
+def tfidf_doc_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse similarity search: top-3 nearest documents per document under
+    truncated TF-IDF cosine — the lexical complement to the dense-embedding
+    ANN queries (``similarity_*``), and the standard "find the boilerplate
+    family" corpus-inspection tool.
+
+    Scale shape: every doc keeps only its TFIDF_VEC_TERMS highest-weight
+    terms, so the inverted-index self-join meets docs only through shared
+    discriminative terms — posting lists shrink to ≤ TFIDF_VEC_TERMS per doc
+    and the candidate space has no N² term (the same DF-cut idea documented
+    for ``dedup_ngram_jaccard``; here the cut is per-doc top-k, which also
+    bounds every posting list under a hot-term skew). Cosine is computed
+    over the truncated vectors; ROUND(4) on both engines pins the value
+    hash and the neighbor ranking (neighbor_id breaks rounded ties).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w_expr = F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
+    wgt = (
+        tf.join(dfq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "term", w_expr.alias("w"))
+        .where(F.col("w") > 0)
+    )
+    top_w = Window.partitionBy("doc_id").orderBy(F.col("w").desc(), F.col("term").asc())
+    t5 = (
+        wgt.withColumn("rk", F.row_number().over(top_w))
+        .where(F.col("rk") <= TFIDF_VEC_TERMS)
+        .select("doc_id", "term", "w")
+    )
+    nrm = t5.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nw"))
+    a, b = t5.alias("a"), t5.alias("b")
+    dot = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("neighbor_id")
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("d"))
+    )
+    na, nb = nrm.alias("na"), nrm.alias("nb")
+    sim = F.round(F.col("dd.d") / (F.col("na.nw") * F.col("nb.nw")), 4)
+    return (
+        dot.alias("dd")
+        .join(na, F.col("na.doc_id") == F.col("dd.doc_id"))
+        .join(nb, F.col("nb.doc_id") == F.col("dd.neighbor_id"))
+        .select(
+            F.col("dd.doc_id").alias("doc_id"),
+            F.col("dd.neighbor_id").alias("neighbor_id"),
+            sim.alias("sim"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("sim").desc(), F.col("neighbor_id").asc()
+                )
+            ),
+        )
+        .where(F.col("rk") <= TFIDF_NEIGHBORS_K)
+        .select("doc_id", "neighbor_id", "sim", F.col("rk").cast("bigint").alias("nbr_rank"))
+        .orderBy(F.col("doc_id").asc(), F.col("nbr_rank").asc())
+    )

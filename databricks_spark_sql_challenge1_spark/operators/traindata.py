@@ -304,3 +304,49 @@ def docs_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("doc_id").asc())
     )
+
+
+# Stratified sampling quota: (lang, source) strata span 1-16 docs at sf0.01,
+# so 3-per-stratum both downsamples most strata and keeps the small ones
+# whole — mixed, non-vacuous output (FIXTURES.md).
+SAMPLE_PER_STRATUM = 3
+
+
+@query(
+    "docs_stratified_sample",
+    oracle=f"""
+SELECT doc_id, lang, source, CAST(rk AS BIGINT) AS sample_rank
+FROM (
+    SELECT doc_id, lang, source,
+           row_number() OVER (PARTITION BY lang, source
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                       doc_id ASC) AS rk
+    FROM documents
+)
+WHERE rk <= {SAMPLE_PER_STRATUM}
+ORDER BY lang ASC, source ASC, sample_rank ASC
+""",
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: at most SAMPLE_PER_STRATUM docs per
+    (lang, source) stratum, selected by md5(doc_id) order — the reproducible
+    equivalent of per-stratum reservoir sampling a corpus-inspection or
+    eval-set build uses (same stable-hash policy as ``docs_split_assign``).
+
+    One window per stratum key — a single shuffle on (lang, source); the
+    md5 rank makes membership independent of input order and engine, so
+    reruns and backfills select the same sample.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", "lang", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= SAMPLE_PER_STRATUM)
+        .select(
+            "doc_id", "lang", "source", F.col("rk").cast("bigint").alias("sample_rank")
+        )
+        .orderBy(F.col("lang").asc(), F.col("source").asc(), F.col("sample_rank").asc())
+    )

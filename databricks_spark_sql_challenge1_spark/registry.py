@@ -56,6 +56,9 @@ def query(name: str, oracle: str | None = None):
 # r01 ∪ r02 union covers every registered query. See QUERIES.md §driver-window.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # 0: new late in round 2 (never driver-witnessed)
+    "copurchase_components",
+    "tfidf_doc_neighbors",
+    "docs_stratified_sample",
     "dedup_minhash_portable",
     "docs_repetition_stats",
     "events_type_transitions",

@@ -61,6 +61,9 @@ MUST_VERIFY = {
     # refactored this round (shared band helper) — keep in window
     "dedup_simhash_pairs",
     # new late in round 2
+    "copurchase_components",
+    "tfidf_doc_neighbors",
+    "docs_stratified_sample",
     "dedup_minhash_portable",
     "docs_repetition_stats",
     "events_type_transitions",
