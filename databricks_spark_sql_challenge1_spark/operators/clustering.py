@@ -312,3 +312,136 @@ def copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("group_size", F.count(F.lit(1)).over(Window.partitionBy("group_id")))
         .orderBy(F.col("partkey").asc())
     )
+
+
+# Fixed-iteration PageRank over the same top-100 co-abandonment graph as
+# ``copurchase_components`` — product influence rather than membership.
+# 5 synchronous iterations from a uniform start; damping 0.85. Double
+# arithmetic drifts ~1e-14 across engines, so ranks ROUND to 5 on both.
+PAGERANK_ITERS = 5
+PAGERANK_DAMPING = 0.85
+
+
+@query(
+    "copurchase_pagerank",
+    oracle="""
+WITH pairs AS (
+    SELECT least(ce1.l_partkey, ce2.l_partkey) AS product_1,
+           greatest(ce1.l_partkey, ce2.l_partkey) AS product_2,
+           COUNT(DISTINCT o.o_orderkey) AS total_abandoned_orders
+    FROM lineitem ce1
+    JOIN lineitem ce2
+      ON ce1.l_orderkey = ce2.l_orderkey AND ce1.l_partkey <> ce2.l_partkey
+    JOIN orders o ON ce1.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'O'
+    GROUP BY 1, 2
+    ORDER BY total_abandoned_orders DESC, product_1 ASC, product_2 ASC
+    LIMIT 100
+),
+edges AS (
+    SELECT product_1 AS src, product_2 AS dst FROM pairs
+    UNION ALL
+    SELECT product_2, product_1 FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+n AS (SELECT COUNT(*) AS n FROM deg),
+r0 AS (SELECT src AS id, CAST(1.0 AS DOUBLE) / (SELECT n FROM n) AS r FROM deg),
+r1 AS (
+    SELECT e.dst AS id,
+           CAST(0.15 AS DOUBLE) / (SELECT n FROM n)
+           + CAST(0.85 AS DOUBLE) * SUM(p.r / d.deg) AS r
+    FROM edges e JOIN r0 p ON p.id = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+),
+r2 AS (
+    SELECT e.dst AS id,
+           CAST(0.15 AS DOUBLE) / (SELECT n FROM n)
+           + CAST(0.85 AS DOUBLE) * SUM(p.r / d.deg) AS r
+    FROM edges e JOIN r1 p ON p.id = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+),
+r3 AS (
+    SELECT e.dst AS id,
+           CAST(0.15 AS DOUBLE) / (SELECT n FROM n)
+           + CAST(0.85 AS DOUBLE) * SUM(p.r / d.deg) AS r
+    FROM edges e JOIN r2 p ON p.id = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+),
+r4 AS (
+    SELECT e.dst AS id,
+           CAST(0.15 AS DOUBLE) / (SELECT n FROM n)
+           + CAST(0.85 AS DOUBLE) * SUM(p.r / d.deg) AS r
+    FROM edges e JOIN r3 p ON p.id = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+),
+r5 AS (
+    SELECT e.dst AS id,
+           CAST(0.15 AS DOUBLE) / (SELECT n FROM n)
+           + CAST(0.85 AS DOUBLE) * SUM(p.r / d.deg) AS r
+    FROM edges e JOIN r4 p ON p.id = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+)
+SELECT r5.id AS partkey,
+       CAST(d.deg AS BIGINT) AS degree,
+       ROUND(r5.r, 5) AS pagerank
+FROM r5 JOIN deg d ON d.src = r5.id
+ORDER BY partkey ASC
+""",
+)
+def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product influence in the co-abandonment graph: PAGERANK_ITERS
+    synchronous PageRank iterations (damping 0.85, uniform start) over the
+    top-100 pair graph — the iterative-algorithm companion to
+    ``copurchase_components``'s label propagation.
+
+    Scale shape: each iteration is one equi-join of ranks onto the
+    (pre-degree-annotated, localCheckpoint-ed) edge list plus one groupBy
+    on dst — the standard Pregel-style message pass expressed in DataFrame
+    ops. ``localCheckpoint`` per iteration truncates lineage so the plan
+    stays O(1) deep regardless of iteration count; on a giant graph the
+    same loop runs unchanged with edges partitioned by src. The oracle
+    unrolls the 5 iterations as chained CTEs (recursive CTEs cannot
+    aggregate per round), pinning every intermediate against DuckDB.
+    """
+    from databricks_spark_sql_challenge1_spark.operators.abandonment import (
+        top_abandoned_pairs,
+    )
+
+    pairs = top_abandoned_pairs(spark, sf_dir).select("product_1", "product_2")
+    pairs = pairs.localCheckpoint()  # tiny top-k list; mine once, loop many
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("product_1").alias("src"), F.col("product_2").alias("dst")
+                ),
+                F.struct(
+                    F.col("product_2").alias("src"), F.col("product_1").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # annotate each edge with its source's out-degree ONCE, outside the loop
+    ew = edges.join(deg, "src").localCheckpoint()
+    n = deg.count()
+    ranks = deg.select(F.col("src").alias("id"), F.lit(1.0 / n).alias("r"))
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            ew.join(ranks, ew["src"] == ranks["id"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("r") / F.col("deg")).alias("m"))
+        )
+        ranks = contrib.select(
+            "id",
+            (F.lit(0.15 / n) + F.lit(PAGERANK_DAMPING) * F.col("m")).alias("r"),
+        ).localCheckpoint()
+    return (
+        ranks.join(deg, ranks["id"] == deg["src"])
+        .select(
+            F.col("id").alias("partkey"),
+            F.col("deg").cast("bigint").alias("degree"),
+            F.round("r", 5).alias("pagerank"),
+        )
+        .orderBy(F.col("partkey").asc())
+    )

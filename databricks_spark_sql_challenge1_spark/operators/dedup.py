@@ -775,3 +775,102 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_1", "vec_2", "cosine")
         .orderBy("vec_1", "vec_2")
     )
+
+
+# Exact substring-grain dedup (Lee et al., "Deduplicating Training Data
+# Makes Language Models Better"): a doc pair sharing any fixed-length token
+# window is substring-duplicated even when the full texts differ. W=8 on
+# the fixture corpus flags ~9% of docs (FIXTURES.md) — non-vacuous, sparse.
+SUBSTR_WINDOW = 8
+
+
+@query(
+    "docs_substring_dedup",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+    FROM documents
+),
+win AS (
+    SELECT doc_id, array_to_string(list_slice(t, i, i + {SUBSTR_WINDOW - 1}), ' ') AS w
+    FROM toks, unnest(generate_series(1, len(t) - {SUBSTR_WINDOW - 1})) AS u(i)
+    WHERE len(t) >= {SUBSTR_WINDOW}
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_windows FROM win GROUP BY doc_id),
+shared AS (SELECT w FROM win GROUP BY w HAVING COUNT(DISTINCT doc_id) >= 2),
+dup AS (
+    SELECT doc_id, COUNT(*) AS dup_windows
+    FROM win JOIN shared USING (w)
+    GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(tot.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(dup.dup_windows, 0) AS BIGINT) AS dup_windows,
+       ROUND(CASE WHEN COALESCE(tot.n_windows, 0) = 0 THEN 0.0
+                  ELSE CAST(COALESCE(dup.dup_windows, 0) AS DOUBLE)
+                       / tot.n_windows END, 4) AS dup_fraction
+FROM documents d
+LEFT JOIN tot ON tot.doc_id = d.doc_id
+LEFT JOIN dup ON dup.doc_id = d.doc_id
+ORDER BY d.doc_id ASC
+""",
+)
+def docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup at fixed window grain: per document, the count
+    and fraction of its SUBSTR_WINDOW-token sliding windows that also occur
+    verbatim in at least one OTHER document — the fixed-length-window
+    approximation of suffix-array substring dedup used for training corpora.
+
+    Scale shape: windows explode ~n_tokens rows per doc, then ONE shuffle
+    on the window string for the cross-doc count-distinct (two-level
+    partial agg), and one equi-join back. No pairwise term anywhere — cost
+    is linear in corpus token count. At petabyte scale the group key would
+    be ``xxhash64(w)`` to cut shuffle width (collision odds negligible);
+    the fixture grain groups on the window text itself so the DuckDB oracle
+    is byte-identical.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = SUBSTR_WINDOW
+    base = docs.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("t")
+    )
+    # sequence(1, n) with n < 1 would generate a DESCENDING sequence in
+    # Spark, so short docs are filtered instead of clamped
+    win = base.where(F.size("t") >= w).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {w - 1}),"
+                f" i -> array_join(slice(t, i, {w}), ' '))"
+            )
+        ).alias("w"),
+    )
+    tot = win.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
+    shared = (
+        win.groupBy("w")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("w")
+    )
+    dup = win.join(shared, "w").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dup_windows")
+    )
+    n_win = F.coalesce(F.col("n_windows"), F.lit(0))
+    n_dup = F.coalesce(F.col("dup_windows"), F.lit(0))
+    return (
+        docs.select("doc_id")
+        .join(tot, "doc_id", "left")
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_win.cast("bigint").alias("n_windows"),
+            n_dup.cast("bigint").alias("dup_windows"),
+            F.round(
+                F.when(n_win == 0, F.lit(0.0)).otherwise(
+                    n_dup.cast("double") / n_win
+                ),
+                4,
+            ).alias("dup_fraction"),
+        )
+        .orderBy(F.col("doc_id").asc())
+    )

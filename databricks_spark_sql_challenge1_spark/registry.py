@@ -56,6 +56,8 @@ def query(name: str, oracle: str | None = None):
 # r01 ∪ r02 union covers every registered query. See QUERIES.md §driver-window.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # 0: new late in round 2 (never driver-witnessed)
+    "docs_substring_dedup",
+    "copurchase_pagerank",
     "copurchase_components",
     "tfidf_doc_neighbors",
     "docs_stratified_sample",
@@ -107,8 +109,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "streaming_user_state",
     "streaming_dedup_events",
     "streaming_click_attribution",
-    # 5: stable round-1-green re-verifications — the two refactored-in-r02
-    # dedup queries lead so they stay inside the window as section 0 grows
+    # 5: stable round-1-green re-verifications. dedup_simhash_pairs was
+    # refactored in r02 (shared band helper) so it MUST stay inside the
+    # window; it sits at exactly position 50. Everything below is unchanged
+    # since its r01 green row and safely outside.
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
     "top_abandoned_products",

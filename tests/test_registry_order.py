@@ -61,6 +61,8 @@ MUST_VERIFY = {
     # refactored this round (shared band helper) — keep in window
     "dedup_simhash_pairs",
     # new late in round 2
+    "docs_substring_dedup",
+    "copurchase_pagerank",
     "copurchase_components",
     "tfidf_doc_neighbors",
     "docs_stratified_sample",
