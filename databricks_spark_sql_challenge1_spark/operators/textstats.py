@@ -648,12 +648,17 @@ def tfidf_doc_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: every doc keeps only its TFIDF_VEC_TERMS highest-weight
     terms, so the inverted-index self-join meets docs only through shared
-    discriminative terms — posting lists shrink to ≤ TFIDF_VEC_TERMS per doc
-    and the candidate space has no N² term (the same DF-cut idea documented
-    for ``dedup_ngram_jaccard``; here the cut is per-doc top-k, which also
-    bounds every posting list under a hot-term skew). Cosine is computed
-    over the truncated vectors; ROUND(4) on both engines pins the value
-    hash and the neighbor ranking (neighbor_id breaks rounded ties).
+    discriminative terms (the same DF-cut idea documented for
+    ``dedup_ngram_jaccard``). Candidate volume is sum(posting²)/2 — on a
+    realistic vocabulary posting lists are short and there is no N² term;
+    on the fixtures' degenerate 31-term top-weight vocabulary the
+    expansion is ~11 M pairs at 5 k docs (FIXTURES.md), which is genuine
+    output-dominated work, not a plan defect: a production corpus would
+    additionally drop terms with df above a cap (stop-term cut) before the
+    join. The truncated vectors are localCheckpoint-ed once and the pair
+    expansion runs on unordered pairs only (mirror after the agg). Cosine
+    is computed over the truncated vectors; ROUND(4) on both engines pins
+    the value hash and the neighbor ranking (neighbor_id breaks ties).
     """
     from pyspark.sql import Window
 
@@ -672,23 +677,35 @@ def tfidf_doc_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("w") > 0)
     )
     top_w = Window.partitionBy("doc_id").orderBy(F.col("w").desc(), F.col("term").asc())
+    # materialize the truncated vectors ONCE (N·TFIDF_VEC_TERMS rows): this
+    # tiny relation feeds four consumers (both join sides + both norm
+    # lookups) — without the checkpoint Spark re-runs the whole
+    # tokenize→tf-idf→window pipeline four times
     t5 = (
         wgt.withColumn("rk", F.row_number().over(top_w))
         .where(F.col("rk") <= TFIDF_VEC_TERMS)
         .select("doc_id", "term", "w")
+        .localCheckpoint()
     )
     nrm = t5.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nw"))
     a, b = t5.alias("a"), t5.alias("b")
-    dot = (
+    # cosine is symmetric: expand each unordered pair once (doc_id <) and
+    # mirror the aggregated dot afterwards — halves the join + agg volume
+    dot_half = (
         a.join(
             b,
             (F.col("a.term") == F.col("b.term"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("neighbor_id")
-        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("d"))
+    )
+    dot = dot_half.select(
+        F.col("d1").alias("doc_id"), F.col("d2").alias("neighbor_id"), "d"
+    ).unionByName(
+        dot_half.select(
+            F.col("d2").alias("doc_id"), F.col("d1").alias("neighbor_id"), "d"
+        )
     )
     na, nb = nrm.alias("na"), nrm.alias("nb")
     sim = F.round(F.col("dd.d") / (F.col("na.nw") * F.col("nb.nw")), 4)
