@@ -322,6 +322,55 @@ PAGERANK_ITERS = 5
 PAGERANK_DAMPING = 0.85
 
 
+def pagerank(
+    edges: DataFrame, iters: int = PAGERANK_ITERS, damping: float = PAGERANK_DAMPING
+) -> DataFrame:
+    """Generic fixed-iteration synchronous PageRank over a directed edge
+    list (first two columns = src, dst; duplicate edges count as parallel
+    edges). Node set = every id appearing at either edge end; dangling
+    (out-degree-0) nodes receive but never emit — their mass leaks, the
+    simple non-redistributing convention. Returns (id, r), one row per node.
+
+    Each iteration is one equi-join of ranks onto the degree-annotated,
+    localCheckpoint-ed edge list plus one groupBy on dst — the Pregel-style
+    message pass in DataFrame ops; per-iteration localCheckpoint keeps the
+    plan O(1) deep. Pinned against numpy power iteration on random graphs
+    in tests/test_properties.py.
+    """
+    s, d = edges.columns[:2]
+    e = edges.select(F.col(s).alias("src"), F.col(d).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # annotate each edge with its source's out-degree ONCE, outside the loop
+    ew = e.join(deg, "src").localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("r"))
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        contrib = (
+            ew.join(ranks, ew["src"] == ranks["id"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("r") / F.col("deg")).alias("m"))
+        )
+        ranks = (
+            nodes.join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0))
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
 @query(
     "copurchase_pagerank",
     oracle="""
@@ -422,20 +471,7 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("e")
     ).select("e.src", "e.dst")
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # annotate each edge with its source's out-degree ONCE, outside the loop
-    ew = edges.join(deg, "src").localCheckpoint()
-    n = deg.count()
-    ranks = deg.select(F.col("src").alias("id"), F.lit(1.0 / n).alias("r"))
-    for _ in range(PAGERANK_ITERS):
-        contrib = (
-            ew.join(ranks, ew["src"] == ranks["id"])
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum(F.col("r") / F.col("deg")).alias("m"))
-        )
-        ranks = contrib.select(
-            "id",
-            (F.lit(0.15 / n) + F.lit(PAGERANK_DAMPING) * F.col("m")).alias("r"),
-        ).localCheckpoint()
+    ranks = pagerank(edges)
     return (
         ranks.join(deg, ranks["id"] == deg["src"])
         .select(

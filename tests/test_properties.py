@@ -108,3 +108,60 @@ def test_connected_components_matches_union_find(spark, graph):
         for r in connected_components(nodes, pairs).collect()
     }
     assert got == _union_find(n, edges)
+
+
+def _numpy_pagerank(n_nodes, edges, iters=5, damping=0.85):
+    """Reference synchronous power iteration with the same conventions as
+    operators.clustering.pagerank: node set = ids appearing in edges,
+    uniform start, dangling mass leaks (no redistribution), duplicate
+    edges count as parallel edges."""
+    import numpy as np
+
+    seen = sorted({v for e in edges for v in e})
+    n = len(seen)
+    outdeg = np.zeros(n_nodes)
+    for a, _ in edges:
+        outdeg[a] += 1
+    r = np.zeros(n_nodes)
+    for v in seen:
+        r[v] = 1.0 / n
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        m = np.zeros(n_nodes)
+        for a, b in edges:
+            m[b] += r[a] / outdeg[a]
+        r = np.zeros(n_nodes)
+        for v in seen:
+            r[v] = base + damping * m[v]
+    return {v: r[v] for v in seen}
+
+
+@given(
+    graph=st.integers(min_value=2, max_value=16).flatmap(
+        lambda n: st.tuples(
+            st.just(n),
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=n - 1),
+                    st.integers(min_value=0, max_value=n - 1),
+                ),
+                min_size=1,
+                max_size=30,
+            ),
+        )
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_pagerank_matches_numpy_power_iteration(spark, graph):
+    """The DataFrame message-pass loop must reproduce dense power iteration
+    exactly (same start, same per-iteration algebra) on arbitrary directed
+    multigraphs — self-loops, parallel edges, and non-src nodes included."""
+    from databricks_spark_sql_challenge1_spark.operators.clustering import pagerank
+
+    n, edges = graph
+    e = spark.createDataFrame(list(edges), "src long, dst long")
+    got = {r["id"]: r["r"] for r in pagerank(e).collect()}
+    want = _numpy_pagerank(n, edges)
+    assert set(got) == set(want)
+    for v in got:
+        assert abs(got[v] - want[v]) < 1e-12, (v, got[v], want[v])
