@@ -623,11 +623,18 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat_ws("|", *[F.col(f"m{i}") for i in cols]).alias("band_key"),
             )
         )
-    bands = sig.select(
-        "doc_id",
-        *[F.col(f"m{i}") for i in range(MINHASH_K)],
-        F.explode(F.array(*band_structs)).alias("band"),
-    ).select("*", "band.band_id", "band.band_key").drop("band")
+    bands = (
+        sig.select(
+            "doc_id",
+            *[F.col(f"m{i}") for i in range(MINHASH_K)],
+            F.explode(F.array(*band_structs)).alias("band"),
+        )
+        .select("*", "band.band_id", "band.band_key")
+        .drop("band")
+        # materialize once: the md5-minhash signature pipeline feeds both
+        # sides of the band self-join below
+        .localCheckpoint()
+    )
     a, b = bands.alias("a"), bands.alias("b")
     est = sum(
         F.when(F.col(f"a.m{i}") == F.col(f"b.m{i}"), 1).otherwise(0)
@@ -743,7 +750,11 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.concat(out)
 
-    sigs = e.mapInPandas(signatures, "vec_id long, band int, band_val long")
+    # materialize the signature pass once: without this the Arrow/numpy
+    # kernel runs on BOTH sides of the self-join below
+    sigs = e.mapInPandas(
+        signatures, "vec_id long, band int, band_val long"
+    ).localCheckpoint()
     a, b_ = sigs.alias("a"), sigs.alias("b")
     candidates = (
         a.join(
