@@ -703,29 +703,92 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # candidate blowup in the tiny 2^bits hash space.
 EMB_LSH_BANDS = 12
 EMB_LSH_BITS = 6
+# Fixture embedding dimensionality — the oracle bakes the plane matrix in
+# as literals, so it is generated for this dim; the Spark side still reads
+# the dim off the data and produces the identical matrix when it is 64.
+EMB_LSH_DIM = 64
 
 
-@query("dedup_embedding_lsh")  # rows-only: random-hyperplane signatures not in SQL
+def _lsh_planes(dim: int = EMB_LSH_DIM):
+    """The seeded random-hyperplane matrix (dim × bands·bits), shared
+    bit-for-bit by the Spark kernel and the oracle generator."""
+    import numpy as np
+
+    return np.random.RandomState(42).normal(size=(dim, EMB_LSH_BANDS * EMB_LSH_BITS))
+
+
+def _emb_lsh_oracle_sql() -> str:
+    """DuckDB oracle for the random-hyperplane LSH: the plane matrix is
+    embedded as full-precision double literals (repr round-trips exactly),
+    signatures via list_dot_product sign bits over the DOUBLE-cast
+    embeddings. numpy's dgemm and DuckDB's sequential dot differ only in
+    summation order (~1e-13); a sign flip needs |dot| below that — never
+    observed, and the exact ROUND(6) cosine verify behind it is the same
+    expression the oracle-green ``dedup_embedding_cosine`` uses."""
+    planes = _lsh_planes()
+    bits, bands = EMB_LSH_BITS, EMB_LSH_BANDS
+
+    def plane_lit(k: int) -> str:
+        return "[" + ",".join(repr(float(x)) for x in planes[:, k]) + "]"
+
+    band_exprs = []
+    for b in range(bands):
+        terms = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {plane_lit(b * bits + k)}) >= 0"
+            f" THEN {1 << k} ELSE 0 END)"
+            for k in range(bits)
+        )
+        band_exprs.append(f"({terms}) AS bv{b}")
+    bands_list = ",".join(str(b) for b in range(bands))
+    bv_list = ",".join(f"bv{b}" for b in range(bands))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sigw AS (SELECT vec_id, {", ".join(band_exprs)} FROM e),
+sig AS (
+    SELECT vec_id, unnest([{bands_list}]) AS band,
+           unnest([{bv_list}]) AS band_val
+    FROM sigw
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_1, b.vec_id AS vec_2
+    FROM sig a
+    JOIN sig b ON a.band = b.band AND a.band_val = b.band_val
+              AND a.vec_id < b.vec_id
+),
+ee AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+SELECT c.vec_1, c.vec_2,
+       ROUND(list_cosine_similarity(x.emb, y.emb), 6) AS cosine
+FROM cand c
+JOIN ee x ON x.vec_id = c.vec_1
+JOIN ee y ON y.vec_id = c.vec_2
+WHERE ROUND(list_cosine_similarity(x.emb, y.emb), 6) >= {EMB_DUP_THRESHOLD}
+ORDER BY vec_1 ASC, vec_2 ASC
+"""
+
+
+@query("dedup_embedding_lsh", oracle=_emb_lsh_oracle_sql())
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup WITHOUT all-pairs: random-hyperplane LSH blocking.
 
     Signature = sign bits of ``v @ planes`` (seeded, broadcast — a few KB);
     band values become join keys, so candidate generation is a band-bucket
     equi-join exactly like ``dedup_simhash_pairs``; candidates are then
-    verified with the exact JVM-side cosine. Scale shape: shuffle on
+    verified with the exact JVM-side cosine (over DOUBLE-cast arrays, so
+    products match the oracle's double arithmetic — float32 products would
+    drift ~1e-7, past the ROUND(6) pin). Scale shape: shuffle on
     (band, value) — no N² term anywhere, the 10⁹-vector path the chunked
     GEMM cannot be. Recall is tunable (bands × bits); the subset property
     (output ⊆ exact all-pairs output) and recall floor are pinned in
-    tests/test_extensions.py against ``dedup_embedding_cosine``.
+    tests/test_extensions.py against ``dedup_embedding_cosine``. The seeded
+    planes make even this "not SQL-expressible" op oracle-checkable: the
+    matrix is baked into the DuckDB SQL as literals (_emb_lsh_oracle_sql).
     """
     import numpy as np
     import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     dim = len(e.select("embedding").head()[0])
-    planes = np.random.RandomState(42).normal(
-        size=(dim, EMB_LSH_BANDS * EMB_LSH_BITS)
-    )
+    planes = _lsh_planes(dim)
     bc = spark.sparkContext.broadcast(planes)
 
     def signatures(batches):
@@ -768,8 +831,15 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()  # a pair may collide in several bands
     )
-    ea = e.select(F.col("vec_id").alias("vec_1"), F.col("embedding").alias("emb_1"))
-    eb = e.select(F.col("vec_id").alias("vec_2"), F.col("embedding").alias("emb_2"))
+    # DOUBLE-cast before the fold: float32 products would drift past ROUND(6)
+    ea = e.select(
+        F.col("vec_id").alias("vec_1"),
+        F.col("embedding").cast("array<double>").alias("emb_1"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("vec_2"),
+        F.col("embedding").cast("array<double>").alias("emb_2"),
+    )
     dot = F.aggregate(
         F.zip_with("emb_1", "emb_2", lambda x, y: x * y),
         F.lit(0.0),
