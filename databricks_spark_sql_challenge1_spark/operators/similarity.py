@@ -87,6 +87,41 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_assigned(e: DataFrame) -> DataFrame:
+    """(vec_id, emb, centroid_id): nearest deterministic centroid per vector
+    (crossJoin against the broadcast-tiny centroid table, rank-1 window on
+    rounded cosine with a centroid-id tiebreak). Shared by ``similarity_ivf``
+    and ``dedup_semantic_ivf``."""
+    cent = e.where(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
+    )
+    rk_w = Window.partitionBy("vec_id").orderBy(
+        F.round(cosine(F.col("emb"), F.col("cemb")), 6).desc(),
+        F.col("centroid_id").asc(),
+    )
+    return (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("rk", F.row_number().over(rk_w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "emb", "centroid_id")
+    )
+
+
+# DuckDB mirror of _ivf_assigned (reused by the similarity_ivf and
+# dedup_semantic_ivf oracles).
+_IVF_ASSIGNED_SQL = f"""
+    SELECT vec_id, emb, centroid_id
+    FROM (
+        SELECT e.vec_id, e.emb, cent.centroid_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(e.emb, cent.cemb), 6) DESC,
+                            cent.centroid_id ASC) AS rk
+        FROM e CROSS JOIN cent
+    ) WHERE rk = 1
+"""
+
+
 @query(
     "similarity_ivf",
     oracle=f"""
@@ -128,20 +163,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     low-cardinality key) instead of a full crossJoin — the plan that still
     works when N is 10^9.
     """
-    e = _emb(spark, sf_dir)
-    cent = e.where(F.col("vec_id") % CENTROID_STRIDE == 0).select(
-        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
-    )
-    rk_w = Window.partitionBy("vec_id").orderBy(
-        F.round(cosine(F.col("emb"), F.col("cemb")), 6).desc(),
-        F.col("centroid_id").asc(),
-    )
-    assigned = (
-        e.crossJoin(F.broadcast(cent))
-        .withColumn("rk", F.row_number().over(rk_w))
-        .where(F.col("rk") == 1)
-        .select("vec_id", "emb", "centroid_id")
-    )
+    assigned = _ivf_assigned(_emb(spark, sf_dir))
     q = assigned.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("qemb"),

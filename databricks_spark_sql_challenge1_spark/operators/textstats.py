@@ -730,3 +730,189 @@ def tfidf_doc_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "neighbor_id", "sim", F.col("rk").cast("bigint").alias("nbr_rank"))
         .orderBy(F.col("doc_id").asc(), F.col("nbr_rank").asc())
     )
+
+
+# CCNet-style perplexity bucketing: the "LM" is the corpus unigram model
+# itself (a real pipeline scores with a KenLM n-gram model; the bucketing
+# algebra — score, tertile cutoffs, head/middle/tail label — is identical).
+PPL_ROUND = 4
+
+
+@query(
+    "docs_perplexity_buckets",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+    FROM documents
+),
+freq AS (SELECT tok, COUNT(*) AS f FROM t GROUP BY tok),
+tot AS (SELECT COUNT(*) AS n FROM t),
+nll AS (
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(-log2(CAST(freq.f AS DOUBLE) / tot.n)), {PPL_ROUND})
+               AS avg_nll
+    FROM t JOIN freq ON freq.tok = t.tok CROSS JOIN tot
+    GROUP BY t.doc_id, tot.n
+),
+cut AS (
+    SELECT ROUND(quantile_cont(avg_nll, 1.0/3), 6) AS t1,
+           ROUND(quantile_cont(avg_nll, 2.0/3), 6) AS t2
+    FROM nll
+)
+SELECT nll.doc_id, nll.n_tokens, nll.avg_nll,
+       CASE WHEN nll.avg_nll <= cut.t1 THEN 'head'
+            WHEN nll.avg_nll <= cut.t2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM nll CROSS JOIN cut
+ORDER BY doc_id ASC
+""",
+)
+def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: score each document under the
+    corpus unigram LM (avg -log2 p(token)), then label head / middle / tail
+    by the corpus tertile cutoffs — the quality-stratification step CCNet
+    applies before choosing which web-crawl slices to keep.
+
+    Scale shapes: token→frequency join is an equi-join on the term (the
+    frequency table is vocabulary-sized → broadcast); the cutoffs are TWO
+    scalars from a percentile aggregate (at 100 TB, approx_percentile on a
+    t-digest sketch — same two scalars, no global sort or single-partition
+    window, which is why tertiles are computed via cutoffs and not ntile).
+    avg_nll is rounded identically on both engines before the cutoff
+    comparison so bucket membership cannot drift.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    freq = t.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    tot = t.agg(F.count(F.lit(1)).alias("n"))
+    nll = (
+        t.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(
+                F.avg(-F.log2(F.col("f").cast("double") / F.col("n"))),
+                PPL_ROUND,
+            ).alias("avg_nll"),
+        )
+    )
+    cut = nll.agg(
+        F.round(F.expr("percentile(avg_nll, 1.0d/3)"), 6).alias("t1"),
+        F.round(F.expr("percentile(avg_nll, 2.0d/3)"), 6).alias("t2"),
+    )
+    return (
+        nll.crossJoin(F.broadcast(cut))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "avg_nll",
+            F.when(F.col("avg_nll") <= F.col("t1"), F.lit("head"))
+            .when(F.col("avg_nll") <= F.col("t2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("ppl_bucket"),
+        )
+        .orderBy(F.col("doc_id").asc())
+    )
+
+
+# Quality tiering: quartile cutoffs over the composite quality score, then
+# per-tier corpus accounting (docs / tokens / score moments) — the report a
+# tiered-corpus build (keep T1-T2, maybe T3) is driven by.
+QUALITY_TIERS = 4
+
+
+@query(
+    "docs_quality_tiers",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id,
+           string_split_regex(trim(text), '\\s+') AS toks,
+           length(text) AS n_chars,
+           length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
+    FROM documents
+),
+s AS (
+    SELECT doc_id, len(toks) AS n_tokens,
+           ROUND(least(1.0, len(toks) / 100.0)
+                 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars), {PPL_ROUND})
+               AS quality_score
+    FROM t
+),
+cut AS (
+    SELECT ROUND(quantile_cont(quality_score, 0.25), 6) AS q1,
+           ROUND(quantile_cont(quality_score, 0.50), 6) AS q2,
+           ROUND(quantile_cont(quality_score, 0.75), 6) AS q3
+    FROM s
+),
+tiered AS (
+    SELECT s.*,
+           CASE WHEN quality_score > cut.q3 THEN 1
+                WHEN quality_score > cut.q2 THEN 2
+                WHEN quality_score > cut.q1 THEN 3
+                ELSE 4 END AS tier
+    FROM s CROSS JOIN cut
+)
+SELECT CAST(tier AS INTEGER) AS tier,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       ROUND(AVG(quality_score), 4) AS avg_quality,
+       ROUND(MIN(quality_score), 4) AS min_quality,
+       ROUND(MAX(quality_score), 4) AS max_quality
+FROM tiered
+GROUP BY tier
+ORDER BY tier ASC
+""",
+)
+def docs_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality tiering: quartile cutoffs over the composite quality score
+    (same signal as ``text_quality_stats``), then per-tier document/token
+    accounting — tier 1 = best quartile. The output drives tiered corpus
+    decisions ("train on T1-T2, hold T3 for ablations").
+
+    Same scalar-cutoff shape as ``docs_perplexity_buckets`` (no global
+    window; percentile → 3 scalars → broadcast CASE), one small groupBy on
+    the 4-value tier key. Scores rounded before comparison on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    n_tokens = F.size(toks)
+    n_punct = F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
+    score = F.round(
+        F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+        * (F.lit(1.0) - n_punct.cast("double") / F.length("text")),
+        PPL_ROUND,
+    )
+    s = docs.select(
+        "doc_id", n_tokens.alias("n_tokens"), score.alias("quality_score")
+    )
+    cut = s.agg(
+        F.round(F.expr("percentile(quality_score, 0.25d)"), 6).alias("q1"),
+        F.round(F.expr("percentile(quality_score, 0.50d)"), 6).alias("q2"),
+        F.round(F.expr("percentile(quality_score, 0.75d)"), 6).alias("q3"),
+    )
+    return (
+        s.crossJoin(F.broadcast(cut))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "quality_score",
+            F.when(F.col("quality_score") > F.col("q3"), F.lit(1))
+            .when(F.col("quality_score") > F.col("q2"), F.lit(2))
+            .when(F.col("quality_score") > F.col("q1"), F.lit(3))
+            .otherwise(F.lit(4))
+            .alias("tier"),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+            F.round(F.min("quality_score"), 4).alias("min_quality"),
+            F.round(F.max("quality_score"), 4).alias("max_quality"),
+        )
+        .orderBy(F.col("tier").asc())
+    )

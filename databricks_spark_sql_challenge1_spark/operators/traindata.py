@@ -306,6 +306,73 @@ def docs_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_mixture_weights",
+    oracle="""
+WITH g AS (
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           SUM(len(string_split_regex(trim(text), '\\s+'))) AS n_tokens
+    FROM documents
+    GROUP BY lang, source
+),
+tot AS (SELECT SUM(n_tokens) AS total_tokens, COUNT(*) AS n_groups FROM g)
+SELECT g.lang, g.source,
+       CAST(g.n_docs AS BIGINT) AS n_docs,
+       CAST(g.n_tokens AS BIGINT) AS n_tokens,
+       ROUND(CAST(g.n_tokens AS DOUBLE) / tot.total_tokens, 6) AS token_share,
+       ROUND(CAST(tot.total_tokens AS DOUBLE) / tot.n_groups / g.n_tokens, 4)
+           AS mixture_weight,
+       CAST(ceil(CAST(tot.total_tokens AS DOUBLE) / tot.n_groups / g.n_tokens)
+            AS BIGINT) AS epochs
+FROM g CROSS JOIN tot
+ORDER BY lang ASC, source ASC
+""",
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weight table for corpus assembly: per (lang, source) domain,
+    the sampling weight that equalizes every domain's token contribution
+    (target = uniform share of the global token budget), plus the integer
+    repetition factor (epochs) an over-sampled small domain needs — the
+    per-domain numbers a data-mixing scheduler consumes.
+
+    Shapes: one groupBy over the corpus (map-side partial sums), then a 1×1
+    scalar cross join — the output is domain-grain (tiny at any corpus
+    size), so everything after the first aggregate is driver-free and
+    broadcast-cheap. Weights are ROUNDed identically on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_groups"),
+    )
+    target = F.col("total_tokens").cast("double") / F.col("n_groups")
+    weight = target / F.col("n_tokens")
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens").cast("double") / F.col("total_tokens"), 6)
+            .alias("token_share"),
+            F.round(weight, 4).alias("mixture_weight"),
+            F.ceil(weight).cast("bigint").alias("epochs"),
+        )
+        .orderBy(F.col("lang").asc(), F.col("source").asc())
+    )
+
+
 # Stratified sampling quota: (lang, source) strata span 1-16 docs at sf0.01,
 # so 3-per-stratum both downsamples most strata and keeps the small ones
 # whole — mixed, non-vacuous output (FIXTURES.md).
