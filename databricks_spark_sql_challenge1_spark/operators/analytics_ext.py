@@ -223,6 +223,132 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cube_order_summary",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS total_value
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY gid ASC, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+""",
+)
+def cube_order_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation with GROUPING_ID — all four grouping sets of
+    (status, priority) in one pass (completes the GROUPING SETS family
+    next to ``rollup_order_values``; reference has neither, SURVEY.md §2.5).
+
+    Scale shape: Spark expands CUBE into a single Expand + one hash
+    aggregate — one shuffle total for all 2^n grouping sets, with map-side
+    partial aggregation; bit order of grouping_id (leftmost column = MSB)
+    matches DuckDB/Postgres GROUPING().
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_value")
+        .orderBy(
+            F.col("gid").asc(),
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "orders_unpivot_metrics",
+    oracle="""
+WITH s AS (
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS DOUBLE) AS n_orders,
+           ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS total_value,
+           ROUND(CAST(AVG(o_totalprice) AS DOUBLE), 2) AS avg_value
+    FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, metric, value FROM (
+    SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS value FROM s
+    UNION ALL
+    SELECT o_orderstatus, 'total_value', total_value FROM s
+    UNION ALL
+    SELECT o_orderstatus, 'avg_value', avg_value FROM s
+)
+ORDER BY o_orderstatus ASC, metric ASC
+""",
+)
+def orders_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide metrics → long rows) via ``stack`` — the inverse of
+    ``pivot_status_by_priority``. All three metrics are cast to DOUBLE so
+    the long ``value`` column is homogeneous.
+
+    Scale shape: stack is a narrow projection (Expand, no shuffle beyond
+    the upstream aggregate); the wide aggregate itself is one shuffle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_value"),
+    )
+    return (
+        wide.select(
+            "o_orderstatus",
+            F.expr(
+                "stack(3, 'n_orders', n_orders, 'total_value', total_value,"
+                " 'avg_value', avg_value) AS (metric, value)"
+            ),
+        )
+        .orderBy(F.col("o_orderstatus").asc(), F.col("metric").asc())
+    )
+
+
+@query(
+    "customer_value_deciles",
+    oracle="""
+WITH s AS (
+    SELECT o_custkey AS custkey,
+           ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS spend
+    FROM orders GROUP BY o_custkey
+)
+SELECT custkey, spend,
+       ROUND(percent_rank() OVER (ORDER BY spend ASC, custkey ASC), 6) AS pct_rank,
+       ROUND(cume_dist() OVER (ORDER BY spend ASC, custkey ASC), 6) AS cum_dist,
+       CAST(ntile(10) OVER (ORDER BY spend ASC, custkey ASC) AS BIGINT) AS decile
+FROM s
+ORDER BY custkey ASC
+""",
+)
+def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / decile ntile over per-customer spend —
+    the remaining analytic-window family members (rank/row_number/lag/ntile
+    are covered elsewhere). Ordering carries a custkey tiebreak so ranks
+    are engine-deterministic.
+
+    Scale shape: one shuffle for the customer aggregate; the global
+    rank windows are a single-partition sort over the customer dimension
+    (same bound and same approx-cutoff escape hatch as
+    ``customer_rfm_segments``).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend")
+    )
+    w = Window.orderBy(F.col("spend").asc(), F.col("custkey").asc())
+    return s.select(
+        "custkey",
+        "spend",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        F.ntile(10).over(w).cast("bigint").alias("decile"),
+    ).orderBy(F.col("custkey").asc())
+
+
 RFM_TILES = 4
 
 

@@ -499,3 +499,113 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("partkey").asc())
     )
+
+
+# Association-rule mining thresholds: pairs must co-occur in >= MIN_PAIR
+# abandoned orders; top-k bounded output.
+LIFT_MIN_PAIR = 2
+LIFT_TOP_K = 100
+
+
+@query(
+    "copurchase_lift",
+    oracle=f"""
+WITH basket AS (
+    SELECT DISTINCT l.l_orderkey AS orderkey, l.l_partkey AS partkey
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'O'
+),
+n AS (SELECT COUNT(DISTINCT orderkey) AS n_orders FROM basket),
+item AS (SELECT partkey, COUNT(*) AS item_orders FROM basket GROUP BY partkey),
+pair AS (
+    SELECT b1.partkey AS product_1, b2.partkey AS product_2,
+           COUNT(*) AS pair_orders
+    FROM basket b1 JOIN basket b2
+      ON b1.orderkey = b2.orderkey AND b1.partkey < b2.partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {LIFT_MIN_PAIR}
+)
+SELECT p.product_1, p.product_2, p.pair_orders,
+       ROUND(CAST(p.pair_orders AS DOUBLE) / n.n_orders, 6) AS support,
+       ROUND(CAST(p.pair_orders AS DOUBLE) / i1.item_orders, 6) AS conf_1_to_2,
+       ROUND(CAST(p.pair_orders AS DOUBLE) / i2.item_orders, 6) AS conf_2_to_1,
+       ROUND(CAST(p.pair_orders AS DOUBLE) * n.n_orders
+             / (i1.item_orders * i2.item_orders), 6) AS lift
+FROM pair p
+JOIN item i1 ON i1.partkey = p.product_1
+JOIN item i2 ON i2.partkey = p.product_2
+CROSS JOIN n
+ORDER BY lift DESC, product_1 ASC, product_2 ASC
+LIMIT {LIFT_TOP_K}
+""",
+)
+def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over abandoned-cart baskets: support, directional
+    confidence, and lift for every product pair co-occurring in >=
+    LIFT_MIN_PAIR open orders — the market-basket step beyond raw pair
+    counts (ref #6 stops at counts; lift normalizes away item popularity).
+
+    Scale shape: the basket self-join is the standard pair expansion,
+    quadratic per order in basket size (bounded by order line limits; a
+    per-order top-m cap is the documented guard for pathological baskets).
+    Item counts join back on partkey equi-keys (map-side broadcast when the
+    part dimension fits); the scalar order count is a 1-row broadcast
+    cross join. Doubles ROUND to 6 on both engines; top-k is
+    TakeOrderedAndProject with a full tiebreak.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    basket = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .where(F.col("o_orderstatus") == "O")
+        .select(
+            F.col("l_orderkey").alias("orderkey"), F.col("l_partkey").alias("partkey")
+        )
+        .distinct()
+    )
+    n = basket.agg(F.countDistinct("orderkey").alias("n_orders"))
+    item = basket.groupBy("partkey").agg(F.count(F.lit(1)).alias("item_orders"))
+    b1 = basket.alias("b1")
+    b2 = basket.alias("b2")
+    pair = (
+        b1.join(
+            b2,
+            (F.col("b1.orderkey") == F.col("b2.orderkey"))
+            & (F.col("b1.partkey") < F.col("b2.partkey")),
+        )
+        .groupBy(
+            F.col("b1.partkey").alias("product_1"),
+            F.col("b2.partkey").alias("product_2"),
+        )
+        .agg(F.count(F.lit(1)).alias("pair_orders"))
+        .where(F.col("pair_orders") >= LIFT_MIN_PAIR)
+    )
+    i1 = item.select(
+        F.col("partkey").alias("pk1"), F.col("item_orders").alias("item_orders_1")
+    )
+    i2 = item.select(
+        F.col("partkey").alias("pk2"), F.col("item_orders").alias("item_orders_2")
+    )
+    po = F.col("pair_orders").cast("double")
+    return (
+        pair.join(i1, F.col("product_1") == F.col("pk1"))
+        .join(i2, F.col("product_2") == F.col("pk2"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "product_1",
+            "product_2",
+            "pair_orders",
+            F.round(po / F.col("n_orders"), 6).alias("support"),
+            F.round(po / F.col("item_orders_1"), 6).alias("conf_1_to_2"),
+            F.round(po / F.col("item_orders_2"), 6).alias("conf_2_to_1"),
+            F.round(
+                po * F.col("n_orders")
+                / (F.col("item_orders_1") * F.col("item_orders_2")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(
+            F.col("lift").desc(), F.col("product_1").asc(), F.col("product_2").asc()
+        )
+        .limit(LIFT_TOP_K)
+    )

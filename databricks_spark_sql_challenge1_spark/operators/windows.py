@@ -173,6 +173,68 @@ def events_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROLLING_7D_S = 7 * 86400
+
+
+@query(
+    "events_rolling_7d_value",
+    oracle=f"""
+WITH e AS (
+    SELECT event_id, user_id, ts, value,
+           CAST(floor(epoch(ts)) AS BIGINT) AS es
+    FROM events
+),
+r AS (
+    SELECT event_id, user_id, ts,
+           ROUND(CAST(SUM(value) OVER w AS DOUBLE), 2) AS rolling_value,
+           COUNT(*) OVER w AS rolling_n
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY es
+                 RANGE BETWEEN {ROLLING_7D_S} PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts, rolling_value, rolling_n
+FROM r
+ORDER BY rolling_value DESC, event_id ASC
+LIMIT 100
+""",
+)
+def events_rolling_7d_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day per-user value window (RANGE frame over event time) —
+    the rolling-LTV / rate-limit primitive: for every event, the sum and
+    count of that user's events in the preceding 7 days, topped by window
+    value. Completes the frame-clause family (ROWS frames live in the
+    session oracle; this is the interval RANGE frame).
+
+    Scale shape: one shuffle on user_id, then a per-key ordered scan with a
+    sliding two-pointer frame (Spark's native RANGE implementation) — no
+    self-join expansion of the [t-7d, t] interval. Frame bounds are integer
+    epoch seconds on both engines so peer groups agree exactly; top-k is
+    TakeOrderedAndProject with an event_id tiebreak.
+    """
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "event_id", "user_id", "ts", "value", F.col("ts").cast("long").alias("es")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("es")
+        .rangeBetween(-ROLLING_7D_S, 0)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round(F.sum("value").over(w), 2).alias("rolling_value"),
+            F.count(F.lit(1)).over(w).alias("rolling_n"),
+        )
+        .orderBy(F.col("rolling_value").desc(), F.col("event_id").asc())
+        .limit(100)
+    )
+
+
 ANOMALY_Z = 2.0
 
 
