@@ -594,6 +594,12 @@ def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # report the top-3 neighbors per doc.
 TFIDF_VEC_TERMS = 5
 TFIDF_NEIGHBORS_K = 3
+# Posting-list cap (the stop-term / hot-posting cut): each term keeps only
+# its TFIDF_POSTING_CAP highest-weight docs before the inverted-index
+# self-join, bounding candidate volume at sum(min(posting, cap)²)/2 no
+# matter how degenerate the vocabulary is. Deterministic on both engines
+# (w DESC, doc_id ASC).
+TFIDF_POSTING_CAP = 128
 
 
 @query(
@@ -619,10 +625,17 @@ t5 AS (
         FROM wgt
     ) WHERE rk <= {TFIDF_VEC_TERMS}
 ),
+t5c AS (
+    SELECT doc_id, term, w FROM (
+        SELECT *, row_number() OVER (PARTITION BY term
+                                     ORDER BY w DESC, doc_id ASC) AS prk
+        FROM t5
+    ) WHERE prk <= {TFIDF_POSTING_CAP}
+),
 nrm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nw FROM t5 GROUP BY doc_id),
 dot AS (
     SELECT a.doc_id AS doc_id, b.doc_id AS neighbor_id, SUM(a.w * b.w) AS d
-    FROM t5 a JOIN t5 b ON a.term = b.term AND a.doc_id <> b.doc_id
+    FROM t5c a JOIN t5c b ON a.term = b.term AND a.doc_id <> b.doc_id
     GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_id, neighbor_id, sim, CAST(rk AS BIGINT) AS nbr_rank
@@ -649,16 +662,22 @@ def tfidf_doc_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: every doc keeps only its TFIDF_VEC_TERMS highest-weight
     terms, so the inverted-index self-join meets docs only through shared
     discriminative terms (the same DF-cut idea documented for
-    ``dedup_ngram_jaccard``). Candidate volume is sum(posting²)/2 — on a
-    realistic vocabulary posting lists are short and there is no N² term;
-    on the fixtures' degenerate 31-term top-weight vocabulary the
-    expansion is ~11 M pairs at 5 k docs (FIXTURES.md), which is genuine
-    output-dominated work, not a plan defect: a production corpus would
-    additionally drop terms with df above a cap (stop-term cut) before the
-    join. The truncated vectors are localCheckpoint-ed once and the pair
-    expansion runs on unordered pairs only (mirror after the agg). Cosine
-    is computed over the truncated vectors; ROUND(4) on both engines pins
-    the value hash and the neighbor ranking (neighbor_id breaks ties).
+    ``dedup_ngram_jaccard``) — AND every term keeps only its
+    TFIDF_POSTING_CAP highest-weight docs before the join (the stop-term /
+    hot-posting cut). Candidate volume is therefore bounded by
+    vocab · cap² / 2 regardless of vocabulary skew: the fixtures'
+    degenerate 31-term top-weight vocabulary produced ~11 M candidate
+    pairs at 5 k docs uncapped (FIXTURES.md); with the cap it is ≤ 254 k —
+    exactly the hot-posting-list skew that would kill the job at 100 TB.
+    The cap is deterministic (w DESC, doc_id ASC) and mirrored in the
+    oracle; at sf0.01's posting lengths it rarely binds, so small-SF
+    results are near-identical to the uncapped semantics while the sf0.1+
+    runtime drops from join-dominated to output-dominated. Norms still use
+    each doc's full truncated vector, so reported cosines are true values,
+    not renormalized ones. The truncated vectors are localCheckpoint-ed
+    once and the pair expansion runs on unordered pairs only (mirror after
+    the agg). ROUND(4) on both engines pins the value hash and the
+    neighbor ranking (neighbor_id breaks ties).
     """
     from pyspark.sql import Window
 
@@ -688,7 +707,16 @@ def tfidf_doc_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     nrm = t5.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nw"))
-    a, b = t5.alias("a"), t5.alias("b")
+    # hot-posting cut: cap each term's posting list before the self-join so
+    # a degenerate (or adversarially skewed) vocabulary cannot produce an
+    # N²-shaped candidate set — at most cap² pairs per term
+    post_w = Window.partitionBy("term").orderBy(F.col("w").desc(), F.col("doc_id").asc())
+    t5c = (
+        t5.withColumn("prk", F.row_number().over(post_w))
+        .where(F.col("prk") <= TFIDF_POSTING_CAP)
+        .select("doc_id", "term", "w")
+    )
+    a, b = t5c.alias("a"), t5c.alias("b")
     # cosine is symmetric: expand each unordered pair once (doc_id <) and
     # mirror the aggregated dot afterwards — halves the join + agg volume
     dot_half = (
