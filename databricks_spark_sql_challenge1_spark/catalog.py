@@ -65,9 +65,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer division: double division loses precision at ~1e18 nanos
+    if name == "events":
+        df = _heal_events_ts(df)
+    return df
+
+
+def _heal_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a plain ``timestamp`` regardless of how the
+    running Spark decodes TIMESTAMP(NANOS) parquet:
+
+    - ``bigint`` (nanosAsLong honored, Spark ≤4.0): truncate ns→us with
+      integer division (double division loses precision at ~1e18 nanos);
+    - ``timestamp_ntz`` (Spark 4.1+ ignores nanosAsLong and reads NANOS as
+      NTZ): cast to ``timestamp`` — the session TZ is pinned UTC, so the
+      wall-clock reinterpretation is the identity and oracle semantics are
+      unchanged;
+    - ``timestamp``: already fine.
+    """
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from databricks_spark_sql_challenge1_spark.catalog import (
+    _heal_events_ts,
     ensure_session_confs,
     table_path,
 )
@@ -32,9 +33,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return _heal_events_ts(stream)
 
 
 def _drain_to_memory(windowed: DataFrame, spark: SparkSession) -> DataFrame:
