@@ -14,62 +14,44 @@ from databricks_spark_sql_challenge1_spark.registry import (
 
 DRIVER_WINDOW = 50
 
-# every query that had no CORRECTNESS row in round 1, plus everything whose
-# code or oracle changed in round 2, must sit inside the driver window
+# Round-4 must-verify: everything whose code path changed this round (the
+# events.ts NTZ heal touches every events reader; tfidf posting-cap ranking
+# re-keyed; multimodal _featurize vectorized) plus the 8 queries that had no
+# CORRECTNESS row in ANY prior round (VERDICT.md r3 "What's wrong" #3).
 MUST_VERIFY = {
-    "nations_by_supplier",
-    "nations_by_customer",
-    "nations_by_expr_key",
-    "corpus_filter_pipeline",
-    "dedup_embedding_cosine",
+    # events.ts heal — batch temporal
     "events_asof_join",
     "events_range_join",
     "events_funnel_conversion",
-    "events_tumbling_1h",
-    "events_sliding_1h_30m",
-    "events_session_30m",
-    "events_time_rollup",
-    "text_token_stats",
-    "text_quality_stats",
-    "lang_id_heuristic",
-    "lang_stats",
-    "text_tfidf_top_terms",
-    "doc_fingerprint",
-    "doc_rolling_fingerprint",
+    # events.ts heal — streaming
     "streaming_tumbling_1h",
     "streaming_session_30m",
     "streaming_user_state",
     "streaming_dedup_events",
     "streaming_click_attribution",
-    # new in round 2
-    "top_abandoned_products_salted",
-    "docs_split_assign",
-    "token_budget_pack",
-    "dedup_embedding_lsh",
-    "dedup_cluster_components",
-    "dedup_incremental",
-    "docs_chunk_windows",
-    "docs_contamination",
-    "similarity_pq",
-    "corpus_vocabulary",
-    "dedup_keep_best",
-    "docs_lang_rebalance",
+    # events.ts heal — event-time windows re-witness
+    "events_tumbling_1h",
+    "events_sliding_1h_30m",
+    "events_session_30m",
+    "events_time_rollup",
     "events_hourly_anomaly",
-    "text_entropy",
-    "customer_rfm_segments",
     "events_retention_cohorts",
-    # refactored this round (shared band helper) — keep in window
-    "dedup_simhash_pairs",
-    # new late in round 2
-    "docs_substring_dedup",
-    "copurchase_pagerank",
-    "copurchase_components",
-    "tfidf_doc_neighbors",
-    "docs_stratified_sample",
-    "dedup_minhash_portable",
-    "docs_repetition_stats",
     "events_type_transitions",
-    "embedding_dim_stats",
+    "events_json_extract",
+    "events_json_schema",
+    # changed this round
+    "tfidf_doc_neighbors",
+    "multimodal_frame_stats",
+    "multimodal_features",
+    # never driver-verified before round 4
+    "copurchase_lift",
+    "corpus_mixture_weights",
+    "cube_order_summary",
+    "customer_value_deciles",
+    "docs_perplexity_buckets",
+    "docs_quality_tiers",
+    "events_rolling_7d_value",
+    "orders_unpivot_metrics",
 }
 
 
