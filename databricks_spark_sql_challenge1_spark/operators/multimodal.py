@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -78,9 +79,14 @@ def extract_media_features(media: DataFrame, use_real_codec: bool = False) -> Da
                     "doc_id": pdf["doc_id"],
                     "source": pdf["source"],
                     "n_bytes": pdf["media_bytes"].map(len).astype("int64"),
-                    # stub "decode": mean byte value stands in for pixel stats
+                    # stub "decode": mean byte value stands in for pixel
+                    # stats. np.frombuffer is the vectorized kernel — a
+                    # per-element Python sum() over media bytes would be
+                    # the hot loop at real media volumes.
                     "byte_mean": pdf["media_bytes"].map(
-                        lambda b: float(sum(b)) / len(b) if len(b) else 0.0
+                        lambda b: float(np.frombuffer(b, np.uint8).mean())
+                        if len(b)
+                        else 0.0
                     ),
                     "width": pdf["media_meta"].map(lambda m: m["width"]),
                     "height": pdf["media_meta"].map(lambda m: m["height"]),

@@ -621,14 +621,14 @@ wgt AS (
 t5 AS (
     SELECT doc_id, term, w FROM (
         SELECT *, row_number() OVER (PARTITION BY doc_id
-                                     ORDER BY w DESC, term ASC) AS rk
+                                     ORDER BY ROUND(w, 9) DESC, term ASC) AS rk
         FROM wgt
     ) WHERE rk <= {TFIDF_VEC_TERMS}
 ),
 t5c AS (
     SELECT doc_id, term, w FROM (
         SELECT *, row_number() OVER (PARTITION BY term
-                                     ORDER BY w DESC, doc_id ASC) AS prk
+                                     ORDER BY ROUND(w, 9) DESC, doc_id ASC) AS prk
         FROM t5
     ) WHERE prk <= {TFIDF_POSTING_CAP}
 ),
@@ -669,15 +669,30 @@ def tfidf_doc_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerate 31-term top-weight vocabulary produced ~11 M candidate
     pairs at 5 k docs uncapped (FIXTURES.md); with the cap it is ≤ 254 k —
     exactly the hot-posting-list skew that would kill the job at 100 TB.
-    The cap is deterministic (w DESC, doc_id ASC) and mirrored in the
-    oracle; at sf0.01's posting lengths it rarely binds, so small-SF
-    results are near-identical to the uncapped semantics while the sf0.1+
-    runtime drops from join-dominated to output-dominated. Norms still use
-    each doc's full truncated vector, so reported cosines are true values,
-    not renormalized ones. The truncated vectors are localCheckpoint-ed
-    once and the pair expansion runs on unordered pairs only (mirror after
-    the agg). ROUND(4) on both engines pins the value hash and the
-    neighbor ranking (neighbor_id breaks ties).
+
+    The cap is a REAL semantic change where posting lists exceed it: a doc
+    cut from a posting list cannot meet neighbors through that term, and a
+    doc cut from EVERY posting list of its top-5 terms loses all its
+    neighbor rows — it vanishes from the output rather than getting
+    approximate neighbors. At sf0.001/sf0.01 posting lists stay under the
+    cap (output identical to uncapped semantics); at sf0.1 the fixture
+    vocabulary drives posting lists to ~1.3 k docs, so cap=128 discards
+    ~90% of hot postings and the output is the capped approximation —
+    parity holds because the oracle mirrors the cut exactly (witnessed at
+    sf0.01 and sf0.1, see tests/test_oracle_parity.py runs in
+    BENCH_NOTES.md §tfidf).
+
+    Both cut rankings order on ROUND(w, 9) (then term/doc_id): raw w is a
+    float reached via different ln/multiply paths on the two engines, and
+    a last-ulp difference at a cap boundary would flip which doc survives
+    — rounding the ranking key to 9 decimals makes the cross-engine order
+    identical while leaving the actual weights (dot products, norms)
+    untouched. Norms still use each doc's full truncated vector, so
+    reported cosines are true values, not renormalized ones. The truncated
+    vectors are localCheckpoint-ed once and the pair expansion runs on
+    unordered pairs only (mirror after the agg). ROUND(4) on both engines
+    pins the value hash and the neighbor ranking (neighbor_id breaks
+    ties).
     """
     from pyspark.sql import Window
 
@@ -695,7 +710,10 @@ def tfidf_doc_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", w_expr.alias("w"))
         .where(F.col("w") > 0)
     )
-    top_w = Window.partitionBy("doc_id").orderBy(F.col("w").desc(), F.col("term").asc())
+    # rank on the rounded weight (see docstring: cross-engine ulp stability)
+    top_w = Window.partitionBy("doc_id").orderBy(
+        F.round(F.col("w"), 9).desc(), F.col("term").asc()
+    )
     # materialize the truncated vectors ONCE (N·TFIDF_VEC_TERMS rows): this
     # tiny relation feeds four consumers (both join sides + both norm
     # lookups) — without the checkpoint Spark re-runs the whole
@@ -710,7 +728,9 @@ def tfidf_doc_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hot-posting cut: cap each term's posting list before the self-join so
     # a degenerate (or adversarially skewed) vocabulary cannot produce an
     # N²-shaped candidate set — at most cap² pairs per term
-    post_w = Window.partitionBy("term").orderBy(F.col("w").desc(), F.col("doc_id").asc())
+    post_w = Window.partitionBy("term").orderBy(
+        F.round(F.col("w"), 9).desc(), F.col("doc_id").asc()
+    )
     t5c = (
         t5.withColumn("prk", F.row_number().over(post_w))
         .where(F.col("prk") <= TFIDF_POSTING_CAP)
