@@ -30,7 +30,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Ordered by ``registry.DRIVER_PRIORITY``: the driver verifies the first 50
     entries, so queries needing fresh CORRECTNESS rows lead (see QUERIES.md
-    §driver-window for the r01 ∪ r02 coverage accounting).
+    §driver-window for the per-round coverage accounting).
     """
     import databricks_spark_sql_challenge1_spark.operators  # noqa: F401  (registers)
     from databricks_spark_sql_challenge1_spark.registry import ordered_queries
