@@ -90,7 +90,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_json_extract",
     "events_json_schema",
     # 3: new in round 4
-    # (inserted here as added)
+    "dedup_semantic_ivf",
     # 4: stale r1-evidence refresh of the §2.12 reference surface
     "top_abandoned_products",
     "top_abandoned_pairs",
@@ -115,8 +115,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "similarity_topk",
     "similarity_ivf",
     "dedup_exact",
-    "dedup_fingerprint",
     # --- window boundary: 50 names above (tests/test_registry_order.py) ---
+    "dedup_fingerprint",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
     "embedding_centroids",

@@ -43,6 +43,8 @@ MUST_VERIFY = {
     "tfidf_doc_neighbors",
     "multimodal_frame_stats",
     "multimodal_features",
+    # new in round 4
+    "dedup_semantic_ivf",
     # never driver-verified before round 4
     "copurchase_lift",
     "corpus_mixture_weights",
