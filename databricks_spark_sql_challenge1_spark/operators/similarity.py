@@ -549,3 +549,129 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "via_centroid", "dup_of", "sim")
         .orderBy(F.col("vec_id").asc())
     )
+
+
+# --- fixed-round Lloyd refinement (k-means as a DataFrame loop) -------------
+KMEANS_ITERS = 2
+KMEANS_ROUND = 6  # means rounded per iteration on BOTH engines (parity)
+EMB_DIM = PQ_M * PQ_SUB  # 64
+
+_L2SQ_SQL = (
+    f"list_sum(list_transform(generate_series(1, {EMB_DIM}), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
+
+_KM_ASSIGN_SQL = f"""
+    SELECT vec_id, emb, centroid_id FROM (
+        SELECT e.vec_id, e.emb, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   ROUND({_L2SQ_SQL.format(a="e.emb", b="c.cemb")}, 6) ASC,
+                   c.centroid_id ASC) AS rk
+        FROM e CROSS JOIN {{cent}} c
+    ) WHERE rk = 1
+"""
+
+
+@query(
+    "embedding_kmeans_refine",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+c0 AS (SELECT vec_id AS centroid_id, emb AS cemb FROM e
+       WHERE vec_id % {CENTROID_STRIDE} = 0),
+a1 AS ({_KM_ASSIGN_SQL.format(cent="c0")}),
+m1 AS (
+    SELECT centroid_id, list(cv ORDER BY pos) AS cemb FROM (
+        SELECT a1.centroid_id, i - 1 AS pos,
+               ROUND(AVG(emb[i]), {KMEANS_ROUND}) AS cv
+        FROM a1, unnest(generate_series(1, {EMB_DIM})) AS t(i)
+        GROUP BY a1.centroid_id, i
+    ) GROUP BY centroid_id
+),
+c1 AS (SELECT c0.centroid_id, COALESCE(m1.cemb, c0.cemb) AS cemb
+       FROM c0 LEFT JOIN m1 ON m1.centroid_id = c0.centroid_id),
+a2 AS ({_KM_ASSIGN_SQL.format(cent="c1")}),
+sizes AS (SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_members
+          FROM a2 GROUP BY centroid_id),
+m2 AS (
+    SELECT a2.centroid_id, CAST(i - 1 AS INTEGER) AS pos,
+           ROUND(AVG(emb[i]), {KMEANS_ROUND}) AS centroid_val
+    FROM a2, unnest(generate_series(1, {EMB_DIM})) AS t(i)
+    GROUP BY a2.centroid_id, i
+)
+SELECT m2.centroid_id, s.n_members, m2.pos, m2.centroid_val
+FROM m2 JOIN sizes s ON s.centroid_id = m2.centroid_id
+ORDER BY m2.centroid_id ASC, m2.pos ASC
+""",
+)
+def embedding_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round Lloyd (k-means) refinement over the embedding corpus —
+    the iterative-ML pattern as a declarative DataFrame loop: seed with the
+    deterministic IVF centroid subset, then KMEANS_ITERS rounds of
+    assign-to-nearest (squared L2) → per-dimension mean update. Output: the
+    refined centroids (one row per centroid × dimension) with final member
+    counts — the "fit" half that similarity_ivf's assignment would consume
+    at production scale (spark.ml KMeans is this exact loop with sampled
+    init).
+
+    Determinism across engines: distances are ranked on ROUND(d², 6) with a
+    centroid-id tiebreak, and means are rounded to KMEANS_ROUND per
+    iteration on BOTH engines, so the assignment fixpoint is bit-identical
+    and the DuckDB oracle can unroll the same two iterations as CTEs.
+
+    Scale shape per iteration: centroid table is k×d (broadcast-tiny even
+    at k = 10⁵), assignment is a narrow crossJoin + rank-1 window (no
+    shuffle of the corpus), the update is one shuffle on (centroid_id,
+    pos) with map-side partial aggregation — the canonical distributed
+    k-means round. The loop localCheckpoints the k-row centroid table per
+    iteration, so plan depth stays constant in ITERS. Empty clusters keep
+    their previous centroid (COALESCE on both engines).
+    """
+    e = _emb(spark, sf_dir).select("vec_id", "emb")
+    cent = e.where(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
+    )
+    assigned = None
+    means = None
+    for it in range(KMEANS_ITERS):
+        rk_w = Window.partitionBy("vec_id").orderBy(
+            F.round(_sqdist(F.col("emb"), F.col("cemb")), 6).asc(),
+            F.col("centroid_id").asc(),
+        )
+        assigned = (
+            e.crossJoin(F.broadcast(cent))
+            .withColumn("rk", F.row_number().over(rk_w))
+            .where(F.col("rk") == 1)
+            .select("vec_id", "emb", "centroid_id")
+        )
+        means = (
+            assigned.select("centroid_id", F.posexplode("emb").alias("pos", "v"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.round(F.avg("v"), KMEANS_ROUND).alias("cv"))
+        )
+        if it < KMEANS_ITERS - 1:
+            reassembled = means.groupBy("centroid_id").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                    lambda x: x["cv"],
+                ).alias("memb")
+            )
+            cent = (
+                cent.join(reassembled, "centroid_id", "left")
+                .select(
+                    "centroid_id", F.coalesce("memb", "cemb").alias("cemb")
+                )
+                .localCheckpoint()
+            )
+    sizes = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    return (
+        means.join(sizes, "centroid_id")
+        .select(
+            "centroid_id",
+            "n_members",
+            F.col("pos").cast("int").alias("pos"),
+            F.col("cv").alias("centroid_val"),
+        )
+        .orderBy(F.col("centroid_id").asc(), F.col("pos").asc())
+    )

@@ -91,6 +91,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_json_schema",
     # 3: new in round 4
     "dedup_semantic_ivf",
+    "embedding_kmeans_refine",
     # 4: stale r1-evidence refresh of the §2.12 reference surface
     "top_abandoned_products",
     "top_abandoned_pairs",
@@ -114,8 +115,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_features",  # _featurize vectorized this round
     "similarity_topk",
     "similarity_ivf",
-    "dedup_exact",
     # --- window boundary: 50 names above (tests/test_registry_order.py) ---
+    "dedup_exact",
     "dedup_fingerprint",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",

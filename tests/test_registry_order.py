@@ -45,6 +45,7 @@ MUST_VERIFY = {
     "multimodal_features",
     # new in round 4
     "dedup_semantic_ivf",
+    "embedding_kmeans_refine",
     # never driver-verified before round 4
     "copurchase_lift",
     "corpus_mixture_weights",
