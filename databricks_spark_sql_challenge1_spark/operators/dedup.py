@@ -251,6 +251,63 @@ def _simhash_bands(sig: DataFrame) -> DataFrame:
     ).select("doc_id", "simhash", "band.band_id", "band.band_val")
 
 
+def _first_agreeing_band_sql(x: str, n: int, width: int, mask: int) -> str:
+    """SQL CASE: smallest band index of ``x`` (an XOR of two signatures)
+    whose ``width``-bit slice is all zeros. Well-defined whenever the two
+    signatures are within Hamming ≤ n-1 (pigeonhole); the ELSE branch only
+    fires on rows the exact Hamming filter discards anyway."""
+    whens = " ".join(
+        f"WHEN (({x} >> {b * width}) & {mask}) = 0 THEN {b}"
+        for b in range(n - 1)
+    )
+    return f"(CASE {whens} ELSE {n - 1} END)"
+
+
+def _simhash_true_pairs(sig: DataFrame) -> DataFrame:
+    """Exact near-dup pairs (doc_1, doc_2, hamming ≤ HAMMING_MAX), each
+    emitted EXACTLY ONCE with no post-join distinct: a pair matching on
+    several bands is kept only where band_id equals its FIRST agreeing
+    band — computable from sh1 XOR sh2 on the joined row, so multi-band
+    duplicates are dropped by a per-row expression instead of a shuffle
+    over the full pair set.
+
+    Measured alternatives (sf0.1, local[32], BENCH_NOTES.md §simhash r4):
+    post-join ``.distinct()`` (previous shape) — equal cold, slower warm
+    (the distinct re-shuffles ~6M matched rows); a second pigeonhole level
+    splitting dense buckets on the out-of-band bits — SLOWER here, because
+    the fixture's 3,058-doc hot bucket is true-dup-dominated (blocking can
+    never cut below the true pair count) while the sub-band explode adds
+    4× rows and wider join keys; a bloom/singleton bucket pre-pass —
+    pointless (singleton buckets emit zero join rows; 134 of 537 buckets).
+    At a real corpus where hot buckets are boilerplate-driven (few true
+    pairs), the sub-band level becomes the right lever; it is kept in git
+    history (commit adding it) and SCALE.md documents the trigger."""
+    n_bands = HAMMING_MAX + 1
+    band_width = SIMHASH_BITS // n_bands
+    band_mask = (1 << band_width) - 1
+    bands = _simhash_bands(sig)
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.expr("bit_count(a.simhash ^ b.simhash)")
+    first_band = _first_agreeing_band_sql(
+        "(a.simhash ^ b.simhash)", n_bands, band_width, band_mask
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(ham <= HAMMING_MAX)
+        .where(F.expr(f"a.band_id = {first_band}"))
+        .select(
+            F.col("a.doc_id").alias("doc_1"),
+            F.col("b.doc_id").alias("doc_2"),
+            ham.cast("int").alias("hamming"),
+        )
+    )
+
+
 @query(
     "dedup_simhash_pairs",
     oracle=f"""
@@ -264,34 +321,18 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ HAMMING_MAX.
 
-    Scale path, exact: band-blocked candidate generation. The 32-bit
-    signature splits into 7 bands (5 bits each); by pigeonhole, two
-    signatures within Hamming distance 6 MUST agree exactly on ≥1 of the 7
-    bands, so an equi-join on (band_id, band_value) produces a candidate
-    superset — then the exact bit_count filter keeps the true pairs. Result
-    is identical to the quadratic all-pairs join (the DuckDB oracle), but
-    the join is an equi-join: no crossJoin, shuffles on band buckets only.
+    Scale path, exact: band-blocked candidate generation — the 32-bit
+    signature splits into HAMMING_MAX+1 bands; by pigeonhole, two
+    signatures within Hamming distance HAMMING_MAX MUST agree exactly on
+    ≥ 1 band, so an equi-join on (band_id, band_value) produces a candidate
+    superset. The exact bit_count filter keeps the true pairs, each
+    emitted exactly once (first-agreeing-band rule in
+    ``_simhash_true_pairs`` — no post-join distinct shuffle). Result is
+    identical to the quadratic all-pairs join (the DuckDB oracle), but the
+    join is an equi-join: no crossJoin, shuffles on band buckets only.
     """
     sig = text_simhash(spark, sf_dir).cache()
-    bands = _simhash_bands(sig)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    hamming = F.expr("bit_count(a.simhash ^ b.simhash)")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .where(hamming <= HAMMING_MAX)
-        .select(
-            F.col("a.doc_id").alias("doc_1"),
-            F.col("b.doc_id").alias("doc_2"),
-            hamming.cast("int").alias("hamming"),
-        )
-        .distinct()  # a pair may match on several bands
-    )
+    return _simhash_true_pairs(sig)
 
 
 # Incremental split: the fixture has no arrival timestamp on documents, so

@@ -113,12 +113,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "nations_by_expr_key",
     "multimodal_frame_stats",  # _featurize vectorized this round
     "multimodal_features",  # _featurize vectorized this round
+    "dedup_simhash_pairs",  # first-agreeing-band emission, round 4
+    "dedup_cluster_components",  # consumes the simhash pair relation
+    # --- window boundary: 50 names above (tests/test_registry_order.py) ---
     "similarity_topk",
     "similarity_ivf",
-    # --- window boundary: 50 names above (tests/test_registry_order.py) ---
     "dedup_exact",
     "dedup_fingerprint",
-    "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
     "embedding_centroids",
     "embedding_norm_stats",

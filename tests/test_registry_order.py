@@ -43,6 +43,8 @@ MUST_VERIFY = {
     "tfidf_doc_neighbors",
     "multimodal_frame_stats",
     "multimodal_features",
+    "dedup_simhash_pairs",
+    "dedup_cluster_components",
     # new in round 4
     "dedup_semantic_ivf",
     "embedding_kmeans_refine",
