@@ -417,3 +417,139 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("lang").asc(), F.col("source").asc(), F.col("sample_rank").asc())
     )
+
+
+# Portable Bloom-filter decontamination: at 100 TB the benchmark shingle SET
+# may be too large to broadcast as strings; its Bloom bitmap is a few KB
+# regardless. The filter here is built from engine-portable md5 slices so
+# DuckDB replays the exact same bits — FPs are deterministic and identical,
+# which is what keeps this oracle-checkable (a native bloom_filter_agg
+# would be opaque to the oracle). k = 4 probes from the 4 disjoint 8-hex
+# slices of md5(shingle); m = 65,536 bits stored as 2,048 32-bit words
+# (max shift 31 — bit 63 overflows DuckDB's signed <<).
+BLOOM_BITS = 65536
+BLOOM_WORD = 32
+BLOOM_K = 4  # md5 = 32 hex chars = 4 disjoint 8-char slices
+
+
+@query(
+    "docs_contamination_bloom",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+corpus AS (SELECT * FROM sh WHERE doc_id % {BENCH_MOD} <> 0),
+bprobes AS (
+    SELECT CAST(CAST('0x' || substr(md5(shingle), 1 + i * 8, 8) AS UBIGINT)
+                % {BLOOM_BITS} AS BIGINT) AS p
+    FROM bench, unnest(generate_series(0, {BLOOM_K - 1})) AS t(i)
+),
+bitmap AS (
+    SELECT p // {BLOOM_WORD} AS word,
+           bit_or(CAST(1 AS BIGINT) << CAST(p % {BLOOM_WORD} AS INTEGER)) AS bits
+    FROM bprobes GROUP BY p // {BLOOM_WORD}
+),
+cprobes AS (
+    SELECT doc_id, shingle, i,
+           CAST(CAST('0x' || substr(md5(shingle), 1 + i * 8, 8) AS UBIGINT)
+                % {BLOOM_BITS} AS BIGINT) AS p
+    FROM corpus, unnest(generate_series(0, {BLOOM_K - 1})) AS t(i)
+),
+matched AS (
+    SELECT c.doc_id, c.shingle
+    FROM cprobes c JOIN bitmap b ON b.word = c.p // {BLOOM_WORD}
+    WHERE ((b.bits >> CAST(c.p % {BLOOM_WORD} AS INTEGER)) & 1) = 1
+    GROUP BY c.doc_id, c.shingle
+    HAVING COUNT(*) = {BLOOM_K}
+),
+tot AS (SELECT doc_id, COUNT(*) AS n FROM corpus GROUP BY doc_id),
+hit AS (SELECT doc_id, COUNT(*) AS c FROM matched GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(t.n AS BIGINT) AS n_shingles,
+       CAST(COALESCE(h.c, 0) AS BIGINT) AS n_bloom_overlap,
+       ROUND(CAST(COALESCE(h.c, 0) AS DOUBLE) / t.n, 4) AS contamination_est,
+       CAST(COALESCE(h.c, 0) AS DOUBLE) / t.n >= {CONTAMINATION_THRESHOLD}
+           AS is_flagged
+FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id
+ORDER BY t.doc_id ASC
+""",
+)
+def docs_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the 100 TB shape of
+    ``docs_contamination``: instead of broadcasting the benchmark shingle
+    SET (unbounded strings), broadcast its fixed-size Bloom bitmap
+    (BLOOM_BITS bits = 8 KB as BLOOM_BITS/BLOOM_WORD packed words,
+    regardless of benchmark size) and probe it with BLOOM_K word-indexed
+    bit tests per corpus shingle.
+
+    A shingle counts as overlapping when ALL k probes hit — a superset of
+    the true overlap (Bloom filters admit false positives, never false
+    negatives), so flagged docs ⊇ exactly-contaminated docs: the safe
+    direction for decontamination. The filter is engine-portable (md5-slice
+    probes, packed 32-bit words via bit_or) so the DuckDB oracle replays
+    bit-identical FPs — measured FP on fixtures ≈ 5 / 23,500 probes at
+    sf0.01 (theory (1-e^(-kn/m))^k ≈ 0.04%). Exactness relationship to the
+    set-based check is additionally pinned in tests/test_extensions.py.
+
+    Scale shape: the bitmap build aggregates bench probes into ≤ 2,048
+    word rows (broadcast a few KB); corpus probes join the broadcast
+    bitmap on word — narrow, no corpus shuffle until the per-(doc,
+    shingle) HAVING-k count and the per-doc rollup, which shuffle the
+    match candidates only.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles_spark(docs)
+    bench = (
+        sh.where(F.col("doc_id") % BENCH_MOD == 0).select("shingle").distinct()
+    )
+    corpus = sh.where(F.col("doc_id") % BENCH_MOD != 0)
+
+    def probes(df, keep):
+        slices = F.array(
+            *[
+                (
+                    F.conv(
+                        F.substring(F.md5("shingle"), 1 + i * 8, 8), 16, 10
+                    ).cast("bigint")
+                    % BLOOM_BITS
+                ).alias(f"p{i}")
+                for i in range(BLOOM_K)
+            ]
+        )
+        return df.select(
+            *keep, F.posexplode(slices).alias("i", "p")
+        ).select(
+            *keep,
+            "i",
+            F.expr(f"p div {BLOOM_WORD}").alias("word"),
+            F.expr(f"CAST(p % {BLOOM_WORD} AS INT)").alias("bit"),
+        )
+
+    bitmap = (
+        probes(bench, [])
+        .groupBy("word")
+        .agg(
+            F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("bits")
+        )
+    )
+    matched = (
+        probes(corpus, ["doc_id", "shingle"])
+        .join(F.broadcast(bitmap), "word")
+        .where(F.expr("(bits >> bit) & 1 = 1"))
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("k_hit"))
+        .where(F.col("k_hit") == BLOOM_K)
+    )
+    tot = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    hit = matched.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    frac = F.coalesce(F.col("c"), F.lit(0)).cast("double") / F.col("n")
+    return (
+        tot.join(hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_shingles"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("n_bloom_overlap"),
+            F.round(frac, 4).alias("contamination_est"),
+            (frac >= CONTAMINATION_THRESHOLD).alias("is_flagged"),
+        )
+        .orderBy(F.col("doc_id").asc())
+    )

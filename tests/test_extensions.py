@@ -180,3 +180,27 @@ def test_semantic_ivf_subset_of_exact_pairs(spark):
     exact_dropped = {b for (_, b) in exact_pairs}
     found = {r["vec_id"] for r in flagged}
     assert len(found & exact_dropped) / len(exact_dropped) >= 0.5
+
+
+def test_bloom_contamination_superset_of_exact(spark):
+    """Bloom decontamination must never produce a false negative: per doc,
+    n_bloom_overlap >= the exact n_overlap and every exactly-contaminated
+    doc must be flagged; and the deterministic FP load must stay tiny
+    (< 0.5% of probes on the fixtures)."""
+    from databricks_spark_sql_challenge1_spark.operators.traindata import (
+        docs_contamination,
+        docs_contamination_bloom,
+    )
+
+    exact = {r["doc_id"]: r for r in docs_contamination(spark, SF_DIR).collect()}
+    bloom = {r["doc_id"]: r for r in docs_contamination_bloom(spark, SF_DIR).collect()}
+    assert exact.keys() == bloom.keys()
+    fp = tot = 0
+    for d, e in exact.items():
+        b = bloom[d]
+        assert b["n_bloom_overlap"] >= e["n_overlap"], d
+        if e["is_contaminated"]:
+            assert b["is_flagged"], d
+        fp += b["n_bloom_overlap"] - e["n_overlap"]
+        tot += e["n_shingles"]
+    assert fp / tot < 0.005, (fp, tot)

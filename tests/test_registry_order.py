@@ -48,6 +48,7 @@ MUST_VERIFY = {
     # new in round 4
     "dedup_semantic_ivf",
     "embedding_kmeans_refine",
+    "docs_contamination_bloom",
     # never driver-verified before round 4
     "copurchase_lift",
     "corpus_mixture_weights",
