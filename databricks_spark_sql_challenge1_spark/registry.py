@@ -93,6 +93,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_semantic_ivf",
     "embedding_kmeans_refine",
     "docs_contamination_bloom",
+    "streaming_nation_activity",
     # 4: stale r1-evidence refresh of the §2.12 reference surface
     "top_abandoned_products",
     "top_abandoned_pairs",
@@ -103,7 +104,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "order_export_denorm",
     "launch_cohort_analysis",
     "launch_month_orders",
-    "launch_year_orders",
     "clean_orders",
     "valid_orders",
     "orders_no_price",
@@ -116,6 +116,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_simhash_pairs",  # first-agreeing-band emission, round 4
     "dedup_cluster_components",  # consumes the simhash pair relation
     # --- window boundary: 50 names above (tests/test_registry_order.py) ---
+    "launch_year_orders",
     "calendar_dim",
     "similarity_topk",
     "similarity_ivf",

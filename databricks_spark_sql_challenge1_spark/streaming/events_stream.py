@@ -249,3 +249,48 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@query("streaming_nation_activity")  # rows-only: streaming not in SQL oracle
+def streaming_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join + event-time window: the live events stream
+    enriched against the static customer→nation dimension chain, then
+    aggregated per nation over tumbling 1-hour windows behind a watermark
+    — the canonical "enrich the firehose with reference data" pipeline
+    stage (the static side is re-read per micro-batch and broadcast; no
+    stream-side state beyond the window aggregation).
+
+    Semantics pinned by tests/test_streaming.py: equal to the identical
+    batch join+window (events ⋈ customer ⋈ nation → F.window agg).
+    """
+    from databricks_spark_sql_challenge1_spark.catalog import load_table
+
+    stream = _events_stream(spark, sf_dir)
+    dims = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_nationkey")
+        .join(
+            load_table(spark, sf_dir, "nation").select(
+                F.col("n_nationkey").alias("c_nationkey"),
+                F.col("n_name").alias("nation"),
+            ),
+            "c_nationkey",
+        )
+        .select("user_id", "nation")
+    )
+    windowed = (
+        stream.withWatermark("ts", "1 hour")
+        .join(dims, "user_id")  # stream-static equi-join
+        .groupBy(F.window("ts", "1 hour"), "nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "nation",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _drain_to_memory(windowed, spark)

@@ -49,6 +49,7 @@ MUST_VERIFY = {
     "dedup_semantic_ivf",
     "embedding_kmeans_refine",
     "docs_contamination_bloom",
+    "streaming_nation_activity",
     # never driver-verified before round 4
     "copurchase_lift",
     "corpus_mixture_weights",

@@ -163,3 +163,50 @@ def test_streaming_dedup_under_rocksdb_state_store(spark):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_streaming_nation_activity_equals_batch(spark):
+    """Stream-static enrichment must equal the identical batch
+    join+window: events ⋈ customer ⋈ nation → tumbling 1h per nation."""
+    from pyspark.sql import functions as F
+
+    from databricks_spark_sql_challenge1_spark.catalog import load_table
+    from databricks_spark_sql_challenge1_spark.streaming.events_stream import (
+        streaming_nation_activity,
+    )
+
+    got = {
+        (r["window_start"], r["nation"], r["n_events"], r["sum_value"])
+        for r in streaming_nation_activity(spark, SF_DIR).collect()
+    }
+    dims = (
+        load_table(spark, SF_DIR, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_nationkey")
+        .join(
+            load_table(spark, SF_DIR, "nation").select(
+                F.col("n_nationkey").alias("c_nationkey"),
+                F.col("n_name").alias("nation"),
+            ),
+            "c_nationkey",
+        )
+        .select("user_id", "nation")
+    )
+    want = {
+        (r["window_start"], r["nation"], r["n_events"], r["sum_value"])
+        for r in (
+            load_table(spark, SF_DIR, "events")
+            .join(dims, "user_id")
+            .groupBy(F.window("ts", "1 hour"), "nation")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .select(
+                F.col("window.start").alias("window_start"),
+                "nation",
+                "n_events",
+                "sum_value",
+            )
+        ).collect()
+    }
+    assert want and got == want
