@@ -627,12 +627,20 @@ def embedding_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     their previous centroid (COALESCE on both engines).
     """
     e = _emb(spark, sf_dir).select("vec_id", "emb")
+    return _kmeans_refine(e)
+
+
+def _kmeans_refine(e: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
+    """The Lloyd loop over a (vec_id, emb) frame — factored out so the
+    empty-cluster COALESCE path (never exercised by the fixture corpus,
+    where every seed self-assigns on round 1) can be unit-tested on
+    synthetic data (tests/test_extensions.py)."""
     cent = e.where(F.col("vec_id") % CENTROID_STRIDE == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
     )
     assigned = None
     means = None
-    for it in range(KMEANS_ITERS):
+    for it in range(iters):
         rk_w = Window.partitionBy("vec_id").orderBy(
             F.round(_sqdist(F.col("emb"), F.col("cemb")), 6).asc(),
             F.col("centroid_id").asc(),
@@ -648,7 +656,7 @@ def embedding_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("centroid_id", "pos")
             .agg(F.round(F.avg("v"), KMEANS_ROUND).alias("cv"))
         )
-        if it < KMEANS_ITERS - 1:
+        if it < iters - 1:
             reassembled = means.groupBy("centroid_id").agg(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("pos", "cv"))),

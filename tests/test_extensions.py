@@ -204,3 +204,45 @@ def test_bloom_contamination_superset_of_exact(spark):
         fp += b["n_bloom_overlap"] - e["n_overlap"]
         tot += e["n_shingles"]
     assert fp / tot < 0.005, (fp, tot)
+
+
+def test_kmeans_empty_cluster_keeps_seed(spark):
+    """A cluster that loses every member must keep its previous centroid
+    (COALESCE path) instead of crashing or emitting NULL means — never
+    exercised by the fixture corpus, where every stride-seed self-assigns.
+    Construction: vec 50 duplicates vec 0, so on round 1 the centroid-id
+    tiebreak sends BOTH to cluster 0 and cluster 50 is immediately empty."""
+    from databricks_spark_sql_challenge1_spark.operators.similarity import (
+        _kmeans_refine,
+    )
+
+    base = [float(i % 7) for i in range(64)]
+    off = [v + 1.0 for v in base]
+    rows = [
+        (0, base),
+        (50, base),  # duplicate of the seed 0 vector → cluster 50 empties
+        (1, off),
+        (2, off),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    out = _kmeans_refine(e).collect()
+    # Round 1: every vector ties between the two identical seeds and the
+    # centroid-id tiebreak sends ALL FOUR to cluster 0 — cluster 50 is
+    # empty, so its round-2 centroid must COALESCE back to the seed (a
+    # NULL/crash here is the bug this test pins). Round 2 then re-splits:
+    # the kept seed (= base) wins back the two base vectors while the
+    # moved cluster-0 centroid (the 4-vector mean) keeps the off pair.
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["centroid_id"], []).append(r)
+    assert set(by_cluster) == {0, 50}, set(by_cluster)
+    assert {r["n_members"] for r in by_cluster[0]} == {2}
+    assert {r["n_members"] for r in by_cluster[50]} == {2}
+    got0 = [
+        r["centroid_val"] for r in sorted(by_cluster[0], key=lambda r: r["pos"])
+    ]
+    got50 = [
+        r["centroid_val"] for r in sorted(by_cluster[50], key=lambda r: r["pos"])
+    ]
+    assert got0 == [round(v, 6) for v in off]
+    assert got50 == [round(v, 6) for v in base]
