@@ -6,6 +6,15 @@ Pattern: file-source readStream over the fixture parquet (pathGlobFilter
 pins the single table file), event-time window agg behind a watermark,
 ``availableNow`` trigger draining to a memory sink — the batch-equivalent
 execution mode, so results can be asserted against the batch operators.
+
+Custom stateful processing uses ``applyInPandasWithState``. Its Spark-4
+successor ``transformWithStateInPandas`` (typed state handles, timers) was
+evaluated in round 4 but cannot run in this container: its state-server
+protocol requires the ``protobuf`` Python package, which is not installed
+(verified: the streaming Python runner crashes importing
+``pyspark.sql.streaming.proto.StateMessage_pb2``). The migration is
+mechanical when the dependency exists — same groupBy key, the update
+function becomes a ``StatefulProcessor`` with ``handle.getValueState``.
 """
 
 from __future__ import annotations
