@@ -94,3 +94,29 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     directory structure and predicates on them become PartitionFilters in
     the scan (pruning proven in tests/test_sources.py)."""
     return spark.read.parquet(path)
+
+
+def write_jsonl(df: DataFrame, path: str, compression: str | None = "gzip") -> None:
+    """JSON-lines sink — the interchange format training corpora actually
+    ship in (one JSON object per line, gzip-compressed shards). Spark's
+    native json writer emits exactly this layout, one shard per partition;
+    shard count = upstream partitioning, so repartition first to set it.
+    """
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines source. Pass an explicit schema for the scale path —
+    schema inference reads the data twice and resolves types from a sample;
+    with a schema the scan is single-pass and the JSON parser runs inside
+    whole-stage codegen (same rationale as events_json_schema vs
+    events_json_extract). Gzip shards decompress transparently (gzip is
+    not splittable — at 100 TB prefer zstd shards sized to one task each).
+    """
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)

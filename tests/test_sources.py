@@ -126,3 +126,29 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
 
     expected = orders.where(F.col("order_year") == 2001).count()
     assert back.count() == expected > 0
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    """documents → gzip JSONL shards → read back with explicit schema:
+    identical rows, and the compressed files are real .json.gz parts."""
+    import os
+
+    from databricks_spark_sql_challenge1_spark.catalog import load_table
+    from databricks_spark_sql_challenge1_spark.sources.ingest import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs.repartition(4), path)
+    parts = [f for f in os.listdir(path) if f.endswith(".json.gz")]
+    assert len(parts) == 4, parts
+    back = read_jsonl(spark, path, schema=docs.schema)
+    assert sorted(back.columns) == sorted(docs.columns)
+    want = sorted(tuple(str(x) for x in r) for r in docs.collect())
+    got = sorted(
+        tuple(str(x) for x in r)
+        for r in back.select(*docs.columns).collect()
+    )
+    assert got == want
