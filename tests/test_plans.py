@@ -117,3 +117,51 @@ def test_incremental_dedup_no_cartesian(spark):
 
     df = dedup_incremental(spark, SF_DIR)
     assert not has_cartesian(df), simple_plan(df)
+
+
+def test_round4_operators_no_cartesian_product(spark):
+    """Round-4 operators must never degenerate into a CartesianProduct.
+    (BroadcastNestedLoopJoin against broadcast-tiny centroid/query tables
+    is intended and allowed — see VERDICT r3 BNLJ audit — so this checks
+    the plan string directly instead of has_cartesian.)"""
+    from databricks_spark_sql_challenge1_spark.operators.dedup import (
+        dedup_simhash_pairs,
+    )
+    from databricks_spark_sql_challenge1_spark.operators.similarity import (
+        dedup_semantic_ivf,
+        embedding_kmeans_refine,
+    )
+    from databricks_spark_sql_challenge1_spark.operators.traindata import (
+        docs_contamination_bloom,
+    )
+
+    for q in (
+        dedup_semantic_ivf,
+        embedding_kmeans_refine,
+        docs_contamination_bloom,
+        dedup_simhash_pairs,
+    ):
+        plan = simple_plan(q(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, f"{q.__name__}:\n{plan}"
+
+
+def test_bloom_bitmap_joins_as_broadcast(spark):
+    """The bloom bitmap (≤ 2,048 word rows) must come in as a broadcast
+    hash join — a shuffled bitmap join would defeat the operator's point."""
+    from databricks_spark_sql_challenge1_spark.operators.traindata import (
+        docs_contamination_bloom,
+    )
+
+    assert uses_broadcast_join(docs_contamination_bloom(spark, SF_DIR))
+
+
+def test_simhash_pairs_no_pair_set_reshuffle(spark):
+    """The first-agreeing-band emission replaced the post-join distinct:
+    the plan must not hash-partition on the output pair key (that exchange
+    over the full matched-pair set is exactly what was removed)."""
+    from databricks_spark_sql_challenge1_spark.operators.dedup import (
+        dedup_simhash_pairs,
+    )
+
+    plan = formatted_plan(dedup_simhash_pairs(spark, SF_DIR))
+    assert "hashpartitioning(doc_1" not in plan, plan
