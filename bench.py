@@ -44,12 +44,29 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).count()
     last_order_datetime(spark, sf_dir)
 
+    # Measurement protocol (round 5; VERDICT r4 "Next round" #3): the shared
+    # host has documented day-range variance, and every round so far burned
+    # effort on "cold sweep scared us, isolation re-run cleared it". So: one
+    # timed run for the sub-2 s body of the distribution (noise there is
+    # absolute-small), and for the ≥2 s heavy tail the first run is treated
+    # as the warmup and the recorded number is the MEDIAN of 3 runs.
+    HEAVY_TAIL_SEC = 2.0
+    REPEATS = 3
+
+    def timed(fn) -> float:
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        return round(time.perf_counter() - t0, 3)
+
     timings: dict[str, float] = {}
     for name in headline:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        first = timed(fn)
+        if first < HEAVY_TAIL_SEC:
+            timings[name] = first
+        else:
+            runs = sorted([first] + [timed(fn) for _ in range(REPEATS - 1)])
+            timings[name] = runs[REPEATS // 2]
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -61,6 +78,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "protocol": "median-of-3-warmed for queries >= 2s; "
+                "single-run below",
             }
         )
     )

@@ -18,6 +18,14 @@ from databricks_spark_sql_challenge1_spark.registry import query
 
 SHINGLE_N = 3  # word 3-grams
 JACCARD_THRESHOLD = 0.2
+# Document-frequency cut for the inverted-index join: a shingle present in
+# more than this many documents (stopword trigrams at corpus scale) is
+# dropped from BOTH the index and the Jaccard universe. A hot shingle with
+# df=d contributes d·(d-1)/2 candidate pairs, so the cut bounds per-shingle
+# join fan-out at CAP²/2 regardless of corpus size — the standard skew
+# guard for shingle-based near-dup at web scale. Mirrored bit-for-bit in
+# the DuckDB oracle (same cut, same universe), so parity is exact.
+NGRAM_DF_CAP = 128
 SIMHASH_BITS = 32
 # The fixture documents draw from a tiny shared vocabulary, so signatures
 # cluster tightly; Hamming ≤ 3 keeps the near-dup output meaningfully sparse
@@ -112,7 +120,10 @@ _SHINGLES_SQL = f"""
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
-WITH sh AS ({_SHINGLES_SQL}),
+WITH sh0 AS ({_SHINGLES_SQL}),
+hot AS (SELECT shingle FROM sh0 GROUP BY shingle
+        HAVING COUNT(*) > {NGRAM_DF_CAP}),
+sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 ANTI JOIN hot USING (shingle)),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 common AS (
     SELECT a.doc_id AS doc_1, b.doc_id AS doc_2, COUNT(*) AS c
@@ -132,9 +143,30 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup: shingle → inverted-index self-join →
     |∩| / |∪|. The shingle equi-join IS the blocking step: only documents
     sharing at least one shingle ever meet, so the pair space stays sparse
-    at scale (vs a quadratic crossJoin)."""
+    at scale (vs a quadratic crossJoin).
+
+    Hot-shingle DF-cut (round 5): shingles with document frequency >
+    NGRAM_DF_CAP are removed from the index AND the per-doc set sizes, so
+    Jaccard is defined over the pruned shingle universe on both engines.
+    The hot list is tiny by construction (only keys with df > CAP), so it
+    ships as a broadcast left_anti join — no extra shuffle of the index.
+    """
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles_spark(docs)
+    return _ngram_jaccard(docs, NGRAM_DF_CAP)
+
+
+def _ngram_jaccard(docs: DataFrame, df_cap: int) -> DataFrame:
+    """Core of dedup_ngram_jaccard, factored out so the binding-cap path
+    (non-binding on the fixture corpus, max shingle df ≪ CAP) is unit-
+    testable on synthetic hot-shingle data (tests/test_extensions.py)."""
+    sh0 = _shingles_spark(docs)
+    hot = (
+        sh0.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > df_cap)
+        .select("shingle")
+    )
+    sh = sh0.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

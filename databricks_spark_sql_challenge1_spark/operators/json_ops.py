@@ -10,7 +10,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from databricks_spark_sql_challenge1_spark.catalog import load_table
 from databricks_spark_sql_challenge1_spark.registry import query
@@ -65,4 +71,83 @@ def events_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k_bucket")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy(F.col("k_bucket").asc_nulls_first())
+    )
+
+
+@query(
+    "events_json_nested",
+    oracle="""
+WITH env AS (
+    SELECT '{"meta":{"u":' || CAST(user_id AS VARCHAR)
+           || ',"t":"' || event_type || '"},"vals":['
+           || CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR)
+           || ','
+           || CAST(CAST(json_extract(props, '$.k') AS BIGINT) * 2 AS VARCHAR)
+           || ']}' AS payload
+    FROM events
+)
+SELECT json_extract_string(payload, '$.meta.t') AS t,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract(payload, '$.vals[1]') AS BIGINT)) AS BIGINT)
+           AS sum_v2,
+       CAST(MAX(json_array_length(payload, '$.vals')) AS BIGINT) AS max_vals
+FROM env
+GROUP BY 1
+ORDER BY t ASC
+""",
+)
+def events_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested struct/array JSON round-trip: the fixture ``props`` payloads
+    are flat (``{"k": N}``), so this query manufactures a nested envelope
+    ``{"meta": {"u", "t"}, "vals": [k, 2k]}`` deterministically from event
+    columns, parses it back with an explicit *nested* ``from_json`` schema
+    (struct-in-struct + array field — the shape real event payloads take),
+    and aggregates on fields extracted from both nesting levels. The DuckDB
+    oracle builds the identical string and walks the same nested JSONPaths.
+
+    Scale: both the envelope build and the parse are Catalyst expressions
+    inside whole-stage codegen — one scan, no shuffle before the final
+    per-type aggregate.
+    """
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    payload = F.concat(
+        F.lit('{"meta":{"u":'),
+        F.col("user_id").cast("string"),
+        F.lit(',"t":"'),
+        F.col("event_type"),
+        F.lit('"},"vals":['),
+        k.cast("string"),
+        F.lit(","),
+        (k * 2).cast("string"),
+        F.lit("]}"),
+    )
+    schema = StructType(
+        [
+            StructField(
+                "meta",
+                StructType(
+                    [
+                        StructField("u", LongType()),
+                        StructField("t", StringType()),
+                    ]
+                ),
+            ),
+            StructField("vals", ArrayType(LongType())),
+        ]
+    )
+    return (
+        events.select(F.from_json(payload, schema).alias("j"))
+        .select(
+            F.col("j.meta.t").alias("t"),
+            F.element_at("j.vals", 2).alias("v2"),
+            F.size("j.vals").cast("long").alias("n_vals"),
+        )
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v2").alias("sum_v2"),
+            F.max("n_vals").alias("max_vals"),
+        )
+        .orderBy(F.col("t").asc())
     )

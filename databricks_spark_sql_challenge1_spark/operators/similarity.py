@@ -572,37 +572,64 @@ _KM_ASSIGN_SQL = f"""
 """
 
 
-@query(
-    "embedding_kmeans_refine",
-    oracle=f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-c0 AS (SELECT vec_id AS centroid_id, emb AS cemb FROM e
-       WHERE vec_id % {CENTROID_STRIDE} = 0),
-a1 AS ({_KM_ASSIGN_SQL.format(cent="c0")}),
-m1 AS (
+def _km_oracle_sql(iters: int = KMEANS_ITERS) -> str:
+    """DuckDB oracle for ``embedding_kmeans_refine``, its CTE chain
+    GENERATED from KMEANS_ITERS so the Spark loop and the oracle can never
+    silently desync when the constant changes (ADVICE r4): per iteration,
+    an assign CTE (a_i from c_{i-1}) and — for all but the last — a
+    list-reassembled means CTE (m_i) merged into the next centroid table
+    (c_i) with the same empty-cluster COALESCE as the Spark side."""
+    assert iters >= 1
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
+        "FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS centroid_id, emb AS cemb FROM e\n"
+        f"       WHERE vec_id % {CENTROID_STRIDE} = 0)",
+    ]
+    for i in range(1, iters):
+        ctes.append(f"a{i} AS ({_KM_ASSIGN_SQL.format(cent=f'c{i - 1}')})")
+        ctes.append(
+            f"""m{i} AS (
     SELECT centroid_id, list(cv ORDER BY pos) AS cemb FROM (
-        SELECT a1.centroid_id, i - 1 AS pos,
+        SELECT a{i}.centroid_id, i - 1 AS pos,
                ROUND(AVG(emb[i]), {KMEANS_ROUND}) AS cv
-        FROM a1, unnest(generate_series(1, {EMB_DIM})) AS t(i)
-        GROUP BY a1.centroid_id, i
+        FROM a{i}, unnest(generate_series(1, {EMB_DIM})) AS t(i)
+        GROUP BY a{i}.centroid_id, i
     ) GROUP BY centroid_id
-),
-c1 AS (SELECT c0.centroid_id, COALESCE(m1.cemb, c0.cemb) AS cemb
-       FROM c0 LEFT JOIN m1 ON m1.centroid_id = c0.centroid_id),
-a2 AS ({_KM_ASSIGN_SQL.format(cent="c1")}),
-sizes AS (SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_members
-          FROM a2 GROUP BY centroid_id),
-m2 AS (
-    SELECT a2.centroid_id, CAST(i - 1 AS INTEGER) AS pos,
+)"""
+        )
+        ctes.append(
+            f"c{i} AS (SELECT c{i - 1}.centroid_id, "
+            f"COALESCE(m{i}.cemb, c{i - 1}.cemb) AS cemb\n"
+            f"       FROM c{i - 1} LEFT JOIN m{i} "
+            f"ON m{i}.centroid_id = c{i - 1}.centroid_id)"
+        )
+    last = iters
+    ctes.append(f"a{last} AS ({_KM_ASSIGN_SQL.format(cent=f'c{last - 1}')})")
+    ctes.append(
+        f"sizes AS (SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_members\n"
+        f"          FROM a{last} GROUP BY centroid_id)"
+    )
+    ctes.append(
+        f"""mfin AS (
+    SELECT a{last}.centroid_id, CAST(i - 1 AS INTEGER) AS pos,
            ROUND(AVG(emb[i]), {KMEANS_ROUND}) AS centroid_val
-    FROM a2, unnest(generate_series(1, {EMB_DIM})) AS t(i)
-    GROUP BY a2.centroid_id, i
-)
-SELECT m2.centroid_id, s.n_members, m2.pos, m2.centroid_val
-FROM m2 JOIN sizes s ON s.centroid_id = m2.centroid_id
-ORDER BY m2.centroid_id ASC, m2.pos ASC
-""",
-)
+    FROM a{last}, unnest(generate_series(1, {EMB_DIM})) AS t(i)
+    GROUP BY a{last}.centroid_id, i
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT mfin.centroid_id, s.n_members, mfin.pos, mfin.centroid_val
+FROM mfin JOIN sizes s ON s.centroid_id = mfin.centroid_id
+ORDER BY mfin.centroid_id ASC, mfin.pos ASC
+"""
+    )
+
+
+@query("embedding_kmeans_refine", oracle=_km_oracle_sql())
 def embedding_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-round Lloyd (k-means) refinement over the embedding corpus —
     the iterative-ML pattern as a declarative DataFrame loop: seed with the
@@ -616,7 +643,9 @@ def embedding_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism across engines: distances are ranked on ROUND(d², 6) with a
     centroid-id tiebreak, and means are rounded to KMEANS_ROUND per
     iteration on BOTH engines, so the assignment fixpoint is bit-identical
-    and the DuckDB oracle can unroll the same two iterations as CTEs.
+    and the DuckDB oracle unrolls the same KMEANS_ITERS iterations as a
+    CTE chain *generated from the constant* (_km_oracle_sql) — changing
+    the iteration count changes both engines together.
 
     Scale shape per iteration: centroid table is k×d (broadcast-tiny even
     at k = 10⁵), assignment is a narrow crossJoin + rank-1 window (no

@@ -553,3 +553,67 @@ def docs_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("doc_id").asc())
     )
+
+
+# --- JSONL interchange round-trip ------------------------------------------
+
+
+@query(
+    "jsonl_roundtrip_checksum",
+    oracle="""
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(CAST(CAST('0x' || substr(md5(text), 1, 8) AS UBIGINT)
+                     AS BIGINT)) AS BIGINT) AS text_hash_sum,
+       COUNT(DISTINCT lang) AS n_langs
+FROM documents
+""",
+)
+def jsonl_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless-export proof for the JSONL source/sink (sources/ingest.py
+    write_jsonl/read_jsonl): export the corpus as gzip JSONL shards, scan
+    them back with an EXPLICIT schema (single-pass, no inference), and
+    compute an order-insensitive corpus checksum (row count, char total,
+    sum of 32-bit md5 prefixes of text, distinct langs). The oracle
+    computes the same checksum on the source table directly — a hash match
+    means the round trip dropped, duplicated, or mangled nothing.
+
+    Scale: shard count = upstream partitioning (here 4; at 100 TB,
+    repartition to task-sized zstd shards); the checksum is one map-side-
+    partial aggregate over the re-scan.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from databricks_spark_sql_challenge1_spark.sources.ingest import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = os.path.join(tempfile.mkdtemp(prefix="jsonl_rt_"), "docs")
+    write_jsonl(docs.repartition(4), out, mode="overwrite")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    back = read_jsonl(spark, out, schema=schema)
+    h = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint")
+    return back.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(h).alias("text_hash_sum"),
+        F.count_distinct("lang").alias("n_langs"),
+    )

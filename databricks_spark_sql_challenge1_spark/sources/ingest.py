@@ -96,13 +96,23 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def write_jsonl(df: DataFrame, path: str, compression: str | None = "gzip") -> None:
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    compression: str | None = "gzip",
+    mode: str = "overwrite",
+) -> None:
     """JSON-lines sink — the interchange format training corpora actually
     ship in (one JSON object per line, gzip-compressed shards). Spark's
     native json writer emits exactly this layout, one shard per partition;
     shard count = upstream partitioning, so repartition first to set it.
+
+    WARNING: ``mode`` defaults to ``"overwrite"``, which REPLACES any
+    existing data at ``path`` (matching ``save_table``'s ingest semantics).
+    Pass ``mode="error"`` (Spark's own default) to refuse to clobber, or
+    ``"append"`` to add shards.
     """
-    w = df.write.mode("overwrite")
+    w = df.write.mode(mode)
     if compression:
         w = w.option("compression", compression)
     w.json(path)

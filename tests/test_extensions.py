@@ -246,3 +246,57 @@ def test_kmeans_empty_cluster_keeps_seed(spark):
     ]
     assert got0 == [round(v, 6) for v in off]
     assert got50 == [round(v, 6) for v in base]
+
+
+def test_ngram_df_cut_binding(spark):
+    """The hot-shingle DF-cut is non-binding on the fixture corpus (max
+    shingle df ≪ NGRAM_DF_CAP, verified r5) — pin the binding behavior on a
+    synthetic corpus where one stopword trigram spans every document."""
+    from databricks_spark_sql_challenge1_spark.operators.dedup import (
+        _ngram_jaccard,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "a b c d"),
+            (3, "a b c x"),
+            (4, "a b c y"),
+        ],
+        "doc_id long, text string",
+    )
+    # cap 10: nothing cut; every pair shares the hot "a b c" shingle.
+    uncut = {
+        (r["doc_1"], r["doc_2"]): r["jaccard"]
+        for r in _ngram_jaccard(docs, 10).collect()
+    }
+    assert len(uncut) == 6
+    assert uncut[(1, 2)] == 1.0
+    assert uncut[(3, 4)] == round(1 / 3, 4)
+    # cap 3: "a b c" (df=4) is cut from index AND sizes; only the exact
+    # duplicate pair survives, over the pruned universe {"b c d"}.
+    cut = {
+        (r["doc_1"], r["doc_2"]): r["jaccard"]
+        for r in _ngram_jaccard(docs, 3).collect()
+    }
+    assert cut == {(1, 2): 1.0}
+
+
+def test_kmeans_oracle_generated_from_constant(spark, duck):
+    """ADVICE r4: the registered oracle must be the generator's output for
+    KMEANS_ITERS, and the generator must stay in sync with the Spark loop
+    at a DIFFERENT iteration count (run both at iters=3 and compare)."""
+    from databricks_spark_sql_challenge1_spark.operators.similarity import (
+        KMEANS_ITERS,
+        _emb,
+        _km_oracle_sql,
+        _kmeans_refine,
+    )
+    from databricks_spark_sql_challenge1_spark.registry import ORACLES
+
+    assert ORACLES["embedding_kmeans_refine"] == _km_oracle_sql(KMEANS_ITERS).strip()
+    sp = sorted(
+        tuple(r) for r in _kmeans_refine(_emb(spark, SF_DIR), iters=3).collect()
+    )
+    orc = sorted(tuple(r) for r in duck.sql(_km_oracle_sql(3)).fetchall())
+    assert sp == orc

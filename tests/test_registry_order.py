@@ -14,51 +14,43 @@ from databricks_spark_sql_challenge1_spark.registry import (
 
 DRIVER_WINDOW = 50
 
-# Round-4 must-verify: everything whose code path changed this round (the
-# events.ts NTZ heal touches every events reader; tfidf posting-cap ranking
-# re-keyed; multimodal _featurize vectorized) plus the 8 queries that had no
-# CORRECTNESS row in ANY prior round (VERDICT.md r3 "What's wrong" #3).
+# Round-5 must-verify: everything changed/new this round plus the 27 queries
+# whose only driver evidence was round 1 (pre-PySpark-4.1 — the drift class
+# that broke round 3; VERDICT.md r4 "What's missing" #1 / "Next round" #1).
 MUST_VERIFY = {
-    # events.ts heal — batch temporal
-    "events_asof_join",
-    "events_range_join",
-    "events_funnel_conversion",
-    # events.ts heal — streaming
-    "streaming_tumbling_1h",
-    "streaming_session_30m",
-    "streaming_user_state",
-    "streaming_dedup_events",
-    "streaming_click_attribution",
-    # events.ts heal — event-time windows re-witness
-    "events_tumbling_1h",
-    "events_sliding_1h_30m",
-    "events_session_30m",
-    "events_time_rollup",
-    "events_hourly_anomaly",
-    "events_retention_cohorts",
-    "events_type_transitions",
-    "events_json_extract",
-    "events_json_schema",
-    # changed this round
-    "tfidf_doc_neighbors",
-    "multimodal_frame_stats",
-    "multimodal_features",
-    "dedup_simhash_pairs",
-    "dedup_cluster_components",
-    # new in round 4
-    "dedup_semantic_ivf",
+    # changed or new this round
+    "dedup_ngram_jaccard",
+    "events_json_nested",
+    "jsonl_roundtrip_checksum",
     "embedding_kmeans_refine",
-    "docs_contamination_bloom",
-    "streaming_nation_activity",
-    # never driver-verified before round 4
-    "copurchase_lift",
-    "corpus_mixture_weights",
-    "cube_order_summary",
-    "customer_value_deciles",
-    "docs_perplexity_buckets",
-    "docs_quality_tiers",
-    "events_rolling_7d_value",
-    "orders_unpivot_metrics",
+    # round-1-stale evidence refresh
+    "approx_price_percentiles",
+    "approx_topk_products",
+    "calendar_dim",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_minhash_lsh",
+    "embedding_centroids",
+    "embedding_norm_stats",
+    "launch_year_orders",
+    "monthly_order_trend_lag",
+    "pivot_status_by_priority",
+    "price_percentiles",
+    "rollup_order_values",
+    "set_ops_customers",
+    "similarity_ivf",
+    "similarity_topk",
+    "text_simhash",
+    "widget_day_items",
+    "widget_day_orders",
+    "widget_day_peak",
+    "widget_day_value_items",
+    "widget_day_value_orders",
+    "widget_month_items",
+    "widget_month_orders",
+    "widget_month_totals",
+    "widget_month_value_items",
+    "widget_month_value_orders",
 }
 
 

@@ -152,3 +152,17 @@ def test_jsonl_roundtrip(spark, tmp_path):
         for r in back.select(*docs.columns).collect()
     )
     assert got == want
+
+
+def test_jsonl_write_mode_error_refuses_clobber(spark, tmp_path):
+    from databricks_spark_sql_challenge1_spark.sources.ingest import write_jsonl
+
+    docs = spark.range(3).selectExpr("id AS doc_id", "CAST(id AS STRING) AS text")
+    path = str(tmp_path / "docs_jsonl_mode")
+    write_jsonl(docs, path, mode="error")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="already exists"):
+        write_jsonl(docs, path, mode="error")
+    # default stays overwrite (documented destructive ingest semantics)
+    write_jsonl(docs, path)
