@@ -341,6 +341,161 @@ def _pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVF-PQ probes: queries scan their IVFPQ_PROBES nearest cells (standard
+# multi-probe; same constant family as SEMANTIC_PROBES below).
+IVFPQ_PROBES = 2
+
+
+@query(
+    "similarity_ivfpq",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, emb AS cemb FROM e
+         WHERE vec_id % {CENTROID_STRIDE} = 0),
+assigned AS ({_IVF_ASSIGNED_SQL}),
+qprobe AS (
+    SELECT vec_id AS query_id, centroid_id AS qc
+    FROM (
+        SELECT e.vec_id, cent.centroid_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(e.emb, cent.cemb), 6) DESC,
+                            cent.centroid_id ASC) AS rk
+        FROM e CROSS JOIN cent
+        WHERE e.vec_id < {N_QUERIES}
+    ) WHERE rk <= {IVFPQ_PROBES}
+),
+sub AS ({_PQ_SUB_SQL}),
+cb AS (SELECT vec_id AS centroid_id, m, sub AS csub FROM sub
+       WHERE vec_id % {CENTROID_STRIDE} = 0),
+codes AS (
+    SELECT vec_id, m, centroid_id AS code
+    FROM (
+        SELECT s.vec_id, s.m, cb.centroid_id,
+               row_number() OVER (
+                   PARTITION BY s.vec_id, s.m
+                   ORDER BY ROUND({_SQDIST_SQL.format(a="s.sub", b="cb.csub")}, 6) ASC,
+                            cb.centroid_id ASC) AS rk
+        FROM sub s JOIN cb ON cb.m = s.m
+    ) WHERE rk = 1
+),
+dtable AS (
+    SELECT s.vec_id AS query_id, s.m, cb.centroid_id AS code,
+           {_SQDIST_SQL.format(a="s.sub", b="cb.csub")} AS d
+    FROM sub s JOIN cb ON cb.m = s.m
+    WHERE s.vec_id < {N_QUERIES}
+),
+cand AS (
+    SELECT q.query_id, a.vec_id
+    FROM assigned a JOIN qprobe q ON a.centroid_id = q.qc
+    WHERE a.vec_id <> q.query_id
+),
+scored AS (
+    SELECT c.query_id, c.vec_id AS neighbor_id, ROUND(SUM(d.d), 4) AS adist
+    FROM cand c
+    JOIN codes k ON k.vec_id = c.vec_id
+    JOIN dtable d ON d.query_id = c.query_id AND d.m = k.m AND d.code = k.code
+    GROUP BY c.query_id, c.vec_id
+)
+SELECT query_id, neighbor_id, adist
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adist ASC, neighbor_id ASC) AS rk
+    FROM scored
+)
+WHERE rk <= {TOP_K}
+ORDER BY query_id ASC, adist ASC, neighbor_id ASC
+""",
+)
+def similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the full production ANN plan — IVF coarse routing composed
+    with PQ/ADC scoring (the two halves already proven separately in
+    ``similarity_ivf`` and ``similarity_pq``). Queries probe their
+    IVFPQ_PROBES nearest cells (multi-probe recall lift, same as
+    ``dedup_semantic_ivf``); only vectors in probed cells are scored, and
+    scoring reads ONLY the M one-byte PQ codes plus the broadcast query
+    distance table — never the raw vectors.
+
+    Scale shape (the 10⁹-vector plan): candidate selection is an equi-join
+    of assignments against the broadcast (query, cell) probe list —
+    Σ|cell|·probes candidates, no N·Q term; scoring joins candidates to
+    the ~{PQ_M}-bytes/vector code table (the only corpus-sized state) and
+    a broadcast Q×M×K distance table, then one shuffle for the per-(query,
+    neighbor) ADC sum. Codebooks/centroids are the deterministic subset
+    (production fits them with sampled k-means; the algebra is unchanged).
+    """
+    e = _emb(spark, sf_dir)
+    assigned = _ivf_assigned(e).select("vec_id", "centroid_id")
+    cent = e.where(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
+    )
+    probe_w = Window.partitionBy("vec_id").orderBy(
+        F.round(cosine(F.col("emb"), F.col("cemb")), 6).desc(),
+        F.col("centroid_id").asc(),
+    )
+    qprobe = (
+        e.where(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cent))
+        .withColumn("rk", F.row_number().over(probe_w))
+        .where(F.col("rk") <= IVFPQ_PROBES)
+        .select(F.col("vec_id").alias("query_id"), F.col("centroid_id").alias("qc"))
+    )
+
+    sub = _pq_subspaces(e, "vec_id", "vec_id")
+    cb = _pq_subspaces(
+        e.where(F.col("vec_id") % CENTROID_STRIDE == 0), "vec_id", "centroid_id"
+    ).select("centroid_id", "m", F.col("sub").alias("csub"))
+    s = sub.alias("s")
+    c = cb.alias("c")
+    enc_w = Window.partitionBy("s.vec_id", "s.m").orderBy(
+        F.round(_sqdist(F.col("s.sub"), F.col("c.csub")), 6).asc(),
+        F.col("c.centroid_id").asc(),
+    )
+    codes = (
+        s.join(F.broadcast(c), F.col("s.m") == F.col("c.m"))
+        .withColumn("rk", F.row_number().over(enc_w))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("s.vec_id").alias("vec_id"),
+            F.col("s.m").alias("m"),
+            F.col("c.centroid_id").alias("code"),
+        )
+    )
+    dtable = (
+        s.where(F.col("s.vec_id") < N_QUERIES)
+        .join(F.broadcast(c), F.col("s.m") == F.col("c.m"))
+        .select(
+            F.col("s.vec_id").alias("query_id"),
+            F.col("s.m").alias("m"),
+            F.col("c.centroid_id").alias("code"),
+            _sqdist(F.col("s.sub"), F.col("c.csub")).alias("d"),
+        )
+    )
+
+    cand = (
+        assigned.join(F.broadcast(qprobe), F.col("centroid_id") == F.col("qc"))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    scored = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(dtable), ["query_id", "m", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("d"), 4).alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "adist")
+        .orderBy(
+            F.col("query_id").asc(), F.col("adist").asc(), F.col("neighbor_id").asc()
+        )
+    )
+
+
 @query(
     "embedding_centroids",
     oracle="""

@@ -54,7 +54,7 @@ def query(name: str, oracle: str | None = None):
 #      parked queries (VERDICT.md r4 "What's missing" #1). This rotation
 #      converts "probably still green" into fresh proof for a quarter of the
 #      registry;
-#   2. the 18 oldest round-3-evidence queries (heavy dedup/similarity/text
+#   2. the 17 oldest round-3-evidence queries (heavy dedup/similarity/text
 #      families), filling the window.
 # Names beyond position 50 keep their latest green round: the full r4 window
 # (44 hash-green + 6 streaming rows-only, CORRECTNESS_r04.json — none of that
@@ -66,6 +66,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_json_nested",  # new: nested struct/array from_json
     "jsonl_roundtrip_checksum",  # new: JSONL sink/source losslessness
     "embedding_kmeans_refine",  # oracle now generated from KMEANS_ITERS
+    "similarity_ivfpq",  # new: IVF routing × PQ/ADC scoring
     # 1: round-1-stale evidence refresh (27 names)
     "approx_price_percentiles",
     "approx_topk_products",
@@ -112,9 +113,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "lang_id_heuristic",
     "lang_stats",
     "corpus_vocabulary",
-    "doc_fingerprint",
     # --- window boundary: 50 names above (tests/test_registry_order.py) ---
     # r3-green, rotating next round:
+    "doc_fingerprint",
     "corpus_filter_pipeline",
     "customer_rfm_segments",
     "doc_rolling_fingerprint",

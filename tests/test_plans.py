@@ -165,3 +165,26 @@ def test_simhash_pairs_no_pair_set_reshuffle(spark):
 
     plan = formatted_plan(dedup_simhash_pairs(spark, SF_DIR))
     assert "hashpartitioning(doc_1" not in plan, plan
+
+
+def test_round5_operators_plan_shapes(spark):
+    """Round-5 operators: no cartesian products anywhere; the ngram hot-
+    shingle cut must arrive as a BROADCAST left_anti join (a shuffled
+    anti-join over the full shingle index would cost more than the skew it
+    guards against); the nested-JSON query must stay a single scan with no
+    join at all."""
+    from databricks_spark_sql_challenge1_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+    )
+    from databricks_spark_sql_challenge1_spark.operators.json_ops import (
+        events_json_nested,
+    )
+
+    ngram = dedup_ngram_jaccard(spark, SF_DIR)
+    plan = formatted_plan(ngram)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+    nested = events_json_nested(spark, SF_DIR)
+    nplan = simple_plan(nested)
+    assert "Join" not in nplan and "CartesianProduct" not in nplan, nplan

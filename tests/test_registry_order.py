@@ -23,6 +23,7 @@ MUST_VERIFY = {
     "events_json_nested",
     "jsonl_roundtrip_checksum",
     "embedding_kmeans_refine",
+    "similarity_ivfpq",
     # round-1-stale evidence refresh
     "approx_price_percentiles",
     "approx_topk_products",
