@@ -423,6 +423,16 @@ def similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broadcast Q×M×K distance table, then one shuffle for the per-(query,
     neighbor) ADC sum. Codebooks/centroids are the deterministic subset
     (production fits them with sampled k-means; the algebra is unchanged).
+
+    Accuracy on the fixture corpus is decomposed in
+    tests/test_extensions.py::test_ivfpq_is_pq_restricted_to_probed_cells:
+    the composition is pinned EXACTLY (ivfpq ≡ top-k of similarity_pq's
+    full ADC scores restricted to probed-cell candidates); absolute recall
+    vs exact L2 is low here (~0.1) because the fixture vectors are
+    near-uniform random — the known worst case for PQ with tiny
+    deterministic codebooks (measured: full-ADC PQ alone recalls 0.08-0.14;
+    cosine routing at 2 probes ceilings at ~0.4). With k-means codebooks on
+    real clustered embeddings the same plan is the FAISS IVF-PQ shape.
     """
     e = _emb(spark, sf_dir)
     assigned = _ivf_assigned(e).select("vec_id", "centroid_id")

@@ -300,3 +300,62 @@ def test_kmeans_oracle_generated_from_constant(spark, duck):
     )
     orc = sorted(tuple(r) for r in duck.sql(_km_oracle_sql(3)).fetchall())
     assert sp == orc
+
+
+def test_ivfpq_is_pq_restricted_to_probed_cells(spark):
+    """similarity_ivfpq must equal EXACTLY the top-k (by ADC distance,
+    neighbor-id tiebreak) of similarity_pq's full ADC scoring restricted
+    to the IVF candidate set (data's rank-1 cell ∈ query's top-2 probed
+    cells, cosine routing) — the compositional claim in the docstring,
+    pinned without any recall slack."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from databricks_spark_sql_challenge1_spark.functions.vectors import cosine
+    from databricks_spark_sql_challenge1_spark.operators.similarity import (
+        CENTROID_STRIDE,
+        IVFPQ_PROBES,
+        N_QUERIES,
+        TOP_K,
+        _emb,
+        _ivf_assigned,
+        _pq_scored,
+        similarity_ivfpq,
+    )
+
+    e = _emb(spark, SF_DIR)
+    cent = e.where(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
+    )
+    probe_w = Window.partitionBy("vec_id").orderBy(
+        F.round(cosine(F.col("emb"), F.col("cemb")), 6).desc(),
+        F.col("centroid_id").asc(),
+    )
+    qprobe = (
+        e.where(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cent))
+        .withColumn("rk", F.row_number().over(probe_w))
+        .where(F.col("rk") <= IVFPQ_PROBES)
+        .select(F.col("vec_id").alias("query_id"), F.col("centroid_id").alias("qc"))
+    )
+    cand = (
+        _ivf_assigned(e)
+        .select("vec_id", "centroid_id")
+        .join(F.broadcast(qprobe), F.col("centroid_id") == F.col("qc"))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    expected = sorted(
+        tuple(r)
+        for r in _pq_scored(spark, SF_DIR)
+        .join(cand, ["query_id", "neighbor_id"])
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "adist")
+        .collect()
+    )
+    got = sorted(tuple(r) for r in similarity_ivfpq(spark, SF_DIR).collect())
+    assert got == expected and len(got) > 0
