@@ -196,12 +196,13 @@ def _ngram_jaccard(docs: DataFrame, df_cap: int) -> DataFrame:
 # --- SimHash ---------------------------------------------------------------
 
 
-def _simhash_exprs_spark() -> str:
-    """SUM-of-sign per bit, then recombine: Spark SQL expression string."""
+def _simhash_exprs_spark(n_bits: int = SIMHASH_BITS) -> str:
+    """SUM-of-sign per bit, then recombine: Spark SQL expression string.
+    Identical text is valid DuckDB SQL — both engines share the algebra."""
     bits = " + ".join(
         f"(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
         f"THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-        for b in range(SIMHASH_BITS)
+        for b in range(n_bits)
     )
     return bits
 
@@ -254,15 +255,17 @@ def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_bands(sig: DataFrame) -> DataFrame:
+def _simhash_bands(
+    sig: DataFrame, n_bits: int = SIMHASH_BITS, h_max: int = HAMMING_MAX
+) -> DataFrame:
     """Explode a (doc_id, simhash) frame into pigeonhole bands.
 
-    HAMMING_MAX + 1 bands: two signatures within Hamming distance
-    HAMMING_MAX must agree exactly on ≥ 1 band, so an equi-join on
-    (band_id, band_val) yields a candidate superset with no N² term.
+    h_max + 1 bands: two signatures within Hamming distance h_max must
+    agree exactly on ≥ 1 band, so an equi-join on (band_id, band_val)
+    yields a candidate superset with no N² term.
     """
-    n_bands = HAMMING_MAX + 1
-    band_width = SIMHASH_BITS // n_bands  # 4 bands × 8 bits
+    n_bands = h_max + 1
+    band_width = n_bits // n_bands  # default 4 bands × 8 bits
     band_mask = (1 << band_width) - 1
     return sig.select(
         "doc_id",
@@ -295,7 +298,9 @@ def _first_agreeing_band_sql(x: str, n: int, width: int, mask: int) -> str:
     return f"(CASE {whens} ELSE {n - 1} END)"
 
 
-def _simhash_true_pairs(sig: DataFrame) -> DataFrame:
+def _simhash_true_pairs(
+    sig: DataFrame, n_bits: int = SIMHASH_BITS, h_max: int = HAMMING_MAX
+) -> DataFrame:
     """Exact near-dup pairs (doc_1, doc_2, hamming ≤ HAMMING_MAX), each
     emitted EXACTLY ONCE with no post-join distinct: a pair matching on
     several bands is kept only where band_id equals its FIRST agreeing
@@ -314,10 +319,10 @@ def _simhash_true_pairs(sig: DataFrame) -> DataFrame:
     At a real corpus where hot buckets are boilerplate-driven (few true
     pairs), the sub-band level becomes the right lever; it is kept in git
     history (commit adding it) and SCALE.md documents the trigger."""
-    n_bands = HAMMING_MAX + 1
-    band_width = SIMHASH_BITS // n_bands
+    n_bands = h_max + 1
+    band_width = n_bits // n_bands
     band_mask = (1 << band_width) - 1
-    bands = _simhash_bands(sig)
+    bands = _simhash_bands(sig, n_bits, h_max)
     a, b = bands.alias("a"), bands.alias("b")
     ham = F.expr("bit_count(a.simhash ^ b.simhash)")
     first_band = _first_agreeing_band_sql(
@@ -330,7 +335,7 @@ def _simhash_true_pairs(sig: DataFrame) -> DataFrame:
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .where(ham <= HAMMING_MAX)
+        .where(ham <= h_max)
         .where(F.expr(f"a.band_id = {first_band}"))
         .select(
             F.col("a.doc_id").alias("doc_1"),
@@ -365,6 +370,72 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sig = text_simhash(spark, sf_dir).cache()
     return _simhash_true_pairs(sig)
+
+
+# Wide-signature variant: SCALE.md's round-5 growth curve measured the
+# 32-bit/8-bit-band configuration saturating (256 band values → every
+# bucket dense at 20 k docs). The 100 TB configuration is a wider
+# signature with wider bands; 60 bits (= 15 md5 hex chars, fits signed
+# 64-bit arithmetic on BOTH engines — same trick as the 60-bit rolling
+# fingerprint) gives 4 bands × 15 bits → 32,768 band values.
+SIMHASH_WIDE_BITS = 60
+
+
+def _simhash_wide_sig(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) with a 60-bit signature over distinct tokens."""
+    toks = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+        )
+        .distinct()
+        .withColumn(
+            "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
+        )
+    )
+    return toks.groupBy("doc_id").agg(
+        F.expr(_simhash_exprs_spark(SIMHASH_WIDE_BITS)).alias("simhash")
+    )
+
+
+@query(
+    "dedup_simhash_wide_pairs",
+    oracle=f"""
+WITH toks AS (
+    SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+    FROM documents
+),
+hashed AS (
+    SELECT doc_id,
+           CAST(CAST('0x' || substr(md5(tok), 1, 15) AS UBIGINT) AS BIGINT) AS h
+    FROM toks
+),
+sig AS (
+    SELECT doc_id, {_simhash_exprs_spark(SIMHASH_WIDE_BITS)} AS simhash
+    FROM hashed GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_1, b.doc_id AS doc_2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+""",
+)
+def dedup_simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs on the 60-bit wide SimHash — the measured 100 TB
+    configuration of ``dedup_simhash_pairs``.
+
+    Round 5's growth curve (SCALE.md) showed the 32-bit signature's 8-bit
+    bands saturating: 256 possible band values means every bucket is dense
+    once the corpus passes ~10 k docs, and candidate volume grows
+    quadratically regardless of true-dup density. With 15-bit bands
+    (32,768 values) random band collisions stay rare until ~10⁶ docs per
+    partition-disjoint corpus shard, and the candidate set tracks true
+    pairs again (measured on the decorrelated 4× replica: cross-replica
+    pair count collapses vs the 32-bit variant). Same band-blocked
+    equi-join + first-agreeing-band emission; the exact Hamming filter
+    makes the result identical to the oracle's quadratic all-pairs join.
+    """
+    sig = _simhash_wide_sig(load_table(spark, sf_dir, "documents")).cache()
+    return _simhash_true_pairs(sig, SIMHASH_WIDE_BITS, HAMMING_MAX)
 
 
 # Incremental split: the fixture has no arrival timestamp on documents, so

@@ -24,6 +24,7 @@ MUST_VERIFY = {
     "jsonl_roundtrip_checksum",
     "embedding_kmeans_refine",
     "similarity_ivfpq",
+    "dedup_simhash_wide_pairs",
     # round-1-stale evidence refresh
     "approx_price_percentiles",
     "approx_topk_products",
