@@ -17,8 +17,11 @@ from pyspark.sql import functions as F
 
 from databricks_spark_sql_challenge1_spark.catalog import load_table
 from databricks_spark_sql_challenge1_spark.operators.dedup import (
+    HAMMING_MAX,
+    SIMHASH_WIDE_BITS,
     _SHINGLES_SQL,
     _shingles_spark,
+    _simhash_exprs_spark,
 )
 from databricks_spark_sql_challenge1_spark.registry import query
 
@@ -616,4 +619,151 @@ def jsonl_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("sum_chars"),
         F.sum(h).alias("text_hash_sum"),
         F.count_distinct("lang").alias("n_langs"),
+    )
+
+
+# --- end-to-end corpus assembly -------------------------------------------
+
+
+from databricks_spark_sql_challenge1_spark.operators.textstats import (  # noqa: E402
+    QUALITY_MAX_PUNCT,
+    QUALITY_MIN_TOKENS,
+)
+
+
+@query(
+    "corpus_dedup_pipeline",
+    oracle="""
+WITH stats AS (
+    SELECT doc_id, lang,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio,
+           text
+    FROM documents
+),
+canon AS (
+    SELECT * FROM (
+        SELECT stats.*, MIN(doc_id) OVER (PARTITION BY fp) AS cmin FROM stats
+    ) WHERE doc_id = cmin
+),
+toks AS (
+    SELECT DISTINCT doc_id,
+           unnest(string_split_regex(trim(text), '\\s+')) AS tok
+    FROM canon
+),
+hashed AS (
+    SELECT doc_id,
+           CAST(CAST('0x' || substr(md5(tok), 1, 15) AS UBIGINT) AS BIGINT) AS h
+    FROM toks
+),
+sig AS (
+    SELECT doc_id, {SIMHASH_EXPRS} AS simhash
+    FROM hashed GROUP BY doc_id
+),
+near_dropped AS (
+    SELECT DISTINCT b.doc_id
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+),
+kept AS (
+    SELECT c.* FROM canon c ANTI JOIN near_dropped d USING (doc_id)
+    WHERE c.n_tokens >= {MIN_TOKENS} AND c.punct_ratio <= {MAX_PUNCT}
+),
+split_assigned AS (
+    SELECT lang, n_tokens,
+           CASE
+             WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                  AS UBIGINT) % {SPLIT_BUCKETS} < {TRAIN_UPTO} THEN 'train'
+             WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                  AS UBIGINT) % {SPLIT_BUCKETS} < {VAL_UPTO} THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM kept
+)
+SELECT split, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+FROM split_assigned
+GROUP BY split, lang
+ORDER BY split ASC, lang ASC
+""".format(
+        SIMHASH_EXPRS=_simhash_exprs_spark(SIMHASH_WIDE_BITS),
+        HAMMING_MAX=HAMMING_MAX,
+        MIN_TOKENS=QUALITY_MIN_TOKENS,
+        MAX_PUNCT=QUALITY_MAX_PUNCT,
+        SPLIT_BUCKETS=SPLIT_BUCKETS,
+        TRAIN_UPTO=TRAIN_UPTO,
+        VAL_UPTO=VAL_UPTO,
+    ),
+)
+def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus assembly — the four stages a production training
+    corpus actually chains, as ONE declarative plan: exact dedup (keep the
+    canonical copy per normalized fingerprint, window-min — one shuffle),
+    then near-dup removal on the survivors (60-bit wide SimHash band join,
+    greedy drop-the-later-doc rule), then the quality gate (token count +
+    punctuation ratio), then deterministic split assignment, aggregated to
+    per-(split, lang) document/token counts — the corpus card a data team
+    reports after an assembly run.
+
+    Scale: stage boundaries are all narrow except the two dedup shuffles
+    (fp window, band join); the near-dup stage runs on the exact-dedup
+    SURVIVORS (strictly smaller input), and the greedy drop rule needs no
+    connected components — `dedup_cluster_components`/`dedup_keep_best`
+    remain the tools when cluster-level survivor policies are required.
+    """
+    from databricks_spark_sql_challenge1_spark.operators.dedup import (
+        _simhash_true_pairs,
+        _simhash_wide_sig,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    stats = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias("fp"),
+        F.size(toks).alias("n_tokens"),
+        (
+            F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", "")).cast("double")
+            / F.length("text")
+        ).alias("punct_ratio"),
+    )
+    w = Window.partitionBy("fp")
+    canon = (
+        stats.withColumn("cmin", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("cmin"))
+        .drop("cmin")
+    )
+    sig = _simhash_wide_sig(canon.select("doc_id", "text")).cache()
+    near_dropped = (
+        _simhash_true_pairs(sig, SIMHASH_WIDE_BITS, HAMMING_MAX)
+        .select(F.col("doc_2").alias("doc_id"))
+        .distinct()
+    )
+    kept = canon.join(near_dropped, "doc_id", "left_anti").where(
+        (F.col("n_tokens") >= QUALITY_MIN_TOKENS)
+        & (F.col("punct_ratio") <= QUALITY_MAX_PUNCT)
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % SPLIT_BUCKETS
+    )
+    split = (
+        F.when(bucket < TRAIN_UPTO, F.lit("train"))
+        .when(bucket < VAL_UPTO, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        kept.select(split.alias("split"), "lang", "n_tokens")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("kept_tokens"),
+        )
+        .orderBy(F.col("split").asc(), F.col("lang").asc())
     )

@@ -25,6 +25,7 @@ MUST_VERIFY = {
     "embedding_kmeans_refine",
     "similarity_ivfpq",
     "dedup_simhash_wide_pairs",
+    "corpus_dedup_pipeline",
     # round-1-stale evidence refresh
     "approx_price_percentiles",
     "approx_topk_products",
