@@ -303,3 +303,86 @@ def streaming_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain_to_memory(windowed, spark)
+
+
+@query("streaming_incremental_dedup")  # rows-only: streaming not in oracle
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup admission control — the live variant of
+    ``dedup_incremental``: incoming documents stream in, each is SimHash-
+    signed ON THE STREAM SIDE as a pure expression pipeline (array fold
+    over distinct tokens — zero stream-side shuffle to sign a doc), band-
+    exploded, and stream-static-joined against the ingested corpus's band
+    index; flagged docs emit (doc_id, n_near_dups).
+
+    Two streaming-specific shapes worth noting:
+    - the signature is computed WITHOUT the batch path's groupBy (an
+      aggregation before a join would chain stateful operators); the
+      CASE-sum algebra is identical, so signatures match the batch
+      ``text_simhash`` bit-for-bit;
+    - a pair agreeing on several bands would need a streaming ``distinct``
+      (unsupported distinct-aggregation) — instead the first-agreeing-band
+      rule from ``dedup_simhash_pairs`` keeps exactly one row per (inc,
+      ex) pair with a per-row expression, so the final count is a plain
+      streaming aggregate.
+
+    At scale: the static band index is the precomputed bucketed table the
+    daily firehose joins against; state is only the per-doc running count
+    behind the complete-mode aggregate (production: append mode keyed by
+    ingest batch). Batch equivalence pinned in tests/test_streaming.py
+    against ``dedup_incremental``'s flagged subset.
+    """
+    from databricks_spark_sql_challenge1_spark.catalog import table_path
+    from databricks_spark_sql_challenge1_spark.operators.dedup import (
+        HAMMING_MAX,
+        INCREMENTAL_MOD,
+        SIMHASH_BITS,
+        _first_agreeing_band_sql,
+        _simhash_bands,
+        text_simhash,
+    )
+
+    ensure_session_confs(spark)
+    raw_schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    # 32-bit SimHash as a narrow expression chain (matches text_simhash).
+    bit_terms = " + ".join(
+        f"(CASE WHEN aggregate(hs, 0L, (acc, h) -> acc + "
+        f"CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(SIMHASH_BITS)
+    )
+    inc_sig = (
+        stream.where(F.col("doc_id") % INCREMENTAL_MOD == 0)
+        .selectExpr(
+            "doc_id",
+            r"transform(array_distinct(split(trim(text), '\\s+')), "
+            "t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)) AS hs",
+        )
+        .selectExpr("doc_id", f"{bit_terms} AS simhash")
+    )
+    existing = text_simhash(spark, sf_dir).where(
+        F.col("doc_id") % INCREMENTAL_MOD != 0
+    )
+    i = _simhash_bands(inc_sig).alias("i")
+    e = _simhash_bands(existing).alias("e")
+    n_bands = HAMMING_MAX + 1
+    band_width = SIMHASH_BITS // n_bands
+    first_band = _first_agreeing_band_sql(
+        "(i.simhash ^ e.simhash)", n_bands, band_width, (1 << band_width) - 1
+    )
+    flagged = (
+        i.join(
+            e,
+            (F.col("i.band_id") == F.col("e.band_id"))
+            & (F.col("i.band_val") == F.col("e.band_val")),
+        )
+        .where(F.expr("bit_count(i.simhash ^ e.simhash)") <= HAMMING_MAX)
+        .where(F.expr(f"i.band_id = {first_band}"))
+        .groupBy(F.col("i.doc_id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_near_dups"))
+    )
+    return _drain_to_memory(flagged, spark)

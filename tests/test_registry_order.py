@@ -26,6 +26,7 @@ MUST_VERIFY = {
     "similarity_ivfpq",
     "dedup_simhash_wide_pairs",
     "corpus_dedup_pipeline",
+    "streaming_incremental_dedup",
     # round-1-stale evidence refresh
     "approx_price_percentiles",
     "approx_topk_products",

@@ -210,3 +210,24 @@ def test_streaming_nation_activity_equals_batch(spark):
         ).collect()
     }
     assert want and got == want
+
+
+def test_streaming_incremental_dedup_equals_batch(spark):
+    """The streaming admission-control dedup must flag exactly the docs
+    (with exactly the partner counts) that the batch dedup_incremental
+    reports as is_dup."""
+    from databricks_spark_sql_challenge1_spark.operators.dedup import (
+        dedup_incremental,
+    )
+    from databricks_spark_sql_challenge1_spark.streaming.events_stream import (
+        streaming_incremental_dedup,
+    )
+
+    stream = streaming_incremental_dedup(spark, SF_DIR)
+    batch = (
+        dedup_incremental(spark, SF_DIR)
+        .where("is_dup")
+        .select("doc_id", "n_near_dups")
+    )
+    assert _rows(stream.select("doc_id", "n_near_dups")) == _rows(batch)
+    assert stream.count() > 0
