@@ -716,6 +716,110 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_semantic_sqrtk",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+params AS (
+    SELECT CAST(ceil(COUNT(*) / ceil(sqrt(COUNT(*)))) AS BIGINT) AS stride
+    FROM e
+),
+cent AS (SELECT vec_id AS centroid_id, emb AS cemb FROM e, params
+         WHERE vec_id % params.stride = 0),
+assigned AS (
+    SELECT vec_id, emb, centroid_id
+    FROM (
+        SELECT e.vec_id, e.emb, cent.centroid_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(e.emb, cent.cemb), 6) DESC,
+                            cent.centroid_id ASC) AS rk
+        FROM e CROSS JOIN cent
+    ) WHERE rk <= {SEMANTIC_PROBES}
+),
+pairs AS (
+    SELECT vec_id, dup_of, MIN(via) AS via_centroid, MIN(sim) AS sim
+    FROM (
+        SELECT b.vec_id AS vec_id, a.vec_id AS dup_of, a.centroid_id AS via,
+               ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+        FROM assigned a JOIN assigned b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    )
+    GROUP BY vec_id, dup_of
+),
+dups AS (SELECT * FROM pairs WHERE sim >= {SEMANTIC_DUP_MIN})
+SELECT vec_id, via_centroid, dup_of, sim
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, dup_of ASC) AS rk
+    FROM dups
+) WHERE rk = 1
+ORDER BY vec_id ASC
+""",
+)
+def dedup_semantic_sqrtk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_semantic_ivf`` with the centroid count scaled as K ≈ √N —
+    the production rule, applied after the round-5 growth curve measured
+    the fixed-stride variant's flaw: stride-derived K = N/50 makes the
+    assignment crossJoin do N·K = N²/50 cosine evaluations (16× work at
+    4× data). With K = √N the assignment is N^1.5 and each cell holds
+    ~√N vectors, so within-cell candidates are Σ|cell|²·probes²/2 ≈
+    N^1.5·probes²/2 too — the balanced SemDeDup operating point.
+
+    The stride is ceil(N / ceil(√N)), computed from the corpus count —
+    on the Spark side as a bounded driver scalar (same pattern as the
+    S11 anchor pull, catalog.last_order_datetime), in the oracle as a
+    params CTE evaluating the identical formula. Everything downstream
+    (multi-probe assignment, within-cell pruning, keep-lowest-id rank)
+    is the dedup_semantic_ivf algebra unchanged.
+    """
+    import math
+
+    e = _emb(spark, sf_dir)
+    n = e.count()  # bounded driver scalar (anchor-pull pattern)
+    stride = math.ceil(n / math.ceil(math.sqrt(n)))
+    cent = e.where(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
+    )
+    rk_w = Window.partitionBy("vec_id").orderBy(
+        F.round(cosine(F.col("emb"), F.col("cemb")), 6).desc(),
+        F.col("centroid_id").asc(),
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("rk", F.row_number().over(rk_w))
+        .where(F.col("rk") <= SEMANTIC_PROBES)
+        .select("vec_id", "emb", "centroid_id")
+        .localCheckpoint()
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
+            F.col("a.vec_id").alias("dup_of"),
+            F.col("a.centroid_id").alias("via"),
+            F.round(cosine(F.col("a.emb"), F.col("b.emb")), 6).alias("sim"),
+        )
+        .groupBy("vec_id", "dup_of")
+        .agg(F.min("via").alias("via_centroid"), F.min("sim").alias("sim"))
+        .where(F.col("sim") >= SEMANTIC_DUP_MIN)
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("dup_of").asc()
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "via_centroid", "dup_of", "sim")
+        .orderBy(F.col("vec_id").asc())
+    )
+
+
 # --- fixed-round Lloyd refinement (k-means as a DataFrame loop) -------------
 KMEANS_ITERS = 2
 KMEANS_ROUND = 6  # means rounded per iteration on BOTH engines (parity)

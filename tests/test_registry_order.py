@@ -27,6 +27,7 @@ MUST_VERIFY = {
     "dedup_simhash_wide_pairs",
     "corpus_dedup_pipeline",
     "streaming_incremental_dedup",
+    "dedup_semantic_sqrtk",
     # round-1-stale evidence refresh
     "approx_price_percentiles",
     "approx_topk_products",
