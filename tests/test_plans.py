@@ -188,3 +188,29 @@ def test_round5_operators_plan_shapes(spark):
     nested = events_json_nested(spark, SF_DIR)
     nplan = simple_plan(nested)
     assert "Join" not in nplan and "CartesianProduct" not in nplan, nplan
+
+
+def test_round5_new_operators_no_cartesian(spark):
+    """corpus_dedup_pipeline, dedup_simhash_wide_pairs, similarity_ivfpq
+    and dedup_semantic_sqrtk must never degenerate into a CartesianProduct
+    (BNLJ against broadcast-tiny centroid/probe tables is allowed, as in
+    the round-4 audit)."""
+    from databricks_spark_sql_challenge1_spark.operators.dedup import (
+        dedup_simhash_wide_pairs,
+    )
+    from databricks_spark_sql_challenge1_spark.operators.similarity import (
+        dedup_semantic_sqrtk,
+        similarity_ivfpq,
+    )
+    from databricks_spark_sql_challenge1_spark.operators.traindata import (
+        corpus_dedup_pipeline,
+    )
+
+    for q in (
+        corpus_dedup_pipeline,
+        dedup_simhash_wide_pairs,
+        similarity_ivfpq,
+        dedup_semantic_sqrtk,
+    ):
+        plan = simple_plan(q(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, f"{q.__name__}:\n{plan}"
