@@ -74,3 +74,22 @@ def test_must_verify_set_inside_driver_window():
     window = list(ordered_queries())[:DRIVER_WINDOW]
     outside = MUST_VERIFY - set(window)
     assert not outside, f"need driver rows but ordered past {DRIVER_WINDOW}: {outside}"
+
+
+def test_boundary_comment_matches_actual_window():
+    """The '--- window boundary ---' comment in registry.py must sit after
+    exactly the names that form the driver's first-50 window (caught an
+    off-by-one in round 5)."""
+    import re
+
+    import databricks_spark_sql_challenge1_spark.registry as reg
+
+    src = open(reg.__file__).read()
+    before = re.findall(
+        r'^\s+"([a-z0-9_]+)",', src.split("window boundary")[0], re.M
+    )
+    assert before == ordered_queries_names()[:DRIVER_WINDOW]
+
+
+def ordered_queries_names():
+    return list(ordered_queries())
