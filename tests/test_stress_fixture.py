@@ -1,0 +1,49 @@
+"""tools/make_stress_fixture.py builds the decorrelated K× replicas the
+SCALE.md growth curves are measured on — pin its invariants."""
+
+from __future__ import annotations
+
+import duckdb
+
+from tools.make_stress_fixture import main as make_fixture
+
+
+def test_stress_fixture_invariants(tmp_path):
+    src = "/root/testdata/sf0.001"
+    out = str(tmp_path / "k2")
+    make_fixture(src, 2, out)
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "documents", "embeddings"):
+        n_src = con.sql(f"SELECT COUNT(*) FROM '{src}/{t}.parquet'").fetchone()[0]
+        n_out = con.sql(f"SELECT COUNT(*) FROM '{out}/{t}.parquet'").fetchone()[0]
+        assert n_out == 2 * n_src, t
+    # key spaces disjoint: replicated ids unique
+    for t, k in (("orders", "o_orderkey"), ("documents", "doc_id"),
+                 ("embeddings", "vec_id")):
+        dup = con.sql(
+            f"SELECT COUNT(*) - COUNT(DISTINCT {k}) FROM '{out}/{t}.parquet'"
+        ).fetchone()[0]
+        assert dup == 0, t
+    # replica vocabularies disjoint (the decorrelation property)
+    overlap = con.sql(f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM '{out}/documents.parquet'
+        ),
+        r0 AS (SELECT DISTINCT tok FROM toks WHERE doc_id < 1000),
+        r1 AS (SELECT DISTINCT tok FROM toks WHERE doc_id >= 1000)
+        SELECT COUNT(*) FROM r0 JOIN r1 USING (tok)
+    """).fetchone()[0]
+    assert overlap == 0
+    # embedding shift preserves the multiset of values per vector (norms)
+    drift = con.sql(f"""
+        WITH s AS (SELECT vec_id, list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> x * x)) AS sq
+                   FROM '{src}/embeddings.parquet'),
+        o AS (SELECT vec_id, list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> x * x)) AS sq
+              FROM '{out}/embeddings.parquet')
+        SELECT MAX(ABS(s.sq - o.sq))
+        FROM s JOIN o ON o.vec_id = s.vec_id + 1000
+    """).fetchone()[0]
+    assert drift < 1e-9
