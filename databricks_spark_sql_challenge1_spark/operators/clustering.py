@@ -609,3 +609,118 @@ def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(LIFT_TOP_K)
     )
+
+
+# Canonical top-100 co-abandonment pair CTE (same as copurchase_components'
+# oracle prefix) — shared by the triangle counter below.
+_COPURCHASE_PAIRS_SQL = """
+    SELECT least(ce1.l_partkey, ce2.l_partkey) AS product_1,
+           greatest(ce1.l_partkey, ce2.l_partkey) AS product_2,
+           COUNT(DISTINCT o.o_orderkey) AS total_abandoned_orders
+    FROM lineitem ce1
+    JOIN lineitem ce2
+      ON ce1.l_orderkey = ce2.l_orderkey AND ce1.l_partkey <> ce2.l_partkey
+    JOIN orders o ON ce1.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'O'
+    GROUP BY 1, 2
+    ORDER BY total_abandoned_orders DESC, product_1 ASC, product_2 ASC
+    LIMIT 100
+"""
+
+
+@query(
+    "copurchase_triangles",
+    oracle=f"""
+WITH pairs AS ({_COPURCHASE_PAIRS_SQL}),
+tri AS (
+    SELECT e1.product_1 AS u, e1.product_2 AS v, e2.product_2 AS w
+    FROM pairs e1
+    JOIN pairs e2 ON e2.product_1 = e1.product_2
+    JOIN pairs e3 ON e3.product_1 = e1.product_1
+                 AND e3.product_2 = e2.product_2
+),
+tn AS (SELECT unnest([u, v, w]) AS partkey FROM tri),
+tc AS (SELECT partkey, COUNT(*) AS n_triangles FROM tn GROUP BY partkey),
+deg AS (
+    SELECT partkey, COUNT(*) AS degree FROM (
+        SELECT product_1 AS partkey FROM pairs
+        UNION ALL
+        SELECT product_2 FROM pairs
+    ) GROUP BY partkey
+)
+SELECT d.partkey,
+       CAST(d.degree AS BIGINT) AS degree,
+       CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       ROUND(CASE WHEN d.degree < 2 THEN 0.0
+                  ELSE 2.0 * COALESCE(t.n_triangles, 0)
+                       / (d.degree * (d.degree - 1)) END, 4)
+           AS clustering_coeff
+FROM deg d LEFT JOIN tc t USING (partkey)
+ORDER BY d.partkey ASC
+""",
+)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient over the top-100
+    co-abandonment graph — the third classic distributed graph kernel on
+    this edge set (after components and PageRank): "do products that
+    travel with X also travel with each other".
+
+    Plan: edges are already canonically oriented (product_1 < product_2
+    from the pair miner's least/greatest), so each triangle u < v < w is
+    enumerated EXACTLY ONCE by two equi-joins — e(u,v) ⋈ e(v,w) ⋈ e(u,w)
+    — the MapReduce triangle-count shape. Orientation is what bounds the
+    join fan-out: each edge joins only its higher endpoints' out-edges,
+    so a degree-d hub contributes O(out-deg²) not O(d²); at web scale the
+    orientation key is degree (Cohen's trick) rather than id — same plan,
+    different ordering column. Per-node counts explode each triangle to
+    its 3 corners (one small shuffle), coefficient = 2T / d(d-1).
+    """
+    from databricks_spark_sql_challenge1_spark.operators.abandonment import (
+        top_abandoned_pairs,
+    )
+
+    pairs = (
+        top_abandoned_pairs(spark, sf_dir)
+        .select("product_1", "product_2")
+        .localCheckpoint()  # top-k bounded; avoid re-mining per join branch
+    )
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.product_1") == F.col("e1.product_2"))
+        .join(
+            e3,
+            (F.col("e3.product_1") == F.col("e1.product_1"))
+            & (F.col("e3.product_2") == F.col("e2.product_2")),
+        )
+        .select(
+            F.col("e1.product_1").alias("u"),
+            F.col("e1.product_2").alias("v"),
+            F.col("e2.product_2").alias("w"),
+        )
+    )
+    corners = tri.select(
+        F.explode(F.array("u", "v", "w")).alias("partkey")
+    )
+    tc = corners.groupBy("partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+    deg = (
+        pairs.select(F.col("product_1").alias("partkey"))
+        .union(pairs.select("product_2"))
+        .groupBy("partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    coeff = F.when(F.col("degree") < 2, F.lit(0.0)).otherwise(
+        2.0 * F.coalesce(F.col("n_triangles"), F.lit(0))
+        / (F.col("degree") * (F.col("degree") - 1))
+    )
+    return (
+        deg.join(tc, "partkey", "left")
+        .select(
+            "partkey",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            F.round(coeff, 4).alias("clustering_coeff"),
+        )
+        .orderBy(F.col("partkey").asc())
+    )

@@ -28,6 +28,7 @@ MUST_VERIFY = {
     "corpus_dedup_pipeline",
     "streaming_incremental_dedup",
     "dedup_semantic_sqrtk",
+    "copurchase_triangles",
     # round-1-stale evidence refresh
     "approx_price_percentiles",
     "approx_topk_products",
