@@ -423,3 +423,76 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("m_score"),
     ).orderBy(F.col("custkey").asc())
+
+
+# Incremental view maintenance: the "snapshot" is the 90% historical slice
+# (o_orderkey % 10 != 0), the "batch" the arriving 10% — a deterministic
+# stand-in for a day's landed data, same style as dedup's INCREMENTAL_MOD.
+IVM_BATCH_MOD = 10
+
+
+@query(
+    "orders_incremental_merge",
+    oracle=f"""
+WITH snap AS (
+    SELECT date_trunc('month', o_orderdate) AS m,
+           COUNT(*) AS c, SUM(o_totalprice) AS v
+    FROM orders WHERE o_orderkey % {IVM_BATCH_MOD} <> 0 GROUP BY 1
+),
+bat AS (
+    SELECT date_trunc('month', o_orderdate) AS m,
+           COUNT(*) AS c, SUM(o_totalprice) AS v
+    FROM orders WHERE o_orderkey % {IVM_BATCH_MOD} = 0 GROUP BY 1
+)
+SELECT CAST(COALESCE(s.m, b.m) AS DATE) AS o_month,
+       CAST(COALESCE(s.c, 0) + COALESCE(b.c, 0) AS BIGINT) AS n_orders,
+       ROUND(COALESCE(s.v, 0) + COALESCE(b.v, 0), 2) AS total_value
+FROM snap s FULL JOIN bat b ON b.m = s.m
+ORDER BY o_month ASC
+""",
+)
+def orders_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance — refresh a materialized monthly
+    aggregate by MERGING the new batch's partial aggregate into the
+    snapshot's, never rescanning history: agg(snapshot) ⟗ agg(batch) on
+    the group key, counts/sums added (COALESCE for months only one side
+    has), ROUND applied after the merge (rounding partials first would
+    drift). The mergeability of count/sum partials is exactly what makes
+    the refresh O(batch + groups) instead of O(history) — at 100 TB the
+    snapshot aggregate is a stored table of |groups| rows, the batch agg
+    shuffles only the day's data, and the merge is a join on the
+    (broadcastable) group-key table. tests/test_semantics.py pins the
+    algebraic invariant: merged result == direct aggregation over the
+    full table.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+
+    def monthly(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.trunc("o_orderdate", "month").alias("o_month")
+        ).agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("o_totalprice").alias("v"),
+        )
+
+    snap = monthly(orders.where(F.col("o_orderkey") % IVM_BATCH_MOD != 0))
+    bat = monthly(orders.where(F.col("o_orderkey") % IVM_BATCH_MOD == 0))
+    s, b = snap.alias("s"), bat.alias("b")
+    return (
+        s.join(b, F.col("b.o_month") == F.col("s.o_month"), "full_outer")
+        .select(
+            F.coalesce(F.col("s.o_month"), F.col("b.o_month")).alias("o_month"),
+            (
+                F.coalesce(F.col("s.c"), F.lit(0))
+                + F.coalesce(F.col("b.c"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_orders"),
+            F.round(
+                F.coalesce(F.col("s.v"), F.lit(0.0))
+                + F.coalesce(F.col("b.v"), F.lit(0.0)),
+                2,
+            ).alias("total_value"),
+        )
+        .orderBy(F.col("o_month").asc())
+    )

@@ -54,7 +54,7 @@ def query(name: str, oracle: str | None = None):
 #      parked queries (VERDICT.md r4 "What's missing" #1). This rotation
 #      converts "probably still green" into fresh proof for a quarter of the
 #      registry;
-#   2. the 13 oldest round-3-evidence queries (heavy dedup/similarity/text
+#   2. the 12 oldest round-3-evidence queries (heavy dedup/similarity/text
 #      families), filling the window.
 # Names beyond position 50 keep their latest green round: the full r4 window
 # (44 hash-green + 6 streaming rows-only, CORRECTNESS_r04.json — none of that
@@ -72,6 +72,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "streaming_incremental_dedup",  # new: stream-static band-join dedup
     "dedup_semantic_sqrtk",  # new: K=sqrt(N) SemDeDup operating point
     "copurchase_triangles",  # new: oriented triangle count + coeff
+    "orders_incremental_merge",  # new: IVM partial-aggregate merge
     # 1: round-1-stale evidence refresh (27 names)
     "approx_price_percentiles",
     "approx_topk_products",
@@ -100,7 +101,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "widget_month_totals",
     "widget_month_value_items",
     "widget_month_value_orders",
-    # 2: oldest round-3 evidence (13 names)
+    # 2: oldest round-3 evidence (12 names)
     "copurchase_components",
     "copurchase_pagerank",
     "dedup_embedding_cosine",
@@ -113,9 +114,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_dim_stats",
     "text_token_stats",
     "text_quality_stats",
-    "text_entropy",
     # --- window boundary: 50 names above (tests/test_registry_order.py) ---
     # r3-green, rotating next round:
+    "text_entropy",
     "text_tfidf_top_terms",
     "lang_id_heuristic",
     "lang_stats",

@@ -29,6 +29,7 @@ MUST_VERIFY = {
     "streaming_incremental_dedup",
     "dedup_semantic_sqrtk",
     "copurchase_triangles",
+    "orders_incremental_merge",
     # round-1-stale evidence refresh
     "approx_price_percentiles",
     "approx_topk_products",

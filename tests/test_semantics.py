@@ -84,3 +84,31 @@ def test_coalesce_after_outer_join(spark):
         .collect()
     )
     assert {(r["k"], r["inc"]) for r in out} == {(1, 2), (2, 4)}
+
+
+def test_incremental_merge_equals_direct_aggregation(spark):
+    """The IVM invariant: merging the batch partial into the snapshot
+    partial must equal aggregating the full table directly."""
+    from pyspark.sql import functions as F
+
+    from databricks_spark_sql_challenge1_spark.catalog import load_table
+    from databricks_spark_sql_challenge1_spark.operators.analytics_ext import (
+        orders_incremental_merge,
+    )
+    from tests.conftest import SF_DIR
+
+    merged = {
+        (r["o_month"], r["n_orders"], r["total_value"])
+        for r in orders_incremental_merge(spark, SF_DIR).collect()
+    }
+    direct = {
+        (r["o_month"], r["n_orders"], r["total_value"])
+        for r in load_table(spark, SF_DIR, "orders")
+        .groupBy(F.trunc("o_orderdate", "month").alias("o_month"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+        .collect()
+    }
+    assert merged and merged == direct
