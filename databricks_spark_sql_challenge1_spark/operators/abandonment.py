@@ -192,9 +192,13 @@ def top_abandoned_products_salted(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query(
-    "top_abandoned_pairs",
-    oracle="""
+# Canonical top-100 co-abandonment pair-mining SQL (ref #6). This ONE string
+# is the oracle of ``top_abandoned_pairs`` AND the shared ``pairs`` CTE body
+# of every copurchase_* graph oracle (clustering.py imports it) — the Spark
+# side of those queries derives its edges from ``top_abandoned_pairs``, so a
+# single source of truth keeps the oracles from silently desyncing if the
+# LIMIT or tiebreak ever changes (ADVICE r5).
+TOP_ABANDONED_PAIRS_SQL = """
 SELECT least(ce1.l_partkey, ce2.l_partkey) AS product_1,
        greatest(ce1.l_partkey, ce2.l_partkey) AS product_2,
        COUNT(DISTINCT o.o_orderkey) AS total_abandoned_orders
@@ -206,8 +210,10 @@ WHERE o.o_orderstatus = 'O'
 GROUP BY 1, 2
 ORDER BY total_abandoned_orders DESC, product_1 ASC, product_2 ASC
 LIMIT 100
-""",
-)
+"""
+
+
+@query("top_abandoned_pairs", oracle=TOP_ABANDONED_PAIRS_SQL)
 def top_abandoned_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ref #6 (``py:197-213``): pair mining with window dedup of mirrored pairs.
 

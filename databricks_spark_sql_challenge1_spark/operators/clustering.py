@@ -28,6 +28,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from databricks_spark_sql_challenge1_spark.catalog import load_table
+from databricks_spark_sql_challenge1_spark.operators.abandonment import (
+    TOP_ABANDONED_PAIRS_SQL,
+)
 from databricks_spark_sql_challenge1_spark.operators.dedup import (
     _simhash_sql_duckdb,
     dedup_simhash_pairs,
@@ -263,21 +266,9 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "copurchase_components",
-    oracle="""
+    oracle=f"""
 WITH RECURSIVE
-pairs AS (
-    SELECT least(ce1.l_partkey, ce2.l_partkey) AS product_1,
-           greatest(ce1.l_partkey, ce2.l_partkey) AS product_2,
-           COUNT(DISTINCT o.o_orderkey) AS total_abandoned_orders
-    FROM lineitem ce1
-    JOIN lineitem ce2
-      ON ce1.l_orderkey = ce2.l_orderkey AND ce1.l_partkey <> ce2.l_partkey
-    JOIN orders o ON ce1.l_orderkey = o.o_orderkey
-    WHERE o.o_orderstatus = 'O'
-    GROUP BY 1, 2
-    ORDER BY total_abandoned_orders DESC, product_1 ASC, product_2 ASC
-    LIMIT 100
-),
+pairs AS ({TOP_ABANDONED_PAIRS_SQL}),
 nodes AS (
     SELECT product_1 AS id FROM pairs
     UNION
@@ -391,20 +382,8 @@ def pagerank(
 
 @query(
     "copurchase_pagerank",
-    oracle="""
-WITH pairs AS (
-    SELECT least(ce1.l_partkey, ce2.l_partkey) AS product_1,
-           greatest(ce1.l_partkey, ce2.l_partkey) AS product_2,
-           COUNT(DISTINCT o.o_orderkey) AS total_abandoned_orders
-    FROM lineitem ce1
-    JOIN lineitem ce2
-      ON ce1.l_orderkey = ce2.l_orderkey AND ce1.l_partkey <> ce2.l_partkey
-    JOIN orders o ON ce1.l_orderkey = o.o_orderkey
-    WHERE o.o_orderstatus = 'O'
-    GROUP BY 1, 2
-    ORDER BY total_abandoned_orders DESC, product_1 ASC, product_2 ASC
-    LIMIT 100
-),
+    oracle=f"""
+WITH pairs AS ({TOP_ABANDONED_PAIRS_SQL}),
 edges AS (
     SELECT product_1 AS src, product_2 AS dst FROM pairs
     UNION ALL
@@ -611,27 +590,10 @@ def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Canonical top-100 co-abandonment pair CTE (same as copurchase_components'
-# oracle prefix) — shared by the triangle counter below.
-_COPURCHASE_PAIRS_SQL = """
-    SELECT least(ce1.l_partkey, ce2.l_partkey) AS product_1,
-           greatest(ce1.l_partkey, ce2.l_partkey) AS product_2,
-           COUNT(DISTINCT o.o_orderkey) AS total_abandoned_orders
-    FROM lineitem ce1
-    JOIN lineitem ce2
-      ON ce1.l_orderkey = ce2.l_orderkey AND ce1.l_partkey <> ce2.l_partkey
-    JOIN orders o ON ce1.l_orderkey = o.o_orderkey
-    WHERE o.o_orderstatus = 'O'
-    GROUP BY 1, 2
-    ORDER BY total_abandoned_orders DESC, product_1 ASC, product_2 ASC
-    LIMIT 100
-"""
-
-
 @query(
     "copurchase_triangles",
     oracle=f"""
-WITH pairs AS ({_COPURCHASE_PAIRS_SQL}),
+WITH pairs AS ({TOP_ABANDONED_PAIRS_SQL}),
 tri AS (
     SELECT e1.product_1 AS u, e1.product_2 AS v, e2.product_2 AS w
     FROM pairs e1

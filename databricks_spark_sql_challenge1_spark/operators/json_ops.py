@@ -78,12 +78,11 @@ def events_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_json_nested",
     oracle="""
 WITH env AS (
-    SELECT '{"meta":{"u":' || CAST(user_id AS VARCHAR)
-           || ',"t":"' || event_type || '"},"vals":['
-           || CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR)
-           || ','
-           || CAST(CAST(json_extract(props, '$.k') AS BIGINT) * 2 AS VARCHAR)
-           || ']}' AS payload
+    SELECT to_json(struct_pack(
+               meta := struct_pack(u := user_id, t := event_type),
+               vals := [CAST(json_extract(props, '$.k') AS BIGINT),
+                        CAST(json_extract(props, '$.k') AS BIGINT) * 2]
+           )) AS payload
     FROM events
 )
 SELECT json_extract_string(payload, '$.meta.t') AS t,
@@ -102,8 +101,13 @@ def events_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``{"meta": {"u", "t"}, "vals": [k, 2k]}`` deterministically from event
     columns, parses it back with an explicit *nested* ``from_json`` schema
     (struct-in-struct + array field — the shape real event payloads take),
-    and aggregates on fields extracted from both nesting levels. The DuckDB
-    oracle builds the identical string and walks the same nested JSONPaths.
+    and aggregates on fields extracted from both nesting levels. Both
+    engines build the envelope with their native JSON serializer
+    (``to_json(struct(...))`` / DuckDB ``to_json(struct_pack(...))``) so
+    string fields are properly escaped — a quote or backslash in
+    ``event_type`` cannot malform the payload on either side (ADVICE r5;
+    the previous hand-concatenated envelope relied on the fixture's
+    JSON-safe event types).
 
     Scale: both the envelope build and the parse are Catalyst expressions
     inside whole-stage codegen — one scan, no shuffle before the final
@@ -111,16 +115,13 @@ def events_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
-    payload = F.concat(
-        F.lit('{"meta":{"u":'),
-        F.col("user_id").cast("string"),
-        F.lit(',"t":"'),
-        F.col("event_type"),
-        F.lit('"},"vals":['),
-        k.cast("string"),
-        F.lit(","),
-        (k * 2).cast("string"),
-        F.lit("]}"),
+    payload = F.to_json(
+        F.struct(
+            F.struct(
+                F.col("user_id").alias("u"), F.col("event_type").alias("t")
+            ).alias("meta"),
+            F.array(k, k * 2).alias("vals"),
+        )
     )
     schema = StructType(
         [
