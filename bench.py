@@ -1,7 +1,13 @@
-"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"""Benchmark harness: times every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (round 6 — VERDICT r5 "Next round" #8: every prior round's
+single fat JSON line was truncated by the driver's tail capture, leaving
+BENCH_r*.json unparsed):
+  - full per-query timings go to BENCH_DETAIL.json next to this file;
+  - stdout's LAST line is ONE compact JSON object — total, sf, and the
+    per-query seconds for the BASELINE.md-mappable headline subset — small
+    enough (<1.5 KB) to survive the driver's tail capture intact.
 
 Comparable to BASELINE.md's per-query wall-clock table (reference run on
 Databricks CE; see SURVEY.md §6 — comparison is per-operator relative cost).
@@ -14,6 +20,26 @@ import os
 import sys
 import time
 
+# BASELINE.md "Per-query wall-clock" rows #1-#14 mapped to registry names
+# (QUERIES.md §coverage map) — the subset the judge compares directly.
+BASELINE_MAPPABLE = (
+    "count_distinct_orders",  # 1
+    "orders_no_price",  # 2
+    "valid_orders",  # 3
+    "clean_orders",  # 4
+    "top_abandoned_products",  # 5
+    "top_abandoned_pairs",  # 6
+    "abandonment_mom_increase",  # 7
+    "abandonment_yoy_increase",  # 8
+    "nations_by_customer",  # 9
+    "nations_by_supplier",  # 10
+    "nations_by_expr_key",  # 11
+    "launch_month_orders",  # 12
+    "abandonment_by_month",  # 13
+    "abandonment_by_day",  # 13b
+    "order_export_denorm",  # 14
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -24,11 +50,10 @@ def main() -> None:
     from databricks_spark_sql_challenge1_spark.registry import QUERIES, driver_order
 
     # Bench surface: EVERY registered query except the structured-streaming
-    # trio (writeStream micro-batch runs; timed separately in
+    # family (writeStream micro-batch runs; timed separately in
     # tests/test_streaming.py). This is the whole regression gate — new
-    # registrations are picked up automatically. SURVEY.md §2.12 names map to
-    # queries per QUERIES.md §coverage map; BENCH_NOTES.md tracks per-query
-    # deltas between rounds (>1.3× = regression failure).
+    # registrations are picked up automatically. BENCH_NOTES.md tracks
+    # per-query deltas between rounds (>1.3x = regression failure).
     headline = [
         n for n in driver_order(QUERIES) if not n.startswith("streaming_")
     ]
@@ -44,12 +69,11 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).count()
     last_order_datetime(spark, sf_dir)
 
-    # Measurement protocol (round 5; VERDICT r4 "Next round" #3): the shared
-    # host has documented day-range variance, and every round so far burned
-    # effort on "cold sweep scared us, isolation re-run cleared it". So: one
-    # timed run for the sub-2 s body of the distribution (noise there is
-    # absolute-small), and for the ≥2 s heavy tail the first run is treated
-    # as the warmup and the recorded number is the MEDIAN of 3 runs.
+    # Measurement protocol (round 6; ADVICE r5 fixed the r5 wording drift):
+    # one timed run for the sub-2 s body of the distribution (noise there is
+    # absolute-small); for the >= 2 s heavy tail the cold first run is a
+    # DISCARDED warmup and the recorded value is the median of the 3
+    # subsequent warmed runs.
     HEAVY_TAIL_SEC = 2.0
     REPEATS = 3
 
@@ -65,22 +89,43 @@ def main() -> None:
         if first < HEAVY_TAIL_SEC:
             timings[name] = first
         else:
-            runs = sorted([first] + [timed(fn) for _ in range(REPEATS - 1)])
+            runs = sorted(timed(fn) for _ in range(REPEATS))
             timings[name] = runs[REPEATS // 2]
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "cpus": int(os.environ["SPARK_GRAFT_CPUS"]),
+        "protocol": "cold-run-discarded median-of-3-warmed for queries "
+        ">= 2s; single-run below",
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    # The compact driver-facing line: LAST on stdout, and small enough that
+    # the driver's tail capture holds the whole object.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "protocol": "median-of-3-warmed for queries >= 2s; "
-                "single-run below",
-            }
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "queries": {
+                    n: timings[n] for n in BASELINE_MAPPABLE if n in timings
+                },
+                "detail_file": "BENCH_DETAIL.json",
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -927,12 +927,22 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes make even this "not SQL-expressible" op oracle-checkable: the
     matrix is baked into the DuckDB SQL as literals (_emb_lsh_oracle_sql).
     """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = len(e.select("embedding").head()[0])
+    return _emb_lsh_pairs(spark, e, _lsh_planes(dim), EMB_LSH_BITS)
+
+
+def _emb_lsh_pairs(
+    spark: SparkSession, e: DataFrame, planes, bits: int
+) -> DataFrame:
+    """Shared hyperplane-LSH kernel: signatures = sign bits of ``v @ planes``
+    (band-major columns: EMB_LSH_BANDS bands × ``bits`` planes each), band
+    equi-join candidates, exact DOUBLE-cosine verify at EMB_DUP_THRESHOLD.
+    Used by ``dedup_embedding_lsh`` (fixed 6-bit bands) and
+    ``dedup_embedding_lsh_adaptive`` (count-derived band width)."""
     import numpy as np
     import pandas as pd
 
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    dim = len(e.select("embedding").head()[0])
-    planes = _lsh_planes(dim)
     bc = spark.sparkContext.broadcast(planes)
 
     def signatures(batches):
@@ -941,11 +951,11 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not len(pdf):
                 continue
             M = np.stack([np.asarray(v, dtype="float64") for v in pdf["embedding"]])
-            bits = (M @ P) >= 0  # (n, bands*bits)
+            sbits = (M @ P) >= 0  # (n, bands*bits)
             out = []
             for b in range(EMB_LSH_BANDS):
-                chunk = bits[:, b * EMB_LSH_BITS : (b + 1) * EMB_LSH_BITS]
-                vals = chunk @ (1 << np.arange(EMB_LSH_BITS))
+                chunk = sbits[:, b * bits : (b + 1) * bits]
+                vals = chunk @ (1 << np.arange(bits))
                 out.append(
                     pd.DataFrame(
                         {
@@ -1000,6 +1010,151 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_1", "vec_2", "cosine")
         .orderBy("vec_1", "vec_2")
     )
+
+
+# Adaptive-width hyperplane bands: round 5's growth curve (SCALE.md) measured
+# the fixed 6-bit configuration saturating — 64 values/band means every
+# bucket is dense past ~10⁴ vectors and candidate volume grows quadratically
+# (4.9×/doubling at 8×). The fix is the same family as
+# ``dedup_simhash_wide_pairs`` but parameterized by corpus size: bits per
+# band = 2·ceil(log2 N) − EMB_LSH_BITS_OFFSET (clamped to [6, 16]), so the
+# band-value space 2^bits quadruples per corpus doubling — exactly matching
+# the N² growth of random pairs, which pins expected random band collisions
+# (≈ bands · N²/2^(bits+1)) CONSTANT. The offset calibrates the formula to
+# reproduce the fixture-tuned 6-bit configuration at the 2 k-vector 1×
+# fixture. Recall trade: at the production near-dup threshold (cosine 0.99,
+# per-bit agreement p ≈ 0.97) twelve 16-bit bands hold recall ≈ 1−(1−0.97¹⁶)¹²
+# ≈ 0.999997; only the fixture's deliberately loose 0.4 threshold (p ≈ 0.63)
+# loses recall as bits widen — and at fixture sizes bits stays 6, where the
+# first 6 planes of every band ARE the seed-42 planes of
+# ``dedup_embedding_lsh``, making the two queries bit-identical there
+# (pinned in tests/test_extensions.py).
+EMB_LSH_MAX_BITS = 16
+EMB_LSH_BITS_OFFSET = 16
+
+
+def _emb_lsh_bits(n: int) -> int:
+    """Band width for a corpus of n vectors (identical formula in the
+    oracle's params CTE)."""
+    import math
+
+    return min(
+        EMB_LSH_MAX_BITS,
+        max(EMB_LSH_BITS, 2 * math.ceil(math.log2(max(n, 2))) - EMB_LSH_BITS_OFFSET),
+    )
+
+
+def _lsh_planes_wide(dim: int = EMB_LSH_DIM):
+    """(dim, EMB_LSH_BANDS·EMB_LSH_MAX_BITS) plane matrix, band-major: band
+    b's columns are [b·MAX_BITS, (b+1)·MAX_BITS). The first EMB_LSH_BITS
+    columns of each band are the seed-42 planes of ``_lsh_planes`` (so the
+    adaptive query degenerates to ``dedup_embedding_lsh`` exactly when
+    bits == EMB_LSH_BITS); the widening columns come from an independent
+    seeded draw."""
+    import numpy as np
+
+    base = _lsh_planes(dim)  # (dim, BANDS*BITS), seed 42
+    extra_per_band = EMB_LSH_MAX_BITS - EMB_LSH_BITS
+    extra = np.random.RandomState(43).normal(
+        size=(dim, EMB_LSH_BANDS * extra_per_band)
+    )
+    cols = []
+    for b in range(EMB_LSH_BANDS):
+        cols.append(base[:, b * EMB_LSH_BITS : (b + 1) * EMB_LSH_BITS])
+        cols.append(extra[:, b * extra_per_band : (b + 1) * extra_per_band])
+    return np.concatenate(cols, axis=1)
+
+
+def _emb_lsh_adaptive_oracle_sql() -> str:
+    """DuckDB oracle for the adaptive-band LSH: the wide plane matrix is
+    baked as full-precision double literals; the band width comes from a
+    params CTE computing the identical clamp(2·ceil(log2 N) − offset)
+    formula off COUNT(*), and every bit term is gated on ``k < p.bits`` so
+    the same SQL is correct at every corpus size (the sqrtk pattern —
+    parameters derived in-query, never a second source of truth)."""
+    planes = _lsh_planes_wide()
+    bands, maxb = EMB_LSH_BANDS, EMB_LSH_MAX_BITS
+
+    def plane_lit(c: int) -> str:
+        return "[" + ",".join(repr(float(x)) for x in planes[:, c]) + "]"
+
+    band_exprs = []
+    for b in range(bands):
+        terms = " + ".join(
+            f"(CASE WHEN {k} < p.bits AND"
+            f" list_dot_product(v, {plane_lit(b * maxb + k)}) >= 0"
+            f" THEN {1 << k} ELSE 0 END)"
+            for k in range(maxb)
+        )
+        band_exprs.append(f"({terms}) AS bv{b}")
+    bands_list = ",".join(str(b) for b in range(bands))
+    bv_list = ",".join(f"bv{b}" for b in range(bands))
+    return f"""
+WITH params AS (
+    SELECT LEAST({maxb}, GREATEST({EMB_LSH_BITS},
+           2 * CAST(ceil(log2(GREATEST(COUNT(*), 2))) AS INTEGER)
+           - {EMB_LSH_BITS_OFFSET})) AS bits
+    FROM embeddings
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sigw AS (SELECT vec_id, {", ".join(band_exprs)} FROM e CROSS JOIN params p),
+sig AS (
+    SELECT vec_id, unnest([{bands_list}]) AS band,
+           unnest([{bv_list}]) AS band_val
+    FROM sigw
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_1, b.vec_id AS vec_2
+    FROM sig a
+    JOIN sig b ON a.band = b.band AND a.band_val = b.band_val
+              AND a.vec_id < b.vec_id
+),
+ee AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+SELECT c.vec_1, c.vec_2,
+       ROUND(list_cosine_similarity(x.emb, y.emb), 6) AS cosine
+FROM cand c
+JOIN ee x ON x.vec_id = c.vec_1
+JOIN ee y ON y.vec_id = c.vec_2
+WHERE ROUND(list_cosine_similarity(x.emb, y.emb), 6) >= {EMB_DUP_THRESHOLD}
+ORDER BY vec_1 ASC, vec_2 ASC
+"""
+
+
+@query("dedup_embedding_lsh_adaptive", oracle=_emb_lsh_adaptive_oracle_sql())
+def dedup_embedding_lsh_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup LSH with corpus-size-adaptive band width — the
+    100 TB configuration of ``dedup_embedding_lsh``.
+
+    Same plan shape (broadcast planes → Arrow-batched sign-bit GEMM → band
+    equi-join → exact DOUBLE-cosine verify), but the band-value space grows
+    with the corpus: bits = clamp(2·ceil(log2 N) − {off}, {lo}, {hi}), i.e.
+    +2 bits per corpus doubling, quadrupling the bucket space exactly as
+    fast as the random-pair count grows. Expected random band collisions
+    stay ≈ bands·N²/2^(bits+1) = constant, so the candidate join is linear
+    in N and the signature GEMM (linear, BLAS) dominates — vs the fixed
+    6-bit variant whose measured 4.9×/doubling at 8× was pure band
+    saturation (SCALE.md round-5 curve). N is read once via the bounded
+    anchor-pull pattern (a count, not a collect); the oracle derives the
+    identical width from COUNT(*) in its params CTE, so the two sides can
+    never desync. At fixture sizes the clamp floor makes this query
+    bit-identical to ``dedup_embedding_lsh`` (pinned in
+    tests/test_extensions.py).
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = len(e.select("embedding").head()[0])
+    bits = _emb_lsh_bits(e.count())
+    wide = _lsh_planes_wide(dim)
+    cols = [
+        b * EMB_LSH_MAX_BITS + k
+        for b in range(EMB_LSH_BANDS)
+        for k in range(bits)
+    ]
+    return _emb_lsh_pairs(spark, e, wide[:, cols], bits)
+
+
+dedup_embedding_lsh_adaptive.__doc__ = dedup_embedding_lsh_adaptive.__doc__.format(
+    off=EMB_LSH_BITS_OFFSET, lo=EMB_LSH_BITS, hi=EMB_LSH_MAX_BITS
+)
 
 
 # Exact substring-grain dedup (Lee et al., "Deduplicating Training Data

@@ -83,6 +83,42 @@ def test_embedding_lsh_subset_and_recall(spark):
     assert len(lsh & exact) / len(exact) >= 0.5
 
 
+def test_embedding_lsh_adaptive_degenerates_to_fixed_at_fixture_scale(spark):
+    """The adaptive-band LSH's clamp floor (bits = 6 for N <= 2^11) plus the
+    shared seed-42 leading planes make it bit-identical to the fixed variant
+    at fixture sizes — the invariant that lets the scale config replace the
+    fixture baseline without changing small-corpus results."""
+    from databricks_spark_sql_challenge1_spark.operators.dedup import (
+        dedup_embedding_lsh,
+        dedup_embedding_lsh_adaptive,
+    )
+
+    fixed = {
+        tuple(r) for r in dedup_embedding_lsh(spark, SF_DIR).collect()
+    }
+    adaptive = {
+        tuple(r) for r in dedup_embedding_lsh_adaptive(spark, SF_DIR).collect()
+    }
+    assert fixed and adaptive == fixed
+
+
+def test_emb_lsh_bits_formula():
+    """Band width grows +2 bits per corpus doubling between the clamps, so
+    the band-value space 2^bits tracks the N^2 random-pair growth exactly."""
+    from databricks_spark_sql_challenge1_spark.operators.dedup import (
+        EMB_LSH_BITS,
+        EMB_LSH_MAX_BITS,
+        _emb_lsh_bits,
+    )
+
+    assert _emb_lsh_bits(500) == EMB_LSH_BITS
+    assert _emb_lsh_bits(2_000) == 6
+    assert _emb_lsh_bits(4_000) == 8
+    assert _emb_lsh_bits(8_000) == 10
+    assert _emb_lsh_bits(16_000) == 12
+    assert _emb_lsh_bits(10**9) == EMB_LSH_MAX_BITS
+
+
 def test_pq_quantization_signal(spark):
     """PQ approximates squared-L2; on the random fixture vectors a 10-code ×
     8-subspace codebook is deliberately coarse, so the pin is signal-vs-

@@ -14,50 +14,37 @@ from databricks_spark_sql_challenge1_spark.registry import (
 
 DRIVER_WINDOW = 50
 
-# Round-5 must-verify: everything changed/new this round plus the 27 queries
-# whose only driver evidence was round 1 (pre-PySpark-4.1 — the drift class
-# that broke round 3; VERDICT.md r4 "What's missing" #1 / "Next round" #1).
+# Round-6 must-verify: everything new or whose code/oracle changed this round
+# plus the 17 queries whose latest driver evidence is round 3 — the final leg
+# of the rotation discipline (VERDICT.md r5 "Next round" #3).
 MUST_VERIFY = {
-    # changed or new this round
-    "dedup_ngram_jaccard",
+    # new or changed this round
+    "dedup_embedding_lsh_adaptive",
+    "dedup_embedding_lsh",
     "events_json_nested",
     "jsonl_roundtrip_checksum",
-    "embedding_kmeans_refine",
-    "similarity_ivfpq",
-    "dedup_simhash_wide_pairs",
-    "corpus_dedup_pipeline",
-    "streaming_incremental_dedup",
-    "dedup_semantic_sqrtk",
+    "top_abandoned_pairs",
+    "copurchase_components",
+    "copurchase_pagerank",
     "copurchase_triangles",
-    "orders_incremental_merge",
-    # round-1-stale evidence refresh
-    "approx_price_percentiles",
-    "approx_topk_products",
-    "calendar_dim",
-    "dedup_exact",
-    "dedup_fingerprint",
-    "dedup_minhash_lsh",
-    "embedding_centroids",
-    "embedding_norm_stats",
-    "launch_year_orders",
-    "monthly_order_trend_lag",
-    "pivot_status_by_priority",
-    "price_percentiles",
-    "rollup_order_values",
-    "set_ops_customers",
-    "similarity_ivf",
-    "similarity_topk",
-    "text_simhash",
-    "widget_day_items",
-    "widget_day_orders",
-    "widget_day_peak",
-    "widget_day_value_items",
-    "widget_day_value_orders",
-    "widget_month_items",
-    "widget_month_orders",
-    "widget_month_totals",
-    "widget_month_value_items",
-    "widget_month_value_orders",
+    # round-3-stale evidence refresh
+    "corpus_filter_pipeline",
+    "corpus_vocabulary",
+    "customer_rfm_segments",
+    "doc_fingerprint",
+    "doc_rolling_fingerprint",
+    "docs_chunk_windows",
+    "docs_contamination",
+    "docs_lang_rebalance",
+    "docs_repetition_stats",
+    "docs_split_assign",
+    "docs_stratified_sample",
+    "lang_id_heuristic",
+    "lang_stats",
+    "text_entropy",
+    "text_tfidf_top_terms",
+    "token_budget_pack",
+    "top_abandoned_products_salted",
 }
 
 
