@@ -778,3 +778,77 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("split").asc(), F.col("lang").asc())
     )
+
+
+# --- temperature-scaled mixture sampling ----------------------------------
+
+# Sampling temperature for multilingual/domain mixing: q_i ∝ p_i^ALPHA with
+# ALPHA in (0, 1) upsamples low-resource strata relative to their natural
+# token share without flattening to uniform (ALPHA=1 → natural sampling,
+# ALPHA=0 → uniform) — the standard exponential-smoothing rule for
+# multilingual LLM pretraining mixtures.
+TEMPERATURE_ALPHA = 0.5
+
+
+@query(
+    "corpus_temperature_mixture",
+    oracle=f"""
+WITH g AS (
+    SELECT lang,
+           SUM(len(string_split_regex(trim(text), '\\s+'))) AS n_tokens
+    FROM documents GROUP BY lang
+),
+tot AS (SELECT SUM(n_tokens) AS total_tokens FROM g),
+p AS (
+    SELECT g.lang, g.n_tokens,
+           CAST(g.n_tokens AS DOUBLE) / tot.total_tokens AS share
+    FROM g CROSS JOIN tot
+),
+z AS (SELECT SUM(power(share, {TEMPERATURE_ALPHA})) AS zsum FROM p)
+SELECT p.lang,
+       CAST(p.n_tokens AS BIGINT) AS n_tokens,
+       ROUND(p.share, 6) AS token_share,
+       ROUND(power(p.share, {TEMPERATURE_ALPHA}) / z.zsum, 6) AS sample_prob,
+       ROUND(power(p.share, {TEMPERATURE_ALPHA}) / z.zsum / p.share, 4)
+           AS boost
+FROM p CROSS JOIN z
+ORDER BY p.lang ASC
+""",
+)
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling mixture per language: natural token share
+    p_i, temperature-smoothed sampling probability q_i = p_i^α / Σ p_j^α
+    (α = TEMPERATURE_ALPHA), and the resulting boost q_i/p_i — how much a
+    low-resource language is upsampled relative to natural sampling. The
+    complement of ``corpus_mixture_weights`` (uniform target) and
+    ``docs_lang_rebalance`` (downsample-to-min): this is the knob real
+    multilingual pretraining mixes use between those two extremes.
+
+    Scale shape: one corpus groupBy with map-side partial token sums, then
+    two 1×1 scalar broadcasts (total, partition-function Z) over the tiny
+    stratum-grain table — nothing after the first aggregate touches corpus
+    rows. ROUND on both engines buffers the ulp-level pow/summation drift.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+        .cast("bigint")
+        .alias("n_tokens")
+    )
+    tot = g.agg(F.sum("n_tokens").alias("total_tokens"))
+    p = g.crossJoin(F.broadcast(tot)).withColumn(
+        "share", F.col("n_tokens").cast("double") / F.col("total_tokens")
+    )
+    z = p.agg(F.sum(F.pow("share", TEMPERATURE_ALPHA)).alias("zsum"))
+    q = F.pow("share", TEMPERATURE_ALPHA) / F.col("zsum")
+    return (
+        p.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round("share", 6).alias("token_share"),
+            F.round(q, 6).alias("sample_prob"),
+            F.round(q / F.col("share"), 4).alias("boost"),
+        )
+        .orderBy(F.col("lang").asc())
+    )

@@ -214,3 +214,31 @@ def test_round5_new_operators_no_cartesian(spark):
     ):
         plan = simple_plan(q(spark, SF_DIR))
         assert "CartesianProduct" not in plan, f"{q.__name__}:\n{plan}"
+
+
+def test_round6_operators_plan_shapes(spark):
+    """Round-6 operators: the adaptive-band LSH must keep the band
+    equi-join shape (no cartesian); int8 quantization must be a pure
+    narrow expression pipeline (single scan, no join, no aggregate — the
+    only exchange is the presentation sort); the temperature mixture's
+    scalar joins must come in broadcast, never as a CartesianProduct."""
+    from databricks_spark_sql_challenge1_spark.operators.dedup import (
+        dedup_embedding_lsh_adaptive,
+    )
+    from databricks_spark_sql_challenge1_spark.operators.similarity import (
+        embedding_quantize_int8,
+    )
+    from databricks_spark_sql_challenge1_spark.operators.traindata import (
+        corpus_temperature_mixture,
+    )
+
+    plan = simple_plan(dedup_embedding_lsh_adaptive(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+
+    qplan = simple_plan(embedding_quantize_int8(spark, SF_DIR))
+    assert "Join" not in qplan and "HashAggregate" not in qplan, qplan
+    exchanges = [ln for ln in qplan.splitlines() if "Exchange" in ln]
+    assert all("rangepartitioning" in ln for ln in exchanges), qplan
+
+    mplan = simple_plan(corpus_temperature_mixture(spark, SF_DIR))
+    assert "CartesianProduct" not in mplan, mplan

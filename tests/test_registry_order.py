@@ -20,6 +20,8 @@ DRIVER_WINDOW = 50
 MUST_VERIFY = {
     # new or changed this round
     "dedup_embedding_lsh_adaptive",
+    "embedding_quantize_int8",
+    "corpus_temperature_mixture",
     "dedup_embedding_lsh",
     "events_json_nested",
     "jsonl_roundtrip_checksum",
