@@ -496,3 +496,65 @@ def orders_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("o_month").asc())
     )
+
+
+# --- join-key skew profile -------------------------------------------------
+
+
+@query(
+    "partkey_skew_histogram",
+    oracle="""
+WITH g AS (
+    SELECT l.l_partkey AS partkey, COUNT(DISTINCT o.o_orderkey) AS n
+    FROM lineitem l
+    RIGHT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'O'
+    GROUP BY l.l_partkey
+)
+SELECT CAST(floor(log2(n)) AS BIGINT) AS size_bucket,
+       COUNT(*) AS n_keys,
+       CAST(SUM(n) AS BIGINT) AS total_orders,
+       CAST(MAX(n) AS BIGINT) AS max_group,
+       CAST(SUM(CASE WHEN partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_keys
+FROM g
+GROUP BY 1
+ORDER BY size_bucket ASC
+""",
+)
+def partkey_skew_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile for the flagship's aggregation key: log2-bucket
+    histogram of per-partkey abandoned-order group sizes (bucket b holds
+    keys with 2^b <= group < 2^(b+1)), with the NULL hot key called out —
+    the measurement you run BEFORE choosing between the direct plan and
+    `top_abandoned_products_salted` (SCALE.md's crossover analysis reads
+    exactly these numbers: where the max bucket sits vs a reducer's
+    capacity).
+
+    Scale shape: the same right-join + per-key count-distinct as the
+    flagship, then a SECOND tiny aggregate over the key-grain table into
+    <= 64 histogram rows — group-size profiling costs one extra map-side
+    agg over data already shuffled by the key, never a new corpus pass.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    g = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "right")
+        .where(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.countDistinct("o_orderkey").alias("n"))
+    )
+    return (
+        g.groupBy(F.floor(F.log2("n")).cast("bigint").alias("size_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n").cast("bigint").alias("total_orders"),
+            F.max("n").cast("bigint").alias("max_group"),
+            F.sum(
+                F.when(F.col("partkey").isNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("null_keys"),
+        )
+        .orderBy(F.col("size_bucket").asc())
+    )

@@ -1073,3 +1073,123 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("vec_id").asc())
     )
+
+
+# --- two-stage retrieval: ADC shortlist -> exact re-rank -------------------
+
+# Shortlist depth: PQ recall losses are recovered by re-ranking a shortlist
+# 4x deeper than the final k with exact distances — the standard two-stage
+# retrieval shape (quantized scan for recall, exact math only on candidates).
+RERANK_SHORTLIST = 20
+
+_FULL_SQDIST_SQL = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
+
+
+@query(
+    "similarity_pq_rerank",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+sub AS ({_PQ_SUB_SQL}),
+cb AS (SELECT vec_id AS centroid_id, m, sub AS csub FROM sub
+       WHERE vec_id % {CENTROID_STRIDE} = 0),
+codes AS (
+    SELECT vec_id, m, centroid_id AS code
+    FROM (
+        SELECT s.vec_id, s.m, cb.centroid_id,
+               row_number() OVER (
+                   PARTITION BY s.vec_id, s.m
+                   ORDER BY ROUND({_SQDIST_SQL.format(a="s.sub", b="cb.csub")}, 6) ASC,
+                            cb.centroid_id ASC) AS rk
+        FROM sub s JOIN cb ON cb.m = s.m
+    ) WHERE rk = 1
+),
+dtable AS (
+    SELECT s.vec_id AS query_id, s.m, cb.centroid_id AS code,
+           {_SQDIST_SQL.format(a="s.sub", b="cb.csub")} AS d
+    FROM sub s JOIN cb ON cb.m = s.m
+    WHERE s.vec_id < {N_QUERIES}
+),
+scored AS (
+    SELECT d.query_id, c.vec_id AS neighbor_id, ROUND(SUM(d.d), 4) AS adist
+    FROM codes c JOIN dtable d ON d.m = c.m AND d.code = c.code
+    WHERE c.vec_id <> d.query_id
+    GROUP BY d.query_id, c.vec_id
+),
+shortlist AS (
+    SELECT query_id, neighbor_id, adist
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adist ASC, neighbor_id ASC) AS rk
+        FROM scored
+    ) WHERE rk <= {RERANK_SHORTLIST}
+),
+exact AS (
+    SELECT sl.query_id, sl.neighbor_id, sl.adist,
+           ROUND({_FULL_SQDIST_SQL.format(a="q.emb", b="n.emb")}, 6)
+               AS exact_sqdist
+    FROM shortlist sl
+    JOIN e q ON q.vec_id = sl.query_id
+    JOIN e n ON n.vec_id = sl.neighbor_id
+)
+SELECT query_id, neighbor_id, exact_sqdist, adist
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY exact_sqdist ASC, neighbor_id ASC)
+              AS rk
+    FROM exact
+) WHERE rk <= {TOP_K}
+ORDER BY query_id ASC, exact_sqdist ASC, neighbor_id ASC
+""",
+)
+def similarity_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: PQ/ADC scan selects a RERANK_SHORTLIST-deep
+    candidate list per query, then EXACT squared-L2 re-ranks the shortlist
+    down to top-k — the production ANN serving shape (quantized codes give
+    recall over the full corpus at PQ_M = 8 bytes/vector; exact math runs only
+    on Q × shortlist rows, so its cost is independent of corpus size).
+
+    Scale shapes: stage 1 is ``similarity_pq``'s plan (codes ⋈ broadcast
+    distance table, one shuffle for the ADC sum); stage 2 joins the tiny
+    shortlist back to the corpus on vec_id — at 10⁹ vectors that is a
+    Q·shortlist-row probe-side join against the (bucketed) embedding table,
+    never a scan. The exact re-rank fold runs in-order on both engines and
+    ROUNDs to 6 before ranking so tie-break order is engine-stable.
+    """
+    scored = _pq_scored(spark, sf_dir)
+    sw = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("rk", F.row_number().over(sw))
+        .where(F.col("rk") <= RERANK_SHORTLIST)
+        .select("query_id", "neighbor_id", "adist")
+    )
+    e = _emb(spark, sf_dir)
+    q = e.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"))
+    n = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("n_emb")
+    )
+    exact = (
+        shortlist.join(q, "query_id")
+        .join(n, "neighbor_id")
+        .withColumn(
+            "exact_sqdist",
+            F.round(_sqdist(F.col("q_emb"), F.col("n_emb")), 6),
+        )
+    )
+    rw = Window.partitionBy("query_id").orderBy(
+        F.col("exact_sqdist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rk", F.row_number().over(rw))
+        .where(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "exact_sqdist", "adist")
+        .orderBy(
+            F.col("query_id").asc(),
+            F.col("exact_sqdist").asc(),
+            F.col("neighbor_id").asc(),
+        )
+    )

@@ -62,10 +62,12 @@ def query(name: str, oracle: str | None = None):
 # small analytics) rotate in r7, and the full r5 window keeps its r5 rows
 # (that code is untouched this round). Accounting: QUERIES.md §driver-window.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # 0: new or changed this round (10)
+    # 0: new or changed this round (12)
     "dedup_embedding_lsh_adaptive",  # new: count-adaptive band width
     "embedding_quantize_int8",  # new: int8 storage-path quantization audit
     "corpus_temperature_mixture",  # new: p^alpha multilingual sampling mix
+    "similarity_pq_rerank",  # new: ADC shortlist -> exact re-rank
+    "partkey_skew_histogram",  # new: join-key skew profile (log2 buckets)
     "dedup_embedding_lsh",  # kernel refactored into _emb_lsh_pairs
     "events_json_nested",  # to_json(struct)/struct_pack envelope
     "jsonl_roundtrip_checksum",  # deterministic per-sf_dir export path
@@ -91,7 +93,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_tfidf_top_terms",
     "token_budget_pack",
     "top_abandoned_products_salted",
-    # 2: oldest round-4 evidence, reference core + measured families (23)
+    # 2: oldest round-4 evidence, reference core + measured families (21)
     "top_abandoned_products",
     "clean_orders",
     "valid_orders",
@@ -113,8 +115,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "copurchase_lift",  # growth-curve target this round
     "tfidf_doc_neighbors",  # growth-curve target this round
     "multimodal_features",  # isolation re-measure this round
-    "multimodal_frame_stats",
-    "docs_contamination_bloom",
     # --- window boundary: 50 names above (tests/test_registry_order.py) ---
 )
 

@@ -242,3 +242,22 @@ def test_round6_operators_plan_shapes(spark):
 
     mplan = simple_plan(corpus_temperature_mixture(spark, SF_DIR))
     assert "CartesianProduct" not in mplan, mplan
+
+
+def test_round6_retrieval_and_skew_plan_shapes(spark):
+    """similarity_pq_rerank's corpus-sized joins must be broadcast/equi
+    (no cartesian); partkey_skew_histogram must push the status filter to
+    the orders scan and never degenerate."""
+    from databricks_spark_sql_challenge1_spark.operators.analytics_ext import (
+        partkey_skew_histogram,
+    )
+    from databricks_spark_sql_challenge1_spark.operators.similarity import (
+        similarity_pq_rerank,
+    )
+
+    rplan = simple_plan(similarity_pq_rerank(spark, SF_DIR))
+    assert "CartesianProduct" not in rplan, rplan
+
+    df = partkey_skew_histogram(spark, SF_DIR)
+    assert "o_orderstatus" in " ".join(pushed_filters(df))
+    assert not has_cartesian(df), simple_plan(df)

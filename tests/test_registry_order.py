@@ -22,6 +22,8 @@ MUST_VERIFY = {
     "dedup_embedding_lsh_adaptive",
     "embedding_quantize_int8",
     "corpus_temperature_mixture",
+    "similarity_pq_rerank",
+    "partkey_skew_histogram",
     "dedup_embedding_lsh",
     "events_json_nested",
     "jsonl_roundtrip_checksum",
