@@ -24,6 +24,7 @@ MUST_VERIFY = {
     "corpus_temperature_mixture",
     "similarity_pq_rerank",
     "partkey_skew_histogram",
+    "multimodal_audio_pcm_stats",
     "dedup_embedding_lsh",
     "events_json_nested",
     "jsonl_roundtrip_checksum",
