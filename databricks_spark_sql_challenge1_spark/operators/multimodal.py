@@ -6,7 +6,8 @@ COMPRESSED-codec decode (JPEG/MP3/H.264) needs libraries that are NOT in
 this container, so that step is STUBBED (deterministic fake bytes, or
 ``NotImplementedError`` when a real codec is demanded). RAW formats are
 fully implemented: ``pcm_audio_stats`` runs a real vectorized numpy DSP
-kernel (RMS/peak/zero-crossings) over Arrow batches. In both cases the
+kernel (RMS/peak/zero-crossings) and ``image_thumbnail_stats`` a real
+strided nearest-neighbor resize, both over Arrow batches. In all cases the
 Spark-side plumbing is real and tested: schema, Arrow batch shape,
 ``mapInPandas`` signatures, partition-preserving dataflow.
 """
@@ -325,3 +326,99 @@ def multimodal_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = attach_fake_media(docs).select("doc_id", "media_bytes")
     return pcm_audio_stats(media).orderBy(F.col("doc_id").asc())
+
+
+# --- real raw-format kernel: image thumbnail (nearest-neighbor resize) -----
+
+THUMB_SIZE = 8
+
+THUMB_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("img_w", LongType()),
+        StructField("img_h", LongType()),
+        StructField("thumb_sum", LongType()),
+        StructField("thumb_mean", DoubleType()),
+    ]
+)
+
+
+def image_thumbnail_stats(media: DataFrame) -> DataFrame:
+    """REAL strided nearest-neighbor resize (not a stub): interpret the
+    payload as a grayscale raster (w = floor(sqrt(n)), h = n // w, first
+    w·h bytes row-major), downsample to a THUMB_SIZE² thumbnail with numpy
+    fancy indexing — the vectorized kernel a raw-image featurizer runs —
+    and emit the thumbnail checksum/mean. Sample indices use integer floor
+    division ((i·h)//T, (j·w)//T), so every number is integer-exact across
+    engines."""
+
+    def _thumb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        T = THUMB_SIZE
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "img_w": [],
+                "img_h": [],
+                "thumb_sum": [],
+                "thumb_mean": [],
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media_bytes"]):
+                b = np.frombuffer(bytes(blob), np.uint8)
+                n = len(b)
+                w = int(np.floor(np.sqrt(n)))
+                h = n // w
+                img = b[: w * h].reshape(h, w)
+                ri = (np.arange(T) * h) // T
+                ci = (np.arange(T) * w) // T
+                s = int(img[ri][:, ci].astype(np.int64).sum())
+                rows["doc_id"].append(doc_id)
+                rows["img_w"].append(w)
+                rows["img_h"].append(h)
+                rows["thumb_sum"].append(s)
+                rows["thumb_mean"].append(round(s / (T * T), 6))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_thumb, THUMB_SCHEMA)
+
+
+@query(
+    "multimodal_image_thumbnail",
+    oracle=f"""
+WITH dims AS (
+    SELECT doc_id, text,
+           CAST(floor(sqrt(length(text))) AS BIGINT) AS w,
+           length(text) // CAST(floor(sqrt(length(text))) AS BIGINT) AS h
+    FROM documents
+),
+thumb AS (
+    SELECT doc_id, w, h,
+           list_sum(list_transform(generate_series(0, {THUMB_SIZE ** 2 - 1}),
+               k -> ord(text[CAST(((k // {THUMB_SIZE}) * h // {THUMB_SIZE}) * w
+                                  + ((k % {THUMB_SIZE}) * w // {THUMB_SIZE})
+                                  + 1 AS BIGINT)])
+           )) AS thumb_sum
+    FROM dims
+)
+SELECT doc_id, CAST(w AS BIGINT) AS img_w, CAST(h AS BIGINT) AS img_h,
+       CAST(thumb_sum AS BIGINT) AS thumb_sum,
+       ROUND(CAST(thumb_sum AS DOUBLE) / {THUMB_SIZE ** 2}, 6) AS thumb_mean
+FROM thumb
+ORDER BY doc_id ASC
+""",
+)
+def multimodal_image_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-image thumbnailing, end to end REAL: treat each payload as a
+    grayscale raster, nearest-neighbor-downsample to an 8×8 thumbnail via
+    numpy strided indexing over Arrow batches, and emit per-image checksum
+    + mean — the image companion to ``multimodal_audio_pcm_stats`` in
+    narrowing the multimodal stub to compressed codecs only. The oracle
+    replays the identical integer sample-index arithmetic over the ASCII
+    payload, so the comparison is bit-for-bit.
+
+    Scale shape: narrow 1:1 Arrow-batched map; the real pipeline's decode
+    (compressed → raster) slots in front of the same kernel; only the
+    presentation sort shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(docs).select("doc_id", "media_bytes")
+    return image_thumbnail_stats(media).orderBy(F.col("doc_id").asc())

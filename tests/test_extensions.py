@@ -395,3 +395,30 @@ def test_ivfpq_is_pq_restricted_to_probed_cells(spark):
     )
     got = sorted(tuple(r) for r in similarity_ivfpq(spark, SF_DIR).collect())
     assert got == expected and len(got) > 0
+
+
+def test_pq_rerank_improves_or_matches_pq_order(spark):
+    """The exact re-rank's #1 neighbor must be at least as close (exact
+    squared-L2) as the neighbor pure-PQ ordering would have returned first
+    — the property that justifies the second stage."""
+    from databricks_spark_sql_challenge1_spark.operators.similarity import (
+        _emb,
+        similarity_pq,
+        similarity_pq_rerank,
+    )
+
+    rerank_first = {}
+    for r in similarity_pq_rerank(spark, SF_DIR).collect():
+        rerank_first.setdefault(r["query_id"], r["exact_sqdist"])
+    pq_first = {}
+    for r in similarity_pq(spark, SF_DIR).collect():
+        pq_first.setdefault(r["query_id"], r["neighbor_id"])
+    emb = {r["vec_id"]: r["emb"] for r in _emb(spark, SF_DIR).collect()}
+
+    def sqdist(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    assert rerank_first and pq_first.keys() == rerank_first.keys()
+    for qid, pq_n1 in pq_first.items():
+        exact_of_pq_choice = round(sqdist(emb[qid], emb[pq_n1]), 6)
+        assert rerank_first[qid] <= exact_of_pq_choice + 1e-9, qid

@@ -261,3 +261,20 @@ def test_round6_retrieval_and_skew_plan_shapes(spark):
     df = partkey_skew_histogram(spark, SF_DIR)
     assert "o_orderstatus" in " ".join(pushed_filters(df))
     assert not has_cartesian(df), simple_plan(df)
+
+
+def test_multimodal_raw_kernels_are_narrow(spark):
+    """The PCM and thumbnail kernels must stay narrow Arrow maps: a
+    MapInPandas node, no join, no aggregate; the only exchange is the
+    presentation sort."""
+    from databricks_spark_sql_challenge1_spark.operators.multimodal import (
+        multimodal_audio_pcm_stats,
+        multimodal_image_thumbnail,
+    )
+
+    for q in (multimodal_audio_pcm_stats, multimodal_image_thumbnail):
+        plan = simple_plan(q(spark, SF_DIR))
+        assert "MapInPandas" in plan, plan
+        assert "Join" not in plan and "HashAggregate" not in plan, plan
+        exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+        assert all("rangepartitioning" in ln for ln in exchanges), plan

@@ -25,6 +25,7 @@ MUST_VERIFY = {
     "similarity_pq_rerank",
     "partkey_skew_histogram",
     "multimodal_audio_pcm_stats",
+    "multimodal_image_thumbnail",
     "dedup_embedding_lsh",
     "events_json_nested",
     "jsonl_roundtrip_checksum",
