@@ -299,13 +299,25 @@ def similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full ADC scoring set (query_id, neighbor_id, adist), no top-k cut."""
+def _pq_scored(
+    spark: SparkSession, sf_dir: str, codebook_cap: int | None = None
+) -> DataFrame:
+    """Full ADC scoring set (query_id, neighbor_id, adist), no top-k cut.
+
+    ``codebook_cap`` bounds the codebook at a FIXED number of code vectors
+    (the first ``cap`` stride multiples) regardless of corpus size — real
+    PQ has a constant K (typically 256/subspace), and without the cap the
+    stride-derived codebook makes encoding N·K = N²/stride sqdist folds
+    (measured 3.2×/doubling on the round-6 growth curve). None keeps the
+    uncapped stride rule (the ``similarity_pq`` fixture baseline)."""
     e = _emb(spark, sf_dir)
     sub = _pq_subspaces(e, "vec_id", "vec_id")
-    cb = _pq_subspaces(
-        e.where(F.col("vec_id") % CENTROID_STRIDE == 0), "vec_id", "centroid_id"
-    ).select("centroid_id", "m", F.col("sub").alias("csub"))
+    cb_src = e.where(F.col("vec_id") % CENTROID_STRIDE == 0)
+    if codebook_cap is not None:
+        cb_src = cb_src.where(F.col("vec_id") < CENTROID_STRIDE * codebook_cap)
+    cb = _pq_subspaces(cb_src, "vec_id", "centroid_id").select(
+        "centroid_id", "m", F.col("sub").alias("csub")
+    )
 
     s = sub.alias("s")
     c = cb.alias("c")
@@ -1081,6 +1093,13 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 4x deeper than the final k with exact distances — the standard two-stage
 # retrieval shape (quantized scan for recall, exact math only on candidates).
 RERANK_SHORTLIST = 20
+# FIXED codebook size for the production-shaped path: real PQ keeps K
+# constant (256/subspace typically); the fixture's stride rule would grow
+# K with the corpus and make encoding quadratic (measured 3.2x/doubling,
+# SCALE.md round-6). 40 = exactly the stride-derived count at the 1x
+# stress fixture (2,000 vectors / stride 50), so fixture outputs are
+# unchanged by the cap.
+PQ_CODEBOOK_VECS = 40
 
 _FULL_SQDIST_SQL = (
     "list_sum(list_transform(generate_series(1, len({a})), "
@@ -1094,7 +1113,8 @@ _FULL_SQDIST_SQL = (
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 sub AS ({_PQ_SUB_SQL}),
 cb AS (SELECT vec_id AS centroid_id, m, sub AS csub FROM sub
-       WHERE vec_id % {CENTROID_STRIDE} = 0),
+       WHERE vec_id % {CENTROID_STRIDE} = 0
+         AND vec_id < {CENTROID_STRIDE * PQ_CODEBOOK_VECS}),
 codes AS (
     SELECT vec_id, m, centroid_id AS code
     FROM (
@@ -1157,8 +1177,15 @@ def similarity_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Q·shortlist-row probe-side join against the (bucketed) embedding table,
     never a scan. The exact re-rank fold runs in-order on both engines and
     ROUNDs to 6 before ranking so tie-break order is engine-stable.
+
+    Codebook rule: FIXED at PQ_CODEBOOK_VECS code vectors (production PQ
+    keeps K constant), unlike ``similarity_pq``'s fixture-baseline stride
+    rule whose K = N/stride made encoding N·K·M sqdist folds — the round-6
+    growth curve measured 3.2×/doubling before the cap (SCALE.md). At
+    fixture sizes the cap is not binding, so outputs there are identical
+    either way.
     """
-    scored = _pq_scored(spark, sf_dir)
+    scored = _pq_scored(spark, sf_dir, codebook_cap=PQ_CODEBOOK_VECS)
     sw = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("neighbor_id").asc()
     )
