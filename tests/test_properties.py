@@ -165,3 +165,31 @@ def test_pagerank_matches_numpy_power_iteration(spark, graph):
     assert set(got) == set(want)
     for v in got:
         assert abs(got[v] - want[v]) < 1e-12, (v, got[v], want[v])
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-100.0,
+            max_value=100.0,
+            allow_nan=False,
+            allow_infinity=False,
+        ).filter(lambda x: abs(x) > 1e-6),
+        min_size=2,
+        max_size=64,
+    )
+)
+@settings(max_examples=200)
+def test_int8_quantization_error_bound(vec):
+    """The symmetric int8 rule (scale = max|x|/127, code = floor(x/scale
+    + 0.5)) guarantees per-element reconstruction error <= scale/2 — the
+    bound embedding_quantize_int8's audit columns report against. Pure-
+    Python replica of the identical arithmetic both engines run."""
+    import math
+
+    scale = max(abs(x) for x in vec) / 127.0
+    for x in vec:
+        code = math.floor(x / scale + 0.5)
+        err = abs(x - code * scale)
+        assert err <= scale / 2 + 1e-12
+        assert abs(code) <= 127  # symmetric range, no clipping needed
