@@ -686,3 +686,73 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("partkey").asc())
     )
+
+
+# --- embedding-side keep-one dedup ----------------------------------------
+
+
+def _emb_clusters_oracle_sql() -> str:
+    from databricks_spark_sql_challenge1_spark.operators.dedup import (
+        _emb_lsh_adaptive_ctes,
+    )
+
+    return f"""
+WITH RECURSIVE {_emb_lsh_adaptive_ctes()},
+edges AS (
+    SELECT vec_1 AS src, vec_2 AS dst FROM lshp
+    UNION ALL
+    SELECT vec_2, vec_1 FROM lshp
+),
+reach(node, r) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT reach.node, ed.dst FROM reach JOIN edges ed ON ed.src = reach.r
+),
+lab AS (SELECT node AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY node)
+SELECT vec_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       vec_id = cluster_id AS is_kept
+FROM lab
+ORDER BY vec_id ASC
+"""
+
+
+@query("dedup_embedding_clusters", oracle=_emb_clusters_oracle_sql())
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-side keep-one dedup, end to end: adaptive-band LSH pair
+    generation (``dedup_embedding_lsh_adaptive`` — the scale config) →
+    connected components over the near-dup graph → canonical survivor per
+    cluster (min vec_id) — the SemDeDup-style decision layer composed from
+    the two registered scale primitives, i.e. "dedup my embedding corpus"
+    as one declarative answer rather than a pair list the user still has
+    to resolve.
+
+    Scale shape: the pair stage is the measured-flat adaptive LSH plan;
+    components run log-round label propagation on the (sparse) pair set;
+    the survivor rule is one window over cluster_id. The oracle chains the
+    SAME generated LSH CTEs (shared via ``_emb_lsh_adaptive_ctes`` — one
+    source of truth) into a recursive reachability walk, feasible only at
+    oracle scale, which is the point of the iterative Spark side.
+    """
+    from databricks_spark_sql_challenge1_spark.operators.dedup import (
+        dedup_embedding_lsh_adaptive,
+    )
+
+    pairs = (
+        dedup_embedding_lsh_adaptive(spark, sf_dir)
+        .select("vec_1", "vec_2")
+        .localCheckpoint()  # sparse pair set; avoid re-running LSH per CC round
+    )
+    nodes = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    labels = connected_components(nodes, pairs)
+    return (
+        labels.select(
+            F.col("doc_id").alias("vec_id"), F.col("cluster_id")
+        )
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+        .withColumn("is_kept", F.col("vec_id") == F.col("cluster_id"))
+        .orderBy(F.col("vec_id").asc())
+    )

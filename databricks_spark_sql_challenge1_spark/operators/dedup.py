@@ -1065,13 +1065,10 @@ def _lsh_planes_wide(dim: int = EMB_LSH_DIM):
     return np.concatenate(cols, axis=1)
 
 
-def _emb_lsh_adaptive_oracle_sql() -> str:
-    """DuckDB oracle for the adaptive-band LSH: the wide plane matrix is
-    baked as full-precision double literals; the band width comes from a
-    params CTE computing the identical clamp(2·ceil(log2 N) − offset)
-    formula off COUNT(*), and every bit term is gated on ``k < p.bits`` so
-    the same SQL is correct at every corpus size (the sqrtk pattern —
-    parameters derived in-query, never a second source of truth)."""
+def _emb_lsh_adaptive_ctes() -> str:
+    """The adaptive-band LSH pair pipeline as a reusable CTE chain ending
+    in ``lshp`` (vec_1, vec_2, cosine) — shared by the pair query's oracle
+    and the embedding-cluster dedup oracle so the two can never desync."""
     planes = _lsh_planes_wide()
     bands, maxb = EMB_LSH_BANDS, EMB_LSH_MAX_BITS
 
@@ -1089,8 +1086,7 @@ def _emb_lsh_adaptive_oracle_sql() -> str:
         band_exprs.append(f"({terms}) AS bv{b}")
     bands_list = ",".join(str(b) for b in range(bands))
     bv_list = ",".join(f"bv{b}" for b in range(bands))
-    return f"""
-WITH params AS (
+    return f"""params AS (
     SELECT LEAST({maxb}, GREATEST({EMB_LSH_BITS},
            2 * CAST(ceil(log2(GREATEST(COUNT(*), 2))) AS INTEGER)
            - {EMB_LSH_BITS_OFFSET})) AS bits
@@ -1109,13 +1105,28 @@ cand AS (
     JOIN sig b ON a.band = b.band AND a.band_val = b.band_val
               AND a.vec_id < b.vec_id
 ),
-ee AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
-SELECT c.vec_1, c.vec_2,
-       ROUND(list_cosine_similarity(x.emb, y.emb), 6) AS cosine
-FROM cand c
-JOIN ee x ON x.vec_id = c.vec_1
-JOIN ee y ON y.vec_id = c.vec_2
-WHERE ROUND(list_cosine_similarity(x.emb, y.emb), 6) >= {EMB_DUP_THRESHOLD}
+ee AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+lshp AS (
+    SELECT c.vec_1, c.vec_2,
+           ROUND(list_cosine_similarity(x.emb, y.emb), 6) AS cosine
+    FROM cand c
+    JOIN ee x ON x.vec_id = c.vec_1
+    JOIN ee y ON y.vec_id = c.vec_2
+    WHERE ROUND(list_cosine_similarity(x.emb, y.emb), 6)
+          >= {EMB_DUP_THRESHOLD}
+)"""
+
+
+def _emb_lsh_adaptive_oracle_sql() -> str:
+    """DuckDB oracle for the adaptive-band LSH: the wide plane matrix is
+    baked as full-precision double literals; the band width comes from a
+    params CTE computing the identical clamp(2·ceil(log2 N) − offset)
+    formula off COUNT(*), and every bit term is gated on ``k < p.bits`` so
+    the same SQL is correct at every corpus size (the sqrtk pattern —
+    parameters derived in-query, never a second source of truth)."""
+    return f"""
+WITH {_emb_lsh_adaptive_ctes()}
+SELECT vec_1, vec_2, cosine FROM lshp
 ORDER BY vec_1 ASC, vec_2 ASC
 """
 

@@ -62,7 +62,7 @@ def query(name: str, oracle: str | None = None):
 # small analytics) rotate in r7, and the full r5 window keeps its r5 rows
 # (that code is untouched this round). Accounting: QUERIES.md §driver-window.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # 0: new or changed this round (14)
+    # 0: new or changed this round (15)
     "dedup_embedding_lsh_adaptive",  # new: count-adaptive band width
     "embedding_quantize_int8",  # new: int8 storage-path quantization audit
     "corpus_temperature_mixture",  # new: p^alpha multilingual sampling mix
@@ -70,6 +70,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "partkey_skew_histogram",  # new: join-key skew profile (log2 buckets)
     "multimodal_audio_pcm_stats",  # new: REAL raw-PCM DSP kernel
     "multimodal_image_thumbnail",  # new: REAL strided NN-resize kernel
+    "dedup_embedding_clusters",  # new: LSH pairs -> CC -> keep-one
     "dedup_embedding_lsh",  # kernel refactored into _emb_lsh_pairs
     "events_json_nested",  # to_json(struct)/struct_pack envelope
     "jsonl_roundtrip_checksum",  # deterministic per-sf_dir export path
@@ -95,7 +96,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_tfidf_top_terms",
     "token_budget_pack",
     "top_abandoned_products_salted",
-    # 2: oldest round-4 evidence, reference core + measured families (19)
+    # 2: oldest round-4 evidence, reference core + measured families (18)
     "top_abandoned_products",
     "clean_orders",
     "valid_orders",
@@ -111,7 +112,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "abandonment_yoy_increase",
     "launch_cohort_analysis",
     "launch_month_orders",
-    "dedup_cluster_components",
     "copurchase_lift",  # growth-curve target this round
     "tfidf_doc_neighbors",  # growth-curve target this round
     "multimodal_features",  # isolation re-measure this round

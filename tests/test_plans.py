@@ -278,3 +278,15 @@ def test_multimodal_raw_kernels_are_narrow(spark):
         assert "Join" not in plan and "HashAggregate" not in plan, plan
         exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
         assert all("rangepartitioning" in ln for ln in exchanges), plan
+
+
+def test_embedding_clusters_no_cartesian(spark):
+    """The embedding keep-one pipeline (LSH pairs -> CC -> survivor) must
+    keep every join an equi-join — no cartesian anywhere in the composed
+    plan."""
+    from databricks_spark_sql_challenge1_spark.operators.clustering import (
+        dedup_embedding_clusters,
+    )
+
+    df = dedup_embedding_clusters(spark, SF_DIR)
+    assert not has_cartesian(df), simple_plan(df)

@@ -26,6 +26,7 @@ MUST_VERIFY = {
     "partkey_skew_histogram",
     "multimodal_audio_pcm_stats",
     "multimodal_image_thumbnail",
+    "dedup_embedding_clusters",
     "dedup_embedding_lsh",
     "events_json_nested",
     "jsonl_roundtrip_checksum",
