@@ -365,12 +365,18 @@ def image_thumbnail_stats(media: DataFrame) -> DataFrame:
             for doc_id, blob in zip(pdf["doc_id"], pdf["media_bytes"]):
                 b = np.frombuffer(bytes(blob), np.uint8)
                 n = len(b)
-                w = int(np.floor(np.sqrt(n)))
-                h = n // w
-                img = b[: w * h].reshape(h, w)
-                ri = (np.arange(T) * h) // T
-                ci = (np.arange(T) * w) // T
-                s = int(img[ri][:, ci].astype(np.int64).sum())
+                if n == 0:
+                    # empty payload: 0x0 raster, zero checksum (matches the
+                    # oracle's CASE; the PCM kernel guards n==0 the same way)
+                    w = h = 0
+                    s = 0
+                else:
+                    w = int(np.floor(np.sqrt(n)))
+                    h = n // w
+                    img = b[: w * h].reshape(h, w)
+                    ri = (np.arange(T) * h) // T
+                    ci = (np.arange(T) * w) // T
+                    s = int(img[ri][:, ci].astype(np.int64).sum())
                 rows["doc_id"].append(doc_id)
                 rows["img_w"].append(w)
                 rows["img_h"].append(h)
@@ -387,16 +393,19 @@ def image_thumbnail_stats(media: DataFrame) -> DataFrame:
 WITH dims AS (
     SELECT doc_id, text,
            CAST(floor(sqrt(length(text))) AS BIGINT) AS w,
-           length(text) // CAST(floor(sqrt(length(text))) AS BIGINT) AS h
+           CASE WHEN length(text) = 0 THEN 0 ELSE
+               length(text) // CAST(floor(sqrt(length(text))) AS BIGINT)
+           END AS h
     FROM documents
 ),
 thumb AS (
     SELECT doc_id, w, h,
+           CASE WHEN w = 0 THEN 0 ELSE
            list_sum(list_transform(generate_series(0, {THUMB_SIZE ** 2 - 1}),
                k -> ord(text[CAST(((k // {THUMB_SIZE}) * h // {THUMB_SIZE}) * w
                                   + ((k % {THUMB_SIZE}) * w // {THUMB_SIZE})
                                   + 1 AS BIGINT)])
-           )) AS thumb_sum
+           )) END AS thumb_sum
     FROM dims
 )
 SELECT doc_id, CAST(w AS BIGINT) AS img_w, CAST(h AS BIGINT) AS img_h,

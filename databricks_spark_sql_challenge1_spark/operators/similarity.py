@@ -1000,8 +1000,8 @@ def _kmeans_refine(e: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
 # Symmetric per-vector int8: scale = max|x| / 127, code = floor(x/scale + .5).
 # floor(+0.5) instead of round() because the two engines' round() tie-break
 # conventions are not guaranteed identical on doubles, while floor is exact
-# IEEE on both. (Fixture embeddings have no all-zero vector, so scale > 0;
-# a production guard would coalesce scale to 1 for zero vectors.)
+# IEEE on both. All-zero vectors coalesce scale to 1.0 (codes all 0, recon
+# exact, cosine defined as 1.0) — guarded identically on both engines.
 INT8_LEVELS = 127
 
 
@@ -1011,11 +1011,14 @@ INT8_LEVELS = 127
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 s AS (
     SELECT vec_id, v,
-           list_max(list_transform(v, x -> abs(x))) / {INT8_LEVELS}.0 AS scale
+           list_max(list_transform(v, x -> abs(x))) AS maxabs,
+           CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+                ELSE list_max(list_transform(v, x -> abs(x))) / {INT8_LEVELS}.0
+           END AS scale
     FROM e
 ),
 r AS (
-    SELECT vec_id, v, scale,
+    SELECT vec_id, v, maxabs, scale,
            list_transform(v, x -> floor(x / scale + 0.5) * scale) AS recon
     FROM s
 )
@@ -1026,7 +1029,9 @@ SELECT vec_id,
                   * (x - floor(x / scale + 0.5) * scale))), 8) AS mse,
        ROUND(list_max(list_transform(v,
              x -> abs(x - floor(x / scale + 0.5) * scale))), 8) AS max_abs_err,
-       ROUND(list_cosine_similarity(v, recon), 6) AS recon_cosine
+       CASE WHEN maxabs = 0 THEN 1.0
+            ELSE ROUND(list_cosine_similarity(v, recon), 6)
+       END AS recon_cosine
 FROM r
 ORDER BY vec_id ASC
 """,
@@ -1050,9 +1055,16 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    # Zero-vector guard (ADVICE r6): an all-zero embedding would make
+    # scale = 0 and every downstream division NaN; coalesce scale to 1.0
+    # (codes are then exactly 0, recon exact, cosine defined as 1.0).
     s = e.withColumn(
+        "maxabs", F.expr("array_max(transform(v, x -> abs(x)))")
+    ).withColumn(
         "scale",
-        F.expr("array_max(transform(v, x -> abs(x)))") / float(INT8_LEVELS),
+        F.when(F.col("maxabs") == 0, F.lit(1.0)).otherwise(
+            F.col("maxabs") / float(INT8_LEVELS)
+        ),
     )
     err = "(x - floor(x / scale + 0.5) * scale)"
     recon = s.withColumn(
@@ -1077,11 +1089,18 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.expr(f"array_max(transform(v, x -> abs({err})))"), 8
             ).alias("max_abs_err"),
-            F.round(
-                F.expr(dot)
-                / (F.expr(nrm.format(c="v")) * F.expr(nrm.format(c="recon"))),
-                6,
-            ).alias("recon_cosine"),
+            F.when(F.col("maxabs") == 0, F.lit(1.0))
+            .otherwise(
+                F.round(
+                    F.expr(dot)
+                    / (
+                        F.expr(nrm.format(c="v"))
+                        * F.expr(nrm.format(c="recon"))
+                    ),
+                    6,
+                )
+            )
+            .alias("recon_cosine"),
         )
         .orderBy(F.col("vec_id").asc())
     )

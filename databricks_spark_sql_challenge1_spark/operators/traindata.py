@@ -610,8 +610,12 @@ def jsonl_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # Deterministic per-sf_dir (rerun = same path, overwrite mode handles
+    # it) but user-scoped: a fixed world-writable /tmp name could be raced
+    # or squatted by another user on a shared host (ADVICE r6).
+    uid = os.getuid() if hasattr(os, "getuid") else "na"
     out = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_jsonl_rt_{tag}", "docs"
+        tempfile.gettempdir(), f"spark_graft_u{uid}_jsonl_rt_{tag}", "docs"
     )
     write_jsonl(docs.repartition(4), out, mode="overwrite")
     schema = StructType(

