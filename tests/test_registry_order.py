@@ -14,44 +14,53 @@ from databricks_spark_sql_challenge1_spark.registry import (
 
 DRIVER_WINDOW = 50
 
-# Round-6 must-verify: everything new or whose code/oracle changed this round
-# plus the 17 queries whose latest driver evidence is round 3 — the final leg
-# of the rotation discipline (VERDICT.md r5 "Next round" #3).
+# Round-7 must-verify: everything new or whose code/oracle changed this
+# round, the four similarity_* queries whose shared helper changed in r6
+# without rotation (VERDICT r6 "What's wrong" #1), and the 30 queries whose
+# latest driver evidence is round 4 (VERDICT r6 "Next round" #1).
 MUST_VERIFY = {
     # new or changed this round
-    "dedup_embedding_lsh_adaptive",
-    "embedding_quantize_int8",
-    "corpus_temperature_mixture",
-    "similarity_pq_rerank",
-    "partkey_skew_histogram",
-    "multimodal_audio_pcm_stats",
+    "multimodal_wav_parse",
+    "multimodal_bmp_parse",
     "multimodal_image_thumbnail",
-    "dedup_embedding_clusters",
-    "dedup_embedding_lsh",
-    "events_json_nested",
+    "embedding_quantize_int8",
     "jsonl_roundtrip_checksum",
-    "top_abandoned_pairs",
-    "copurchase_components",
-    "copurchase_pagerank",
-    "copurchase_triangles",
-    # round-3-stale evidence refresh
-    "corpus_filter_pipeline",
-    "corpus_vocabulary",
-    "customer_rfm_segments",
-    "doc_fingerprint",
-    "doc_rolling_fingerprint",
-    "docs_chunk_windows",
-    "docs_contamination",
-    "docs_lang_rebalance",
-    "docs_repetition_stats",
-    "docs_split_assign",
-    "docs_stratified_sample",
-    "lang_id_heuristic",
-    "lang_stats",
-    "text_entropy",
-    "text_tfidf_top_terms",
-    "token_budget_pack",
-    "top_abandoned_products_salted",
+    # _pq_scored helper refactored in r6 without rotation
+    "similarity_pq",
+    "similarity_ivfpq",
+    "similarity_topk",
+    "similarity_ivf",
+    # round-4-stale evidence refresh
+    "events_asof_join",
+    "events_funnel_conversion",
+    "events_hourly_anomaly",
+    "events_json_extract",
+    "events_json_schema",
+    "events_range_join",
+    "events_retention_cohorts",
+    "events_rolling_7d_value",
+    "events_session_30m",
+    "events_sliding_1h_30m",
+    "events_time_rollup",
+    "events_tumbling_1h",
+    "events_type_transitions",
+    "streaming_click_attribution",
+    "streaming_dedup_events",
+    "streaming_nation_activity",
+    "streaming_session_30m",
+    "streaming_tumbling_1h",
+    "streaming_user_state",
+    "dedup_cluster_components",
+    "dedup_semantic_ivf",
+    "dedup_simhash_pairs",
+    "docs_contamination_bloom",
+    "docs_perplexity_buckets",
+    "docs_quality_tiers",
+    "corpus_mixture_weights",
+    "cube_order_summary",
+    "customer_value_deciles",
+    "multimodal_frame_stats",
+    "orders_unpivot_metrics",
 }
 
 
