@@ -41,9 +41,40 @@ BASELINE_MAPPABLE = (
 )
 
 
+# Result-sink modes (round 7 — VERDICT r6 "Next round" #3): collect() adds
+# a driver-transfer term that is O(result), which for multi-million-row
+# outputs (e.g. dedup_simhash_wide_pairs at 16x: 5.88 M pairs) dominates
+# the measurement and hides the plan's own growth. "parquet" writes the
+# result to a scratch dir instead — the production shape (pair relations
+# are inputs to downstream stages, never driver material) — and "count"
+# materializes without any transfer. Growth-sweep scripts import
+# materialize() so their curves measure the PLAN at every scale.
+def materialize(df, sink: str = "collect", scratch: str | None = None) -> None:
+    if sink == "collect":
+        df.collect()
+    elif sink == "count":
+        df.count()
+    elif sink == "parquet":
+        out = scratch or os.path.join(
+            "/tmp", f"spark_graft_u{os.getuid()}_bench_sink"
+        )
+        df.write.mode("overwrite").parquet(out)
+    else:
+        raise ValueError(f"unknown sink {sink!r}")
+
+
+# Fixed calibration query (round 7 — VERDICT r6 "Next round" #4): its warmed
+# median is a host-speed probe recorded with every sweep, so cross-round
+# per-query deltas can be normalized (delta / calibration ratio) to separate
+# host variance from code regressions in one division.
+CALIBRATION_QUERY = "count_distinct_orders"
+CALIBRATION_REPEATS = 5
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    sink = os.environ.get("SPARK_GRAFT_BENCH_SINK", "collect")
 
     from databricks_spark_sql_challenge1_spark.session import get_spark
     import databricks_spark_sql_challenge1_spark.operators  # noqa: F401
@@ -79,8 +110,15 @@ def main() -> None:
 
     def timed(fn) -> float:
         t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
+        materialize(fn(spark, sf_dir), sink)
         return round(time.perf_counter() - t0, 3)
+
+    # Calibration first (after warmup, before the sweep): warmed median of
+    # CALIBRATION_REPEATS runs of the fixed probe query.
+    calib_fn = QUERIES[CALIBRATION_QUERY]
+    timed(calib_fn)  # discarded cold run
+    calib_runs = sorted(timed(calib_fn) for _ in range(CALIBRATION_REPEATS))
+    calibration = calib_runs[CALIBRATION_REPEATS // 2]
 
     timings: dict[str, float] = {}
     for name in headline:
@@ -102,8 +140,16 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "cpus": int(os.environ["SPARK_GRAFT_CPUS"]),
+        "sink": sink,
+        "calibration": {
+            "query": CALIBRATION_QUERY,
+            "median_sec": calibration,
+            "runs": calib_runs,
+        },
         "protocol": "cold-run-discarded median-of-3-warmed for queries "
-        ">= 2s; single-run below",
+        ">= 2s; single-run below; calibration = warmed median-of-"
+        f"{CALIBRATION_REPEATS} of {CALIBRATION_QUERY} (host-speed probe "
+        "for cross-round normalization)",
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
@@ -120,6 +166,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf_val,
                 "n_queries": len(timings),
+                "calibration": calibration,
                 "queries": {
                     n: timings[n] for n in BASELINE_MAPPABLE if n in timings
                 },
