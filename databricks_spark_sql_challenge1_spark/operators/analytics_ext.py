@@ -558,3 +558,234 @@ def partkey_skew_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("size_bucket").asc())
     )
+
+
+@query(
+    "orders_dq_audit",
+    oracle="""
+WITH checks AS (
+    SELECT 'customers_without_orders' AS check_name,
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_custkey = c.c_custkey))
+                AS BIGINT) AS violations,
+           (SELECT COUNT(*) FROM customer) AS checked
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT),
+           (SELECT COUNT(*) FROM lineitem)
+    UNION ALL
+    SELECT 'lineitem_orphan_partkey',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey))
+                AS BIGINT),
+           (SELECT COUNT(*) FROM lineitem)
+    UNION ALL
+    SELECT 'orders_dup_orderkey',
+           CAST(COALESCE((SELECT SUM(n - 1) FROM (
+                 SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey
+                 HAVING COUNT(*) > 1)), 0) AS BIGINT),
+           (SELECT COUNT(*) FROM orders)
+    UNION ALL
+    SELECT 'orders_nonpositive_price',
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_totalprice IS NULL OR o_totalprice <= 0)
+                AS BIGINT),
+           (SELECT COUNT(*) FROM orders)
+    UNION ALL
+    SELECT 'orders_null_orderdate',
+           CAST((SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL)
+                AS BIGINT),
+           (SELECT COUNT(*) FROM orders)
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT),
+           (SELECT COUNT(*) FROM orders)
+    UNION ALL
+    SELECT 'parts_never_ordered',
+           CAST((SELECT COUNT(*) FROM part p
+                 WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                   WHERE l.l_partkey = p.p_partkey))
+                AS BIGINT),
+           (SELECT COUNT(*) FROM part)
+    UNION ALL
+    SELECT 'customers_quiet_199801',
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (
+                     SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+                       AND o.o_orderdate < TIMESTAMP '1998-02-01'))
+                AS BIGINT),
+           (SELECT COUNT(*) FROM customer)
+    UNION ALL
+    SELECT 'parts_unsold_199801',
+           CAST((SELECT COUNT(*) FROM part p
+                 WHERE NOT EXISTS (
+                     SELECT 1 FROM lineitem l JOIN orders o
+                       ON o.o_orderkey = l.l_orderkey
+                     WHERE l.l_partkey = p.p_partkey
+                       AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+                       AND o.o_orderdate < TIMESTAMP '1998-02-01'))
+                AS BIGINT),
+           (SELECT COUNT(*) FROM part)
+)
+SELECT check_name, violations, checked,
+       ROUND(CAST(violations AS DOUBLE) / checked, 6) AS viol_rate
+FROM checks
+ORDER BY check_name ASC
+""",
+)
+def orders_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation audit over the warehouse: referential-
+    integrity orphans (orders→customer, lineitem→orders/part), key
+    uniqueness, domain constraints (positive price, non-null date), and
+    coverage checks (customers with no orders, parts never sold) — the
+    pre-ingest gate a 100 TB pipeline runs before promoting a snapshot.
+    Zero-violation rows are still hash-verified (the audit asserting clean
+    IS the result); the two month-restricted coverage checks are non-zero
+    on the fixtures (FIXTURES.md join-miss pattern), so the anti-join
+    machinery is witnessed producing non-empty violation sets too.
+
+    Each check is an anti-join or filter + COUNT — partial aggregates all
+    the way down, each emitting ONE row, so the unioned result is
+    #checks rows regardless of input scale. Anti-joins shuffle on their
+    key (or broadcast when the dim side fits), never more than one pass
+    per fact table.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    def one(name: str, viol_df: DataFrame, checked_df: DataFrame) -> DataFrame:
+        v = viol_df.agg(F.count(F.lit(1)).cast("long").alias("violations"))
+        c = checked_df.agg(F.count(F.lit(1)).alias("checked"))
+        return v.crossJoin(c).select(
+            F.lit(name).alias("check_name"), "violations", "checked"
+        )
+
+    dup = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("violations"))
+        .crossJoin(orders.agg(F.count(F.lit(1)).alias("checked")))
+        .select(
+            F.lit("orders_dup_orderkey").alias("check_name"),
+            F.col("violations").cast("long"),
+            "checked",
+        )
+    )
+    checks = (
+        one(
+            "customers_without_orders",
+            customer.join(
+                orders, customer.c_custkey == orders.o_custkey, "left_anti"
+            ),
+            customer,
+        )
+        .unionByName(
+            one(
+                "lineitem_orphan_orderkey",
+                lineitem.join(
+                    orders,
+                    lineitem.l_orderkey == orders.o_orderkey,
+                    "left_anti",
+                ),
+                lineitem,
+            )
+        )
+        .unionByName(
+            one(
+                "lineitem_orphan_partkey",
+                lineitem.join(
+                    part, lineitem.l_partkey == part.p_partkey, "left_anti"
+                ),
+                lineitem,
+            )
+        )
+        .unionByName(dup)
+        .unionByName(
+            one(
+                "orders_nonpositive_price",
+                orders.where(
+                    F.col("o_totalprice").isNull()
+                    | (F.col("o_totalprice") <= 0)
+                ),
+                orders,
+            )
+        )
+        .unionByName(
+            one(
+                "orders_null_orderdate",
+                orders.where(F.col("o_orderdate").isNull()),
+                orders,
+            )
+        )
+        .unionByName(
+            one(
+                "orders_orphan_custkey",
+                orders.join(
+                    customer,
+                    orders.o_custkey == customer.c_custkey,
+                    "left_anti",
+                ),
+                orders,
+            )
+        )
+        .unionByName(
+            one(
+                "parts_never_ordered",
+                part.join(
+                    lineitem, part.p_partkey == lineitem.l_partkey, "left_anti"
+                ),
+                part,
+            )
+        )
+        .unionByName(
+            one(
+                "customers_quiet_199801",
+                customer.join(
+                    orders.where(
+                        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+                        & (F.col("o_orderdate") < F.lit("1998-02-01").cast("timestamp"))
+                    ),
+                    customer.c_custkey == orders.o_custkey,
+                    "left_anti",
+                ),
+                customer,
+            )
+        )
+        .unionByName(
+            one(
+                "parts_unsold_199801",
+                part.join(
+                    lineitem.join(
+                        orders.where(
+                            (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+                            & (F.col("o_orderdate") < F.lit("1998-02-01").cast("timestamp"))
+                        ),
+                        lineitem.l_orderkey == orders.o_orderkey,
+                        "left_semi",
+                    ),
+                    part.p_partkey == lineitem.l_partkey,
+                    "left_anti",
+                ),
+                part,
+            )
+        )
+    )
+    return checks.select(
+        "check_name",
+        "violations",
+        "checked",
+        F.round(F.col("violations") / F.col("checked"), 6).alias("viol_rate"),
+    ).orderBy(F.col("check_name").asc())

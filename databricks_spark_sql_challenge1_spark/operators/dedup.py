@@ -196,11 +196,11 @@ def _ngram_jaccard(docs: DataFrame, df_cap: int) -> DataFrame:
 # --- SimHash ---------------------------------------------------------------
 
 
-def _simhash_exprs_spark(n_bits: int = SIMHASH_BITS) -> str:
+def _simhash_exprs_spark(n_bits: int = SIMHASH_BITS, col: str = "h") -> str:
     """SUM-of-sign per bit, then recombine: Spark SQL expression string.
     Identical text is valid DuckDB SQL — both engines share the algebra."""
     bits = " + ".join(
-        f"(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"(CASE WHEN sum(CASE WHEN ({col} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
         f"THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         for b in range(n_bits)
     )
@@ -1264,4 +1264,174 @@ def docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_fraction"),
         )
         .orderBy(F.col("doc_id").asc())
+    )
+
+
+# Adaptive-band SimHash (round 7). The sink-mode growth re-read (SCALE.md
+# round-7 addendum) measured the 60-bit/15-bit-band config's band space
+# saturating at ~8x10^4 docs (1.1 s -> 8.4 s across 8x->16x while output
+# grew only 1.6x). Cure = the family rule proven on the embedding LSH in
+# r6: derive band width from corpus size. SimHash needs one extra move:
+# the pigeonhole argument fixes the BAND COUNT at HAMMING_MAX + 1, so the
+# only lever is total signature width -> a two-limb 88-bit signature
+# (2 x 44 bits; each limb fits signed-64 arithmetic on both engines),
+# giving 4 pigeonhole regions of 22 bits. The runtime band KEY is the top
+# `bpb` bits of each region (truncation preserves the pigeonhole: if two
+# signatures agree on a whole region they agree on any prefix of it), and
+# bpb = clamp(ceil(log2 N) + 2, 8, 22) keeps the expected random-collision
+# bucket load < 1/4 doc per bucket at every corpus size up to ~10^6 docs
+# per shard. Because the exact Hamming filter decides membership, the
+# RESULT is band-width-invariant — the oracle is the quadratic all-pairs
+# join and cannot desync from the band rule by construction.
+SIMHASH_LIMB_BITS = 44
+SIMHASH_REGION_BITS = 22  # 4 pigeonhole regions across the two limbs
+SIMHASH_BPB_MIN = 8
+SIMHASH_BPB_MAX = SIMHASH_REGION_BITS
+
+
+def _adaptive_simhash_bpb(n_docs: int) -> int:
+    import math
+
+    return max(
+        SIMHASH_BPB_MIN,
+        min(SIMHASH_BPB_MAX, math.ceil(math.log2(max(n_docs, 2))) + 2),
+    )
+
+
+def _simhash_wide2_sig(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig_hi, sig_lo): 88-bit SimHash as two 44-bit limbs from
+    disjoint md5 hex ranges (chars 1-11 and 12-22) of each distinct token."""
+    toks = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+        )
+        .distinct()
+        .withColumn(
+            "h1",
+            F.conv(F.substring(F.md5("tok"), 1, 11), 16, 10).cast("bigint"),
+        )
+        .withColumn(
+            "h2",
+            F.conv(F.substring(F.md5("tok"), 12, 11), 16, 10).cast("bigint"),
+        )
+    )
+    return toks.groupBy("doc_id").agg(
+        F.expr(_simhash_exprs_spark(SIMHASH_LIMB_BITS, "h1")).alias("sig_hi"),
+        F.expr(_simhash_exprs_spark(SIMHASH_LIMB_BITS, "h2")).alias("sig_lo"),
+    )
+
+
+def _region_expr(prefix: str, band: int) -> str:
+    """SQL expr for 22-bit pigeonhole region `band` (0-3) of a two-limb
+    signature with columns {prefix}hi/{prefix}lo."""
+    limb = f"{prefix}hi" if band < 2 else f"{prefix}lo"
+    shift = SIMHASH_REGION_BITS if band % 2 == 0 else 0
+    mask = (1 << SIMHASH_REGION_BITS) - 1
+    return f"(({limb} >> {shift}) & {mask})"
+
+
+@query(
+    "dedup_simhash_adaptive",
+    oracle=f"""
+WITH toks AS (
+    SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+    FROM documents
+),
+hashed AS (
+    SELECT doc_id,
+           CAST(CAST('0x' || substr(md5(tok), 1, 11) AS UBIGINT) AS BIGINT) AS h1,
+           CAST(CAST('0x' || substr(md5(tok), 12, 11) AS UBIGINT) AS BIGINT) AS h2
+    FROM toks
+),
+sig AS (
+    SELECT doc_id,
+           {_simhash_exprs_spark(SIMHASH_LIMB_BITS, "h1")} AS sig_hi,
+           {_simhash_exprs_spark(SIMHASH_LIMB_BITS, "h2")} AS sig_lo
+    FROM hashed GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_1, b.doc_id AS doc_2,
+       CAST(bit_count(xor(a.sig_hi, b.sig_hi))
+            + bit_count(xor(a.sig_lo, b.sig_lo)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig_hi, b.sig_hi))
+      + bit_count(xor(a.sig_lo, b.sig_lo)) <= {HAMMING_MAX}
+ORDER BY doc_1 ASC, doc_2 ASC
+""",
+)
+def dedup_simhash_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs on an 88-bit two-limb SimHash with corpus-size-
+    adaptive band keys — the SimHash family's answer to the band-space
+    saturation the round-7 sink-mode curve measured on the 60-bit config
+    (SCALE.md round-7 addendum): band key = top clamp(ceil(log2 N)+2,
+    8, 22) bits of each of the four 22-bit pigeonhole regions, so random
+    band collisions stay O(1) per bucket at every corpus size instead of
+    going quadratic past ~10^5 docs. The exact Hamming <= HAMMING_MAX
+    filter makes the output identical to the oracle's quadratic all-pairs
+    join REGARDLESS of band width — band width is a pure performance
+    parameter here (unlike the embedding LSH, where it trades recall), so
+    the adaptive rule cannot desync the result.
+
+    Scale shape: one corpus count (bounded scalar pull, the anchor-pull
+    pattern), one signature agg shuffle, one equi-join on (band_id, key)
+    with first-agreeing-band single-emission — no N^2 term, no post-join
+    distinct.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bpb = _adaptive_simhash_bpb(docs.count())
+    trunc = SIMHASH_REGION_BITS - bpb
+    sig = _simhash_wide2_sig(docs).cache()
+    bands = sig.select(
+        "doc_id",
+        "sig_hi",
+        "sig_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.expr(
+                            f"{_region_expr('sig_', b)} >> {trunc}"
+                        ).alias("band_key"),
+                    )
+                    for b in range(HAMMING_MAX + 1)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "sig_hi", "sig_lo", "band.band_id", "band.band_key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    hamming = sum(
+        F.bit_count(
+            F.expr(f"a.sig_{limb}").bitwiseXOR(F.expr(f"b.sig_{limb}"))
+        )
+        for limb in ("hi", "lo")
+    )
+    # first-agreeing-band single emission: keep the row only where band_id
+    # is the FIRST band whose truncated keys agree (computable per joined
+    # row from the two signatures — no distinct over the pair set).
+    first_band = F.expr(
+        "CASE "
+        + " ".join(
+            f"WHEN ({_region_expr('a.sig_', i)} >> {trunc}) = "
+            f"({_region_expr('b.sig_', i)} >> {trunc}) THEN {i}"
+            for i in range(HAMMING_MAX + 1)
+        )
+        + " END"
+    )
+    return (
+        joined.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= HAMMING_MAX)
+        .where(F.col("a.band_id") == first_band)
+        .select(
+            F.col("a.doc_id").alias("doc_1"),
+            F.col("b.doc_id").alias("doc_2"),
+            "hamming",
+        )
+        .orderBy(F.col("doc_1").asc(), F.col("doc_2").asc())
     )

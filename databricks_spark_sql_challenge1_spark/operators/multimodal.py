@@ -698,3 +698,196 @@ def multimodal_bmp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_bmp_stats(attach_bmp_media(docs)).orderBy(
         F.col("doc_id").asc()
     )
+
+
+PNG_WIDTH = 32  # fixed raster width for the PNG round-trip witness
+PNG_IDAT_CHUNK = 64  # split the zlib stream across many IDAT chunks
+
+PNG_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("img_w", LongType()),
+        StructField("img_h", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("pixel_sum", LongType()),
+        StructField("pixel_max", LongType()),
+        StructField("sub_rows", LongType()),
+    ]
+)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def attach_png_media(docs: DataFrame) -> DataFrame:
+    """Encode each document's bytes as a REAL PNG — the first genuinely
+    COMPRESSED codec in the multimodal family (zlib/DEFLATE is stdlib, so
+    no external codec lib is needed): 8-bit grayscale raster of fixed
+    width 32, zero-padded last row, scanlines pre-filtered with the spec's
+    None (type 0) and Sub (type 1) filters on alternating rows, deflated,
+    and split across many 64-byte IDAT chunks under signature/IHDR/IEND
+    with real CRC-32s. Any PNG tool can open the output."""
+    import struct
+    import zlib
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w = PNG_WIDTH
+        for pdf in batches:
+            out = {"doc_id": [], "media_bytes": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = np.frombuffer(text.encode("utf-8"), np.uint8)
+                n = len(raw)
+                h = (n + w - 1) // w
+                img = np.zeros((h, w), np.uint8)
+                img.reshape(-1)[:n] = raw
+                scan = bytearray()
+                for r in range(h):
+                    row = img[r]
+                    if r % 2 == 0:  # filter 0: None
+                        scan.append(0)
+                        scan.extend(row.tobytes())
+                    else:  # filter 1: Sub (delta vs left neighbor)
+                        scan.append(1)
+                        sub = np.diff(row.astype(np.int16), prepend=0)
+                        scan.extend((sub % 256).astype(np.uint8).tobytes())
+                z = zlib.compress(bytes(scan), 6)
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+                png = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+                for i in range(0, len(z), PNG_IDAT_CHUNK):
+                    png += _png_chunk(b"IDAT", z[i : i + PNG_IDAT_CHUNK])
+                if not z:
+                    png += _png_chunk(b"IDAT", b"")
+                png += _png_chunk(b"IEND", b"")
+                out["doc_id"].append(doc_id)
+                out["media_bytes"].append(png)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _encode, "doc_id long, media_bytes binary"
+    )
+
+
+def parse_png_stats(media: DataFrame) -> DataFrame:
+    """REAL PNG decoder: validate the 8-byte signature, walk the chunk
+    list verifying every chunk's CRC-32, parse IHDR (8-bit grayscale,
+    non-interlaced only), concatenate the IDAT stream, zlib-inflate it,
+    and reconstruct scanlines through the spec's filter algorithms (None /
+    Sub / Up — Paeth and Average are refused loudly, not silently
+    skipped). Emits dimensions + integer-exact pixel stats."""
+    import struct
+    import zlib
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in PNG_STATS_SCHEMA.fields}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media_bytes"]):
+                b = bytes(blob)
+                if b[:8] != b"\x89PNG\r\n\x1a\n":
+                    raise ValueError(f"doc {doc_id}: bad PNG signature")
+                pos, w = 8, None
+                idat = bytearray()
+                while pos + 12 <= len(b):
+                    (clen,) = struct.unpack_from(">I", b, pos)
+                    ctype = b[pos + 4 : pos + 8]
+                    data = b[pos + 8 : pos + 8 + clen]
+                    (crc,) = struct.unpack_from(">I", b, pos + 8 + clen)
+                    if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+                        raise ValueError(f"doc {doc_id}: CRC mismatch in {ctype!r}")
+                    if ctype == b"IHDR":
+                        w, h, depth, ctype_id, _, _, ilace = struct.unpack(
+                            ">IIBBBBB", data
+                        )
+                        if depth != 8 or ctype_id != 0 or ilace != 0:
+                            raise ValueError("expected 8-bit gray non-interlaced")
+                    elif ctype == b"IDAT":
+                        idat.extend(data)
+                    elif ctype == b"IEND":
+                        break
+                    pos += 12 + clen
+                if w is None:
+                    raise ValueError("missing IHDR")
+                scan = zlib.decompress(bytes(idat))
+                img = np.zeros((h, w), np.int64)
+                prev = np.zeros(w, np.int64)
+                sub_rows = 0
+                for r in range(h):
+                    off = r * (w + 1)
+                    ftype = scan[off]
+                    row = np.frombuffer(
+                        scan, np.uint8, w, off + 1
+                    ).astype(np.int64)
+                    if ftype == 0:
+                        pass
+                    elif ftype == 1:  # Sub: cumulative left reconstruction
+                        row = np.cumsum(row) % 256
+                        sub_rows += 1
+                    elif ftype == 2:  # Up
+                        row = (row + prev) % 256
+                    else:
+                        raise ValueError(f"unsupported filter {ftype}")
+                    img[r] = row
+                    prev = row
+                rows["doc_id"].append(doc_id)
+                rows["img_w"].append(w)
+                rows["img_h"].append(h)
+                rows["n_pixels"].append(w * h)
+                rows["pixel_sum"].append(int(img.sum()))
+                rows["pixel_max"].append(int(img.max()) if h else 0)
+                rows["sub_rows"].append(sub_rows)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_parse, PNG_STATS_SCHEMA)
+
+
+@query(
+    "multimodal_png_roundtrip",
+    oracle=f"""
+WITH c AS (
+    SELECT doc_id, length(text) AS n,
+           list_transform(generate_series(1, length(text)),
+                          i -> ord(text[i])) AS px
+    FROM documents
+)
+SELECT doc_id,
+       CAST({PNG_WIDTH} AS BIGINT) AS img_w,
+       (n + {PNG_WIDTH - 1}) // {PNG_WIDTH} AS img_h,
+       ((n + {PNG_WIDTH - 1}) // {PNG_WIDTH}) * {PNG_WIDTH} AS n_pixels,
+       CAST(COALESCE(list_sum(px), 0) AS BIGINT) AS pixel_sum,
+       CAST(COALESCE(list_max(px), 0) AS BIGINT) AS pixel_max,
+       ((n + {PNG_WIDTH - 1}) // {PNG_WIDTH}) // 2 AS sub_rows
+FROM c
+ORDER BY doc_id ASC
+""",
+)
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG codec round-trip, end to end REAL and genuinely COMPRESSED:
+    encode each document as a standards-valid 8-bit grayscale PNG
+    (alternating None/Sub scanline filters, zlib-deflated, multi-IDAT,
+    real CRC-32s), then decode it back with a full parser — signature,
+    per-chunk CRC verification, IHDR, IDAT reassembly, inflate, filter
+    reconstruction — and emit integer-exact pixel stats. The oracle
+    recomputes the stats from the deterministic raster definition
+    (pixel i = byte i of the text, zero-padded to 32-wide rows), so a
+    decoder bug anywhere in the chain (chunk walk, CRC, inflate,
+    de-filter) breaks the hash; ``sub_rows`` = h//2 proves the Sub-filter
+    reconstruction path actually ran. This retires the "no compressed
+    codec" caveat from the honest multimodal stub for the DEFLATE family;
+    only lossy codecs (JPEG/MP3/H.264) remain out of container reach.
+
+    Scale shape: two narrow 1:1 Arrow-batched maps (encode, decode) —
+    no shuffle except the presentation sort; per-row work is linear in
+    payload bytes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return parse_png_stats(attach_png_media(docs)).orderBy(
+        F.col("doc_id").asc()
+    )

@@ -1239,3 +1239,64 @@ def similarity_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("neighbor_id").asc(),
         )
     )
+
+
+# Johnson-Lindenstrauss sign-random-projection: K output dims, sign matrix
+# derived from a Knuth-style multiplicative hash of (j, d) so BOTH engines
+# regenerate the identical +-1 matrix from pure integer arithmetic — no
+# stored projection table, nothing to desync (the derive-from-a-rule
+# pattern the LSH/PQ configs use).
+RP_OUT_DIMS = 8
+RP_HASH_A = 2654435761
+RP_HASH_B = 40503
+
+
+def _rp_sign_sql(j: str, d: str) -> str:
+    """+-1 sign for projection row j, input dim d — bit 16 of the mixed
+    32-bit hash (low bits of multiplicative hashes are weak; bit 16 is in
+    the well-mixed middle). Engine-portable: %, integer //, no xor/shift."""
+    h = f"(({j} * {RP_HASH_A} + {d} * {RP_HASH_B}) % 4294967296)"
+    return f"(1 - 2 * (({h} // 65536) % 2))"
+
+
+@query(
+    "embedding_random_projection",
+    oracle=f"""
+SELECT vec_id,
+       {", ".join(
+           f'''ROUND(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+               d -> CAST(embedding[d] AS DOUBLE)
+                    * {_rp_sign_sql(str(j), "d")}))
+               / sqrt({RP_OUT_DIMS}), 4) AS p{j}'''
+           for j in range(RP_OUT_DIMS)
+       )}
+FROM embeddings
+ORDER BY vec_id ASC
+""",
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimensionality reduction by sign random projection (Johnson-
+    Lindenstrauss): 64-dim float embeddings down to 8 dense features,
+    y_j = sum_d x_d * s(j,d) / sqrt(K) with the +-1 sign matrix derived
+    from a multiplicative hash of (j, d) — the cheap preprocessing step
+    before clustering / ANN when the full dimension is too wide to ship.
+
+    Pure codegen higher-order functions (aggregate over sequence(1, 64)
+    with an integer-arithmetic sign term): no UDF, no shuffle except the
+    presentation sort, JL matrix regenerated identically inside DuckDB's
+    list_transform — the projection is a RULE, not data. At 100 TB this is
+    a narrow map over the embedding scan, K x D multiply-adds per row;
+    both engines fold d = 1..64 in sequence order and the oracle rounds to
+    the shared 4-decimal scale.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cols = [
+        F.expr(
+            f"""round(aggregate(sequence(1, {EMB_DIM}), cast(0 as double),
+                (acc, d) -> acc + cast(element_at(embedding, d) as double)
+                    * {_rp_sign_sql(str(j), "d").replace("//", "div")})
+                / sqrt({RP_OUT_DIMS}), 4)"""
+        ).alias(f"p{j}")
+        for j in range(RP_OUT_DIMS)
+    ]
+    return emb.select("vec_id", *cols).orderBy(F.col("vec_id").asc())

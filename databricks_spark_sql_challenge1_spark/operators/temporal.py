@@ -235,3 +235,128 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(tot), 4).alias("p_next"),
     ).orderBy(F.col("event_type").asc(), F.col("next_type").asc())
+
+
+@query(
+    "events_gapfill_stats",
+    oracle="""
+WITH obs AS (
+    SELECT user_id, date_trunc('hour', ts) AS hr,
+           CAST(ROUND(SUM(value) * 100) AS BIGINT) AS v
+    FROM events GROUP BY user_id, date_trunc('hour', ts)
+),
+span AS (
+    SELECT user_id, MIN(hr) AS h0, MAX(hr) AS h1 FROM obs GROUP BY user_id
+),
+spine AS (
+    SELECT user_id,
+           unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+    FROM span
+),
+filled AS (
+    SELECT s.user_id, s.hr, o.v,
+           LAST_VALUE(o.v IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+    FROM spine s
+    LEFT JOIN obs o ON o.user_id = s.user_id AND o.hr = s.hr
+),
+gaps AS (
+    SELECT user_id,
+           CAST(COALESCE(
+               MAX(date_diff('hour', prev_hr, hr) - 1), 0) AS BIGINT)
+               AS longest_gap_hours
+    FROM (SELECT user_id, hr,
+                 LAG(hr) OVER (PARTITION BY user_id ORDER BY hr) AS prev_hr
+          FROM obs)
+    GROUP BY user_id
+)
+SELECT f.user_id,
+       COUNT(*) AS n_hours,
+       COUNT(f.v) AS n_observed,
+       COUNT(*) - COUNT(f.v) AS n_filled,
+       g.longest_gap_hours,
+       SUM(f.fv) AS ffill_sum_cents
+FROM filled f JOIN gaps g ON g.user_id = f.user_id
+GROUP BY f.user_id, g.longest_gap_hours
+ORDER BY f.user_id ASC
+""",
+)
+def events_gapfill_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill (hypertable-style `time_bucket_gapfill` +
+    `locf`): build each user's dense hourly spine between their first and
+    last observed hour, left-join the observed hourly averages, carry the
+    last observation forward across the gaps, and report per-user fill
+    statistics (spine size, observed/filled counts, longest gap run, sum
+    of the forward-filled series). The hourly metric is integer CENTS of
+    the hour's value sum — summing ~700 per-hour ROUNDed doubles would
+    amplify a single rounding-boundary flip into a visible 0.01 hash
+    mismatch (observed at sf0.001), so the series goes integer at the
+    hourly grain and every downstream sum is exact.
+
+    Spark has no gapfill built-in; the composition is `sequence(min_hr,
+    max_hr, interval 1 hour)` + explode for the spine (computed from the
+    same per-user agg shuffle as the observations — one exchange on
+    user_id total), then `last(ignorenulls)` over the user/hour order for
+    locf. Spine width is bounded by the time span, not the event count, so
+    at 100 TB the explode is |users|x|hours| — a fixed multiplier of the
+    user dimension, independent of event volume; every window and join
+    rides the one user_id partitioning. The longest-gap run needs only
+    OBSERVED rows (lag over observed hours minus one), avoiding a
+    gaps-and-islands pass over the dense spine.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.round(F.sum("value") * 100, 0).cast("long").alias("v"))
+    span = obs.groupBy("user_id").agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("hr"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("hr").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        spine.join(obs, ["user_id", "hr"], "left")
+        .withColumn("fv", F.last("v", ignorenulls=True).over(w))
+    )
+    wg = Window.partitionBy("user_id").orderBy(F.col("hr").asc())
+    gaps = (
+        obs.withColumn("prev_hr", F.lag("hr").over(wg))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.max(
+                    (
+                        F.unix_timestamp("hr") - F.unix_timestamp("prev_hr")
+                    ) / 3600
+                    - 1
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("longest_gap_hours")
+        )
+    )
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.count("v").alias("n_observed"),
+            (F.count(F.lit(1)) - F.count("v")).alias("n_filled"),
+            F.sum("fv").alias("ffill_sum_cents"),
+        )
+        .join(gaps, "user_id")
+        .select(
+            "user_id", "n_hours", "n_observed", "n_filled",
+            "longest_gap_hours", "ffill_sum_cents",
+        )
+        .orderBy(F.col("user_id").asc())
+    )

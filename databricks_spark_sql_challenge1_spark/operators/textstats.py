@@ -964,3 +964,100 @@ def docs_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("tier").asc())
     )
+
+
+# PII patterns — ONE source of truth interpolated into both engines
+# (ASCII classes only, per the module regex policy; RE2 and Java agree on
+# \b word boundaries for ASCII text, pinned by test_documents_ascii).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+1 [0-9]{3}-[0-9]{4}"
+PII_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+# The fixture vocabulary is PII-free (FIXTURES.md), so the witness splices
+# deterministic PII-shaped spans onto a doc_id-keyed subset — the same
+# manufactured-input pattern the join-miss NULL queries use. Both engines
+# build the IDENTICAL augmented text, so redaction is tested non-vacuously.
+_PII_AUG_SQL = """
+    text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                 || '@example.com now' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' call +1 ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                 || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 || ' today' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' src 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                 || CAST(doc_id % 100 AS VARCHAR) || ' end' ELSE '' END
+"""
+
+
+@query(
+    "docs_pii_redact",
+    oracle=f"""
+WITH aug AS (
+    SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents
+),
+red AS (
+    SELECT doc_id, t,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{PII_PHONE_RE}', '<PHONE>', 'g'),
+               '{PII_IP_RE}', '<IP>', 'g') AS clean
+    FROM aug
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS BIGINT)
+           AS n_emails,
+       CAST(len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS BIGINT)
+           AS n_phones,
+       CAST(len(regexp_extract_all(t, '{PII_IP_RE}')) AS BIGINT) AS n_ips,
+       CAST(length(clean) AS BIGINT) AS clean_len,
+       md5(clean) AS clean_md5
+FROM red
+ORDER BY doc_id ASC
+""",
+)
+def docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass over the corpus — count and redact email / phone /
+    IPv4 spans (the standard pre-training scrubbing step; patterns are the
+    usual ASCII regex family). Emits per-doc match counts plus the length
+    and md5 of the redacted text so the oracle verifies the REDACTED BYTES,
+    not just the counts.
+
+    Pure codegen string expressions (regexp_extract_all + regexp_replace)
+    — no UDF, no shuffle beyond the final presentation sort; at 100 TB
+    this is a narrow map over the corpus scan, pipelined with whatever
+    else reads the documents table.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id", F.expr(_PII_AUG_SQL.replace("VARCHAR", "STRING")).alias("t")
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_IP_RE,
+        "<IP>",
+    )
+    return (
+        aug.select(
+            "doc_id",
+            F.size(F.regexp_extract_all("t", F.lit(PII_EMAIL_RE), 0))
+            .cast("long")
+            .alias("n_emails"),
+            F.size(F.regexp_extract_all("t", F.lit(PII_PHONE_RE), 0))
+            .cast("long")
+            .alias("n_phones"),
+            F.size(F.regexp_extract_all("t", F.lit(PII_IP_RE), 0))
+            .cast("long")
+            .alias("n_ips"),
+            F.length(clean).cast("long").alias("clean_len"),
+            F.md5(clean).alias("clean_md5"),
+        )
+        .orderBy(F.col("doc_id").asc())
+    )

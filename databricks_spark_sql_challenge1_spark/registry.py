@@ -44,24 +44,30 @@ def query(name: str, oracle: str | None = None):
 # empirically in rounds 1-6: each CORRECTNESS_r*.json has rows for exactly the
 # first 50 registered names). This list pins the window deliberately instead of
 # leaving it to import order. Round-7 window, in priority order:
-#   0. queries that are new or whose code/oracle changed this round
-#      (multimodal_wav_parse / multimodal_bmp_parse are new — real container
-#      encode+parse round-trips; multimodal_image_thumbnail and
-#      embedding_quantize_int8 gained edge-case guards in BOTH engines;
-#      jsonl_roundtrip_checksum's export path moved to a user-scoped dir);
+#   0. queries that are new or whose code/oracle changed this round: the
+#      six round-7 additions (adaptive-band SimHash, JL random projection,
+#      gapfill+locf, PII redaction, DQ audit, PNG round-trip), the WAV/BMP
+#      container round-trips, and the three queries whose edge-case
+#      guards changed in BOTH engines (ADVICE r6);
 #   1. the four similarity_* queries whose shared ``_pq_scored`` helper was
 #      refactored in r6 without window rotation (VERDICT r6 "What's wrong"
 #      #1 — closing the changed-query-rule slip);
 #   2. all 30 queries whose latest driver evidence is ROUND 4 — the whole
 #      events family, the 6 streaming rows-only re-runs, and the remaining
 #      dedup/docs/analytics stragglers (VERDICT r6 "Next round" #1);
-#   3. slack: the 10 widget re-aggs + calendar_dim (r5 evidence, untouched
+#   3. slack: 5 widget re-aggs + calendar_dim (r5 evidence, untouched
 #      code — keeps the no-evidence-older-than-two-rounds invariant).
-# After this round the evidence histogram is r7 = 50, r6 = 47, r5 = 29:
-# nothing older than r5, and the 2.5-round rotation cadence is steady-state.
-# Accounting: QUERIES.md §driver-window.
+# After this round nothing keeps evidence older than r5 (the five
+# widget_month_* re-aggs ride r5 one more round); see QUERIES.md
+# §driver-window for the exact histogram.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # 0: new or changed this round (5)
+    # 0: new or changed this round (11)
+    "dedup_simhash_adaptive",  # new: 88-bit two-limb adaptive-band SimHash
+    "embedding_random_projection",  # new: JL sign-random-projection
+    "events_gapfill_stats",  # new: gapfill+locf spine composition
+    "docs_pii_redact",  # new: PII scrub (email/phone/IP) with redacted-md5
+    "orders_dq_audit",  # new: referential/domain DQ expectation audit
+    "multimodal_png_roundtrip",  # new: real zlib PNG encode+decode
     "multimodal_wav_parse",  # new: real RIFF/WAVE encode + chunk-walk parse
     "multimodal_bmp_parse",  # new: real BMP encode + header-validating parse
     "multimodal_image_thumbnail",  # empty-payload guard in kernel + oracle
@@ -104,17 +110,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "customer_value_deciles",
     "multimodal_frame_stats",
     "orders_unpivot_metrics",
-    # 3: slack — r5-evidence widgets + calendar_dim, untouched code (11)
+    # 3: slack — r5-evidence widgets + calendar_dim, untouched code (5).
+    # The widget_month_* re-aggs and widget_day_value_orders ride their
+    # r5 evidence one more round: the r7 window spent their slots on this
+    # round's six NEW queries; all 10 widgets share one generator
+    # (dashboards.py) which the four widget_day_* entries still witness.
     "widget_day_items",
     "widget_day_orders",
     "widget_day_peak",
     "widget_day_value_items",
-    "widget_day_value_orders",
-    "widget_month_items",
-    "widget_month_orders",
-    "widget_month_totals",
-    "widget_month_value_items",
-    "widget_month_value_orders",
     "calendar_dim",
     # --- window boundary: 50 names above (tests/test_registry_order.py) ---
 )

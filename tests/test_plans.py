@@ -290,3 +290,34 @@ def test_embedding_clusters_no_cartesian(spark):
 
     df = dedup_embedding_clusters(spark, SF_DIR)
     assert not has_cartesian(df), simple_plan(df)
+
+
+def test_round7_operators_plan_shapes(spark):
+    """Round-7 operators: the three corpus-scan-shaped queries (PII scrub,
+    PNG round-trip, JL projection) must be narrow maps — no join at all
+    before the presentation sort — and the gapfill spine join must not
+    degenerate into a CartesianProduct. orders_dq_audit is exempt from the
+    no-BNLJ rule only for its 1-row x 1-row count stitching (by design);
+    it must still contain no CartesianProduct."""
+    from databricks_spark_sql_challenge1_spark.operators.analytics_ext import (
+        orders_dq_audit,
+    )
+    from databricks_spark_sql_challenge1_spark.operators.multimodal import (
+        multimodal_png_roundtrip,
+    )
+    from databricks_spark_sql_challenge1_spark.operators.similarity import (
+        embedding_random_projection,
+    )
+    from databricks_spark_sql_challenge1_spark.operators.temporal import (
+        events_gapfill_stats,
+    )
+    from databricks_spark_sql_challenge1_spark.operators.textstats import (
+        docs_pii_redact,
+    )
+
+    for q in (docs_pii_redact, embedding_random_projection):
+        plan = simple_plan(q(spark, SF_DIR))
+        assert "Join" not in plan, f"{q.__name__} should be join-free:\n{plan}"
+    for q in (multimodal_png_roundtrip, events_gapfill_stats, orders_dq_audit):
+        plan = simple_plan(q(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, f"{q.__name__}:\n{plan}"

@@ -1,0 +1,100 @@
+"""Round-7 operators: PNG codec round-trip internals, gap-fill invariants,
+PII redaction witness, and the DQ audit's non-vacuousness."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from databricks_spark_sql_challenge1_spark.catalog import load_table
+from databricks_spark_sql_challenge1_spark.operators.multimodal import (
+    PNG_WIDTH,
+    attach_png_media,
+    parse_png_stats,
+)
+from databricks_spark_sql_challenge1_spark.operators.temporal import (
+    events_gapfill_stats,
+)
+from databricks_spark_sql_challenge1_spark.operators.textstats import (
+    docs_pii_redact,
+)
+from databricks_spark_sql_challenge1_spark.operators.analytics_ext import (
+    orders_dq_audit,
+)
+from tests.conftest import SF_DIR
+
+
+def _encode_one(spark, text: str) -> bytes:
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return attach_png_media(docs).collect()[0]["media_bytes"]
+
+
+def test_png_roundtrip_known_text(spark):
+    text = "ab" * 40  # 80 bytes -> 3 rows of 32, last padded
+    blob = _encode_one(spark, text)
+    assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+    media = spark.createDataFrame(
+        [(1, bytearray(blob))], "doc_id long, media_bytes binary"
+    )
+    row = parse_png_stats(media).collect()[0]
+    assert row["img_w"] == PNG_WIDTH
+    assert row["img_h"] == 3
+    assert row["n_pixels"] == 96
+    assert row["pixel_sum"] == sum(text.encode())
+    assert row["pixel_max"] == ord("b")
+    assert row["sub_rows"] == 1  # row 1 of 3 is Sub-filtered
+
+
+def test_png_corrupt_crc_rejected(spark):
+    blob = bytearray(_encode_one(spark, "x" * 100))
+    # flip one bit in the middle of the file (inside an IDAT chunk body)
+    blob[len(blob) // 2] ^= 0x01
+    media = spark.createDataFrame(
+        [(1, blob)], "doc_id long, media_bytes binary"
+    )
+    with pytest.raises(Exception, match="CRC mismatch|PythonException"):
+        parse_png_stats(media).collect()
+
+
+def test_png_multi_idat_present(spark):
+    # long text -> deflate stream > 64 bytes -> several IDAT chunks
+    blob = _encode_one(spark, "the quick brown fox " * 50)
+    assert blob.count(b"IDAT") > 1
+
+
+def test_gapfill_invariants(spark):
+    out = events_gapfill_stats(spark, SF_DIR).collect()
+    assert out, "gapfill produced no users"
+    for r in out:
+        assert r["n_hours"] == r["n_observed"] + r["n_filled"]
+        assert r["n_observed"] >= 1  # span endpoints are observed hours
+        assert r["longest_gap_hours"] <= r["n_filled"]
+        assert r["ffill_sum_cents"] is not None  # locf leaves no leading NULLs
+
+
+def test_pii_redact_matches_injection_rule(spark):
+    rows = docs_pii_redact(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_emails"] == (1 if r["doc_id"] % 3 == 0 else 0)
+        assert r["n_phones"] == (1 if r["doc_id"] % 5 == 0 else 0)
+        assert r["n_ips"] == (1 if r["doc_id"] % 7 == 0 else 0)
+
+
+def test_dq_audit_nonzero_and_clean_rows(spark):
+    rows = {r["check_name"]: r for r in orders_dq_audit(spark, SF_DIR).collect()}
+    # fixtures are referentially intact -> orphan/dup/domain checks all clean
+    for clean in (
+        "customers_without_orders",
+        "lineitem_orphan_orderkey",
+        "lineitem_orphan_partkey",
+        "orders_dup_orderkey",
+        "orders_nonpositive_price",
+        "orders_null_orderdate",
+        "orders_orphan_custkey",
+        "parts_never_ordered",
+    ):
+        assert rows[clean]["violations"] == 0, clean
+    # the month-restricted coverage checks manufacture non-empty results
+    assert rows["customers_quiet_199801"]["violations"] > 0
+    assert rows["parts_unsold_199801"]["violations"] > 0

@@ -20,6 +20,12 @@ DRIVER_WINDOW = 50
 # latest driver evidence is round 4 (VERDICT r6 "Next round" #1).
 MUST_VERIFY = {
     # new or changed this round
+    "dedup_simhash_adaptive",
+    "embedding_random_projection",
+    "events_gapfill_stats",
+    "docs_pii_redact",
+    "orders_dq_audit",
+    "multimodal_png_roundtrip",
     "multimodal_wav_parse",
     "multimodal_bmp_parse",
     "multimodal_image_thumbnail",
