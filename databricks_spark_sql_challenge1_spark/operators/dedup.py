@@ -1358,7 +1358,9 @@ WHERE bit_count(xor(a.sig_hi, b.sig_hi))
 ORDER BY doc_1 ASC, doc_2 ASC
 """,
 )
-def dedup_simhash_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_simhash_adaptive(
+    spark: SparkSession, sf_dir: str, bpb: int | None = None
+) -> DataFrame:
     """Near-dup pairs on an 88-bit two-limb SimHash with corpus-size-
     adaptive band keys — the SimHash family's answer to the band-space
     saturation the round-7 sink-mode curve measured on the 60-bit config
@@ -1377,7 +1379,8 @@ def dedup_simhash_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct.
     """
     docs = load_table(spark, sf_dir, "documents")
-    bpb = _adaptive_simhash_bpb(docs.count())
+    if bpb is None:
+        bpb = _adaptive_simhash_bpb(docs.count())
     trunc = SIMHASH_REGION_BITS - bpb
     sig = _simhash_wide2_sig(docs).cache()
     bands = sig.select(

@@ -728,47 +728,54 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def attach_png_media(docs: DataFrame) -> DataFrame:
-    """Encode each document's bytes as a REAL PNG — the first genuinely
-    COMPRESSED codec in the multimodal family (zlib/DEFLATE is stdlib, so
-    no external codec lib is needed): 8-bit grayscale raster of fixed
-    width 32, zero-padded last row, scanlines pre-filtered with the spec's
-    None (type 0) and Sub (type 1) filters on alternating rows, deflated,
-    and split across many 64-byte IDAT chunks under signature/IHDR/IEND
-    with real CRC-32s. Any PNG tool can open the output."""
+def png_encode_gray(raw: bytes) -> bytes:
+    """Pure per-payload PNG encoder (property-tested directly on arbitrary
+    byte strings in tests/test_properties.py): 8-bit grayscale raster of
+    fixed width PNG_WIDTH, zero-padded last row, scanlines pre-filtered
+    with the spec's None (type 0) and Sub (type 1) filters on alternating
+    rows, deflated, split across PNG_IDAT_CHUNK-byte IDAT chunks under
+    signature/IHDR/IEND with real CRC-32s."""
     import struct
     import zlib
 
+    w = PNG_WIDTH
+    arr = np.frombuffer(raw, np.uint8)
+    n = len(arr)
+    h = (n + w - 1) // w
+    img = np.zeros((h, w), np.uint8)
+    img.reshape(-1)[:n] = arr
+    scan = bytearray()
+    for r in range(h):
+        row = img[r]
+        if r % 2 == 0:  # filter 0: None
+            scan.append(0)
+            scan.extend(row.tobytes())
+        else:  # filter 1: Sub (delta vs left neighbor)
+            scan.append(1)
+            sub = np.diff(row.astype(np.int16), prepend=0)
+            scan.extend((sub % 256).astype(np.uint8).tobytes())
+    z = zlib.compress(bytes(scan), 6)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    png = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    for i in range(0, len(z), PNG_IDAT_CHUNK):
+        png += _png_chunk(b"IDAT", z[i : i + PNG_IDAT_CHUNK])
+    if not z:
+        png += _png_chunk(b"IDAT", b"")
+    return png + _png_chunk(b"IEND", b"")
+
+
+def attach_png_media(docs: DataFrame) -> DataFrame:
+    """Encode each document's bytes as a REAL PNG — the first genuinely
+    COMPRESSED codec in the multimodal family (zlib/DEFLATE is stdlib, so
+    no external codec lib is needed). Narrow 1:1 Arrow map over the pure
+    ``png_encode_gray`` kernel; any PNG tool can open the output."""
+
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        w = PNG_WIDTH
         for pdf in batches:
             out = {"doc_id": [], "media_bytes": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                raw = np.frombuffer(text.encode("utf-8"), np.uint8)
-                n = len(raw)
-                h = (n + w - 1) // w
-                img = np.zeros((h, w), np.uint8)
-                img.reshape(-1)[:n] = raw
-                scan = bytearray()
-                for r in range(h):
-                    row = img[r]
-                    if r % 2 == 0:  # filter 0: None
-                        scan.append(0)
-                        scan.extend(row.tobytes())
-                    else:  # filter 1: Sub (delta vs left neighbor)
-                        scan.append(1)
-                        sub = np.diff(row.astype(np.int16), prepend=0)
-                        scan.extend((sub % 256).astype(np.uint8).tobytes())
-                z = zlib.compress(bytes(scan), 6)
-                ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
-                png = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
-                for i in range(0, len(z), PNG_IDAT_CHUNK):
-                    png += _png_chunk(b"IDAT", z[i : i + PNG_IDAT_CHUNK])
-                if not z:
-                    png += _png_chunk(b"IDAT", b"")
-                png += _png_chunk(b"IEND", b"")
                 out["doc_id"].append(doc_id)
-                out["media_bytes"].append(png)
+                out["media_bytes"].append(png_encode_gray(text.encode("utf-8")))
             yield pd.DataFrame(out)
 
     return docs.select("doc_id", "text").mapInPandas(
@@ -776,73 +783,86 @@ def attach_png_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def parse_png_stats(media: DataFrame) -> DataFrame:
-    """REAL PNG decoder: validate the 8-byte signature, walk the chunk
-    list verifying every chunk's CRC-32, parse IHDR (8-bit grayscale,
-    non-interlaced only), concatenate the IDAT stream, zlib-inflate it,
-    and reconstruct scanlines through the spec's filter algorithms (None /
-    Sub / Up — Paeth and Average are refused loudly, not silently
-    skipped). Emits dimensions + integer-exact pixel stats."""
+def png_decode_stats(blob: bytes) -> dict:
+    """Pure per-blob PNG decoder (property-tested against
+    ``png_encode_gray`` on arbitrary byte strings): validate the 8-byte
+    signature, walk the chunk list verifying every chunk's CRC-32, parse
+    IHDR (8-bit grayscale, non-interlaced only), concatenate the IDAT
+    stream, zlib-inflate it, and reconstruct scanlines through the spec's
+    filter algorithms (None / Sub / Up — Paeth and Average are refused
+    loudly, not silently skipped). Returns dimensions + integer-exact
+    pixel stats."""
     import struct
     import zlib
+
+    b = bytes(blob)
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("bad PNG signature")
+    pos, w, h = 8, None, 0
+    idat = bytearray()
+    while pos + 12 <= len(b):
+        (clen,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + clen]
+        (crc,) = struct.unpack_from(">I", b, pos + 8 + clen)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            w, h, depth, ctype_id, _, _, ilace = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or ctype_id != 0 or ilace != 0:
+                raise ValueError("expected 8-bit gray non-interlaced")
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if w is None:
+        raise ValueError("missing IHDR")
+    scan = zlib.decompress(bytes(idat))
+    img = np.zeros((h, w), np.int64)
+    prev = np.zeros(w, np.int64)
+    sub_rows = 0
+    for r in range(h):
+        off = r * (w + 1)
+        ftype = scan[off]
+        row = np.frombuffer(scan, np.uint8, w, off + 1).astype(np.int64)
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub: cumulative left reconstruction
+            row = np.cumsum(row) % 256
+            sub_rows += 1
+        elif ftype == 2:  # Up
+            row = (row + prev) % 256
+        else:
+            raise ValueError(f"unsupported filter {ftype}")
+        img[r] = row
+        prev = row
+    return {
+        "img_w": w,
+        "img_h": h,
+        "n_pixels": w * h,
+        "pixel_sum": int(img.sum()),
+        "pixel_max": int(img.max()) if h else 0,
+        "sub_rows": sub_rows,
+    }
+
+
+def parse_png_stats(media: DataFrame) -> DataFrame:
+    """REAL PNG decoder as a narrow 1:1 Arrow map over the pure
+    ``png_decode_stats`` kernel; emits dimensions + integer-exact pixel
+    stats per blob."""
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {k.name: [] for k in PNG_STATS_SCHEMA.fields}
             for doc_id, blob in zip(pdf["doc_id"], pdf["media_bytes"]):
-                b = bytes(blob)
-                if b[:8] != b"\x89PNG\r\n\x1a\n":
-                    raise ValueError(f"doc {doc_id}: bad PNG signature")
-                pos, w = 8, None
-                idat = bytearray()
-                while pos + 12 <= len(b):
-                    (clen,) = struct.unpack_from(">I", b, pos)
-                    ctype = b[pos + 4 : pos + 8]
-                    data = b[pos + 8 : pos + 8 + clen]
-                    (crc,) = struct.unpack_from(">I", b, pos + 8 + clen)
-                    if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
-                        raise ValueError(f"doc {doc_id}: CRC mismatch in {ctype!r}")
-                    if ctype == b"IHDR":
-                        w, h, depth, ctype_id, _, _, ilace = struct.unpack(
-                            ">IIBBBBB", data
-                        )
-                        if depth != 8 or ctype_id != 0 or ilace != 0:
-                            raise ValueError("expected 8-bit gray non-interlaced")
-                    elif ctype == b"IDAT":
-                        idat.extend(data)
-                    elif ctype == b"IEND":
-                        break
-                    pos += 12 + clen
-                if w is None:
-                    raise ValueError("missing IHDR")
-                scan = zlib.decompress(bytes(idat))
-                img = np.zeros((h, w), np.int64)
-                prev = np.zeros(w, np.int64)
-                sub_rows = 0
-                for r in range(h):
-                    off = r * (w + 1)
-                    ftype = scan[off]
-                    row = np.frombuffer(
-                        scan, np.uint8, w, off + 1
-                    ).astype(np.int64)
-                    if ftype == 0:
-                        pass
-                    elif ftype == 1:  # Sub: cumulative left reconstruction
-                        row = np.cumsum(row) % 256
-                        sub_rows += 1
-                    elif ftype == 2:  # Up
-                        row = (row + prev) % 256
-                    else:
-                        raise ValueError(f"unsupported filter {ftype}")
-                    img[r] = row
-                    prev = row
+                try:
+                    stats = png_decode_stats(blob)
+                except ValueError as exc:
+                    raise ValueError(f"doc {doc_id}: {exc}") from exc
                 rows["doc_id"].append(doc_id)
-                rows["img_w"].append(w)
-                rows["img_h"].append(h)
-                rows["n_pixels"].append(w * h)
-                rows["pixel_sum"].append(int(img.sum()))
-                rows["pixel_max"].append(int(img.max()) if h else 0)
-                rows["sub_rows"].append(sub_rows)
+                for k, v in stats.items():
+                    rows[k].append(v)
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(_parse, PNG_STATS_SCHEMA)

@@ -219,3 +219,26 @@ def test_int8_quantization_zero_vector_guard(spark):
     rows = {r.vec_id: r for r in s.collect()}
     assert rows[1].scale == 1.0
     assert abs(rows[2].scale - 2.0 / 127.0) < 1e-12
+
+
+@given(st.binary(min_size=0, max_size=400))
+@settings(max_examples=150, deadline=None)
+def test_png_roundtrip_arbitrary_bytes(payload):
+    """The PNG kernels must round-trip ANY byte string — including values
+    128-255 the ASCII fixtures never produce — through the full deflate /
+    CRC / filter chain."""
+    from databricks_spark_sql_challenge1_spark.operators.multimodal import (
+        PNG_WIDTH,
+        png_decode_stats,
+        png_encode_gray,
+    )
+
+    stats = png_decode_stats(png_encode_gray(payload))
+    n = len(payload)
+    h = (n + PNG_WIDTH - 1) // PNG_WIDTH
+    assert stats["img_w"] == PNG_WIDTH
+    assert stats["img_h"] == h
+    assert stats["n_pixels"] == PNG_WIDTH * h
+    assert stats["pixel_sum"] == sum(payload)
+    assert stats["pixel_max"] == (max(payload) if n else 0)
+    assert stats["sub_rows"] == h // 2

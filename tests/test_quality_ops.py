@@ -98,3 +98,24 @@ def test_dq_audit_nonzero_and_clean_rows(spark):
     # the month-restricted coverage checks manufacture non-empty results
     assert rows["customers_quiet_199801"]["violations"] > 0
     assert rows["parts_unsold_199801"]["violations"] > 0
+
+
+def test_simhash_adaptive_band_width_invariance(spark):
+    """The exact Hamming filter makes the adaptive SimHash result
+    independent of band width (the pigeonhole-truncation argument in the
+    docstring) — run the narrowest and widest band keys and require
+    row-identical pairs."""
+    from databricks_spark_sql_challenge1_spark.operators.dedup import (
+        SIMHASH_BPB_MAX,
+        SIMHASH_BPB_MIN,
+        dedup_simhash_adaptive,
+    )
+
+    narrow = sorted(
+        map(tuple, dedup_simhash_adaptive(spark, SF_DIR, SIMHASH_BPB_MIN).collect())
+    )
+    wide = sorted(
+        map(tuple, dedup_simhash_adaptive(spark, SF_DIR, SIMHASH_BPB_MAX).collect())
+    )
+    assert narrow == wide
+    assert narrow, "fixture should produce near-dup pairs"
