@@ -386,3 +386,96 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_near_dups"))
     )
     return _drain_to_memory(flagged, spark)
+
+
+GAP_ALERT_US = 3_600_000_000  # 1 hour
+
+
+@query("streaming_gap_monitor")  # rows-only: custom stateful operator
+def streaming_gap_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful inter-event gap monitor via ``applyInPandasWithState`` —
+    the streaming analog of ``events_gapfill_stats``'s longest-gap metric:
+    per user, carry the last event timestamp in state, diff each arriving
+    batch against it, and keep the running maximum gap plus the count of
+    gaps exceeding GAP_ALERT_US (1 h) — the liveness/SLA signal a feed
+    monitor alerts on. Semantics pinned against the batch lag() equivalent
+    in tests/test_streaming.py.
+
+    State is one (last_us, max_gap, n_alerts, n) tuple per user —
+    watermark-free but O(users) bounded, the same state posture as the
+    running-profile operator above.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("max_gap_us", LongType()),
+            StructField("n_gaps_over_1h", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_us", LongType()),
+            StructField("max_gap", LongType()),
+            StructField("n_alerts", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def update(key, batches, state: GroupState):
+        last_us, max_gap, n_alerts, n = (
+            state.get if state.exists else (-1, 0, 0, 0)
+        )
+        ts_us = pd.concat(
+            [pdf["ts"].astype("int64") // 1000 for pdf in batches]
+        ).sort_values()
+        n += len(ts_us)
+        for t in ts_us:
+            t = int(t)
+            if last_us >= 0:
+                gap = t - last_us
+                max_gap = max(max_gap, gap)
+                if gap > GAP_ALERT_US:
+                    n_alerts += 1
+            last_us = t
+        state.update((last_us, max_gap, n_alerts, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "max_gap_us": [max_gap],
+                "n_gaps_over_1h": [n_alerts],
+            }
+        )
+
+    stream = _events_stream(spark, sf_dir)
+    monitored = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        monitored.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .drop("rk")
+        .orderBy(F.col("user_id").asc())
+    )

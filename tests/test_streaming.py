@@ -231,3 +231,45 @@ def test_streaming_incremental_dedup_equals_batch(spark):
     )
     assert _rows(stream.select("doc_id", "n_near_dups")) == _rows(batch)
     assert stream.count() > 0
+
+
+def test_streaming_gap_monitor_equals_batch_lag(spark):
+    """The stateful gap monitor must agree with the batch lag() diff over
+    the same events: per-user max inter-event gap and count of gaps > 1h."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from databricks_spark_sql_challenge1_spark.catalog import load_table
+    from databricks_spark_sql_challenge1_spark.streaming.events_stream import (
+        GAP_ALERT_US,
+        streaming_gap_monitor,
+    )
+
+    stream = streaming_gap_monitor(spark, SF_DIR)
+    ev = load_table(spark, SF_DIR, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc())
+    gaps = (
+        ev.select(
+            "user_id",
+            (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            ).alias("gap_us"),
+        )
+        .groupBy("user_id")
+        .agg(
+            (F.count(F.lit(1))).alias("n_events"),
+            F.coalesce(F.max("gap_us"), F.lit(0)).alias("max_gap_us"),
+            F.coalesce(
+                F.sum((F.col("gap_us") > GAP_ALERT_US).cast("long")),
+                F.lit(0),
+            ).alias("n_gaps_over_1h"),
+        )
+    )
+    srows = sorted(tuple(str(x) for x in r) for r in stream.collect())
+    brows = sorted(
+        tuple(str(x) for x in r)
+        for r in gaps.select(
+            "user_id", "n_events", "max_gap_us", "n_gaps_over_1h"
+        ).collect()
+    )
+    assert srows == brows
