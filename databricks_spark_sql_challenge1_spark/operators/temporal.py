@@ -360,3 +360,113 @@ def events_gapfill_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("user_id").asc())
     )
+
+
+# Engine-portable floor division for the interpolation step: Spark `div`
+# truncates toward zero while DuckDB `//` floors, and the value delta can
+# be negative — so both engines get the identical expression
+# (a - positive_mod(a, b)) intdiv b, whose operands are exactly divisible
+# (both engines' `%` is truncation-remainder, so the double-mod positive
+# remainder matches).
+def _floor_div_sql(a: str, b: str, intdiv: str) -> str:
+    return f"(({a}) - ((({a}) % ({b}) + ({b})) % ({b}))) {intdiv} ({b})"
+
+
+_GAPFILL_INTERP_SQL = """
+WITH obs AS (
+    SELECT user_id, date_trunc('hour', ts) AS hr,
+           CAST(ROUND(SUM(value) * 100) AS BIGINT) AS v
+    FROM events GROUP BY user_id, date_trunc('hour', ts)
+),
+span AS (
+    SELECT user_id, MIN(hr) AS h0, MAX(hr) AS h1 FROM obs GROUP BY user_id
+),
+spine AS (
+    SELECT user_id,
+           unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+    FROM span
+),
+seq AS (
+    SELECT s.user_id, s.hr, o.v,
+           epoch_us(s.hr) {intdiv} 3600000000 AS idx
+    FROM spine s
+    LEFT JOIN obs o ON o.user_id = s.user_id AND o.hr = s.hr
+),
+bounded AS (
+    SELECT user_id, hr, v, idx,
+           LAST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+           LAST_VALUE(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS prev_idx,
+           FIRST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY idx
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+           FIRST_VALUE(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY idx
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_idx
+    FROM seq
+),
+interp AS (
+    SELECT user_id,
+           prev_v + {fd} AS iv
+    FROM bounded WHERE v IS NULL
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_interp,
+       CAST(SUM(iv) AS BIGINT) AS interp_sum_cents,
+       CAST(MIN(iv) AS BIGINT) AS interp_min_cents,
+       CAST(MAX(iv) AS BIGINT) AS interp_max_cents
+FROM interp
+GROUP BY user_id
+ORDER BY user_id ASC
+"""
+
+
+def _gapfill_interp_sql(intdiv: str) -> str:
+    fd = _floor_div_sql(
+        "(next_v - prev_v) * (idx - prev_idx)", "next_idx - prev_idx", intdiv
+    )
+    return _GAPFILL_INTERP_SQL.format(intdiv=intdiv, fd=fd)
+
+
+@query("events_gapfill_interp", oracle=_gapfill_interp_sql("//"))
+def events_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap-fill (hypertable `interpolate()`): for
+    every missing hour on each user's dense spine, interpolate between the
+    previous and next OBSERVED hourly values, in integer cents with an
+    engine-portable floor division — so the oracle verifies the
+    interpolated series value-exactly, not to a rounding tolerance.
+    Companion to ``events_gapfill_stats``'s locf.
+
+    Same scale shape as locf gap-fill (spine bounded by |users|×|hours|,
+    one user_id exchange); the bounding windows are two extra passes over
+    the same partition order. Both engines run the IDENTICAL SQL (modulo
+    the integer-division token): the Spark side executes the shared
+    template through ``spark.sql`` over registered views — the S7
+    catalog-scan path — with ``div`` as the division operator.
+    """
+    import re
+
+    from databricks_spark_sql_challenge1_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    sql = (
+        _gapfill_interp_sql("div")
+        .replace(
+            "unnest(generate_series(h0, h1, INTERVAL 1 HOUR))",
+            "explode(sequence(h0, h1, interval 1 hour))",
+        )
+        .replace("epoch_us(s.hr)", "unix_micros(s.hr)")
+    )
+    # IGNORE NULLS placement differs: DuckDB takes it inside the call
+    # parens, Spark as a boolean second argument.
+    sql = re.sub(
+        r"(LAST_VALUE|FIRST_VALUE)\(((?:[^()]|\([^()]*\))*?) IGNORE NULLS\)",
+        r"\1(\2, true)",
+        sql,
+    )
+    return spark.sql(sql)

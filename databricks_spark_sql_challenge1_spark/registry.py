@@ -45,9 +45,9 @@ def query(name: str, oracle: str | None = None):
 # first 50 registered names). This list pins the window deliberately instead of
 # leaving it to import order. Round-7 window, in priority order:
 #   0. queries that are new or whose code/oracle changed this round: the
-#      seven round-7 additions (stateful gap monitor, adaptive-band
-#      SimHash, JL random projection, gapfill+locf, PII redaction, DQ
-#      audit, PNG round-trip), the WAV/BMP
+#      eight round-7 additions (exact-interpolation and locf gap-fills,
+#      stateful gap monitor, adaptive-band SimHash, JL random projection,
+#      PII redaction, DQ audit, PNG round-trip), the WAV/BMP
 #      container round-trips, and the three queries whose edge-case
 #      guards changed in BOTH engines (ADVICE r6);
 #   1. the four similarity_* queries whose shared ``_pq_scored`` helper was
@@ -62,7 +62,8 @@ def query(name: str, oracle: str | None = None):
 # widget_month_* re-aggs ride r5 one more round); see QUERIES.md
 # §driver-window for the exact histogram.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # 0: new or changed this round (12)
+    # 0: new or changed this round (13)
+    "events_gapfill_interp",  # new: exact linear-interpolation gapfill
     "streaming_gap_monitor",  # new: stateful inter-event gap/SLA monitor
     "dedup_simhash_adaptive",  # new: 88-bit two-limb adaptive-band SimHash
     "embedding_random_projection",  # new: JL sign-random-projection
@@ -112,14 +113,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "customer_value_deciles",
     "multimodal_frame_stats",
     "orders_unpivot_metrics",
-    # 3: slack — r5-evidence widgets + calendar_dim, untouched code (4).
-    # The widget_month_* and widget_day_value_* re-aggs ride their r5
-    # evidence one more round: the r7 window spent their slots on this
-    # round's seven NEW queries; all 10 widgets share one generator
-    # (dashboards.py) which the three widget_day_* entries still witness.
+    # 3: slack — r5-evidence widgets + calendar_dim, untouched code (3).
+    # Seven of the ten widget_* re-aggs ride their r5 evidence one more
+    # round: the r7 window spent their slots on this round's eight NEW
+    # queries; all 10 widgets share one generator (dashboards.py) which
+    # the two widget_day_* entries below still witness.
     "widget_day_items",
     "widget_day_orders",
-    "widget_day_peak",
     "calendar_dim",
     # --- window boundary: 50 names above (tests/test_registry_order.py) ---
 )

@@ -20,6 +20,7 @@ DRIVER_WINDOW = 50
 # latest driver evidence is round 4 (VERDICT r6 "Next round" #1).
 MUST_VERIFY = {
     # new or changed this round
+    "events_gapfill_interp",
     "streaming_gap_monitor",
     "dedup_simhash_adaptive",
     "embedding_random_projection",
