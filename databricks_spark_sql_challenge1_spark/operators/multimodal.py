@@ -2,14 +2,17 @@
 north-star training-data pipeline ops).
 
 Images/audio/video are opaque ``binary`` columns + typed metadata structs.
-COMPRESSED-codec decode (JPEG/MP3/H.264) needs libraries that are NOT in
-this container, so that step is STUBBED (deterministic fake bytes, or
-``NotImplementedError`` when a real codec is demanded). RAW formats are
-fully implemented: ``pcm_audio_stats`` runs a real vectorized numpy DSP
-kernel (RMS/peak/zero-crossings) and ``image_thumbnail_stats`` a real
-strided nearest-neighbor resize, both over Arrow batches. In all cases the
-Spark-side plumbing is real and tested: schema, Arrow batch shape,
-``mapInPandas`` signatures, partition-preserving dataflow.
+LOSSY-codec decode (JPEG/MP3/H.264) needs libraries that are NOT in this
+container, so that step is STUBBED (deterministic fake bytes, or
+``NotImplementedError`` when a real codec is demanded). Everything below
+lossy is fully implemented: raw kernels (``pcm_audio_stats`` vectorized
+DSP, ``image_thumbnail_stats`` strided resize), real containers (WAV/RIFF
+chunk walk, BMP headers), and two genuinely COMPRESSED codec families —
+PNG (stdlib zlib/DEFLATE + filter reconstruction + per-chunk CRC-32) and
+GIF87a (spec LZW written from scratch: variable code width, KwKwK, table
+freeze). In all cases the Spark-side plumbing is real and tested: schema,
+Arrow batch shape, ``mapInPandas`` signatures, partition-preserving
+dataflow.
 """
 
 from __future__ import annotations
@@ -909,5 +912,260 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     return parse_png_stats(attach_png_media(docs)).orderBy(
+        F.col("doc_id").asc()
+    )
+
+
+GIF_WIDTH = 32  # fixed raster width, same convention as the PNG witness
+GIF_LZW_MIN_CODE = 8  # 256-color table -> 8-bit min code size
+GIF_SUBSET_MOD = 4  # codec witness runs on doc_id % 4 == 0 (see query doc)
+
+
+def _gif_lzw_encode(data: bytes, min_code: int = GIF_LZW_MIN_CODE) -> bytes:
+    """GIF-variant LZW compressor: variable code width starting at
+    min_code+1, LSB-first bit packing, CLEAR emitted once up front, table
+    growth to 4096 then deferred-clear (table frozen) — the spec-legal
+    simple strategy."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    code_size = min_code + 1
+    out = bytearray()
+    cur = nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal cur, nbits
+        cur |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(cur & 0xFF)
+            cur >>= 8
+            nbits -= 8
+
+    emit(clear)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        w = bytes([ch])
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(cur & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, min_code: int = GIF_LZW_MIN_CODE) -> bytes:
+    """Inverse of ``_gif_lzw_encode``: LSB-first variable-width code
+    reader with the standard KwKwK first-unknown-code case, table growth
+    mirrored exactly (including the frozen-at-4096 rule)."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code + 1
+    out = bytearray()
+    cur = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        cur |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = cur & ((1 << code_size) - 1)
+            cur >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = list(base)
+                code_size = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]  # KwKwK
+            else:
+                raise ValueError(f"bad LZW code {code}")
+            out.extend(entry)
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << code_size) - 1 and code_size < 12:
+                    code_size += 1
+            prev = entry
+    raise ValueError("LZW stream ended without EOI")
+
+
+def gif_encode_gray(raw: bytes) -> bytes:
+    """Pure per-payload GIF87a encoder (property-tested on arbitrary byte
+    strings): fixed-width 8-bit grayscale raster under a real logical
+    screen descriptor + 256-entry gray global color table, LZW-compressed
+    pixel stream packed into length-prefixed sub-blocks."""
+    import struct
+
+    w = GIF_WIDTH
+    arr = np.frombuffer(raw, np.uint8)
+    n = len(arr)
+    h = (n + w - 1) // w
+    img = np.zeros((h, w), np.uint8)
+    img.reshape(-1)[:n] = arr
+    gif = bytearray(b"GIF87a")
+    gif += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT: 256 entries
+    gif += bytes(v for i in range(256) for v in (i, i, i))  # gray ramp
+    gif += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    gif.append(GIF_LZW_MIN_CODE)
+    z = _gif_lzw_encode(img.tobytes())
+    for i in range(0, len(z), 255):
+        block = z[i : i + 255]
+        gif.append(len(block))
+        gif += block
+    gif += b"\x00\x3B"  # sub-block terminator + trailer
+    return bytes(gif)
+
+
+def gif_decode_stats(blob: bytes) -> dict:
+    """Pure per-blob GIF87a decoder: validate the signature, read the
+    logical screen descriptor, VERIFY the global color table is the
+    identity gray ramp, parse the image descriptor, reassemble the LZW
+    stream from its sub-blocks, decompress, check the pixel count against
+    the header dimensions, and emit integer-exact stats."""
+    import struct
+
+    b = bytes(blob)
+    if b[:6] != b"GIF87a":
+        raise ValueError("bad GIF signature")
+    sw, sh, flags, _, _ = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    if not flags & 0x80:
+        raise ValueError("missing global color table")
+    gct_n = 2 << (flags & 0x07)
+    gct = b[pos : pos + 3 * gct_n]
+    if gct != bytes(v for i in range(gct_n) for v in (i, i, i)):
+        raise ValueError("global color table is not the gray ramp")
+    pos += 3 * gct_n
+    if b[pos] != 0x2C:
+        raise ValueError(f"expected image descriptor, got {b[pos]:#x}")
+    _, _, w, h, iflags = struct.unpack_from("<HHHHB", b, pos + 1)
+    if iflags:
+        raise ValueError("local color table / interlace unsupported")
+    pos += 10
+    min_code = b[pos]
+    pos += 1
+    z = bytearray()
+    while True:
+        blen = b[pos]
+        pos += 1
+        if blen == 0:
+            break
+        z += b[pos : pos + blen]
+        pos += blen
+    if b[pos] != 0x3B:
+        raise ValueError("missing GIF trailer")
+    px = np.frombuffer(_gif_lzw_decode(bytes(z), min_code), np.uint8)
+    if len(px) != w * h:
+        raise ValueError(f"pixel count {len(px)} != {w}x{h}")
+    x = px.astype(np.int64)
+    return {
+        "img_w": w,
+        "img_h": h,
+        "n_pixels": w * h,
+        "pixel_sum": int(x.sum()),
+        "pixel_max": int(x.max()) if len(x) else 0,
+        "screen_h": sh,
+    }
+
+
+GIF_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("img_w", LongType()),
+        StructField("img_h", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("pixel_sum", LongType()),
+        StructField("pixel_max", LongType()),
+        StructField("screen_h", LongType()),
+    ]
+)
+
+
+@query(
+    "multimodal_gif_roundtrip",
+    oracle=f"""
+WITH c AS (
+    SELECT doc_id, length(text) AS n,
+           list_transform(generate_series(1, length(text)),
+                          i -> ord(text[i])) AS px
+    FROM documents WHERE doc_id % {GIF_SUBSET_MOD} = 0
+)
+SELECT doc_id,
+       CAST({GIF_WIDTH} AS BIGINT) AS img_w,
+       (n + {GIF_WIDTH - 1}) // {GIF_WIDTH} AS img_h,
+       ((n + {GIF_WIDTH - 1}) // {GIF_WIDTH}) * {GIF_WIDTH} AS n_pixels,
+       CAST(COALESCE(list_sum(px), 0) AS BIGINT) AS pixel_sum,
+       CAST(COALESCE(list_max(px), 0) AS BIGINT) AS pixel_max,
+       (n + {GIF_WIDTH - 1}) // {GIF_WIDTH} AS screen_h
+FROM c
+ORDER BY doc_id ASC
+""",
+)
+def multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF/LZW codec round-trip — the SECOND genuinely compressed codec
+    family after the PNG/DEFLATE one, implemented from the spec: GIF87a
+    container (logical screen descriptor, 256-gray global color table,
+    image descriptor, length-prefixed sub-blocks, trailer) around a real
+    variable-code-width LZW compressor/decompressor (LSB-first packing,
+    KwKwK case, table frozen at 4096). The oracle recomputes the pixel
+    stats from the deterministic raster definition, so any bug in the
+    bit packing, sub-block walk, or LZW tables breaks the hash.
+
+    Two deliberate scale choices: (1) the witness runs on the
+    doc_id % {GIF_SUBSET_MOD} == 0 subset — LZW is an inherently
+    sequential per-payload loop (pure Python, no vectorizing it), so the
+    witness bounds its corpus share the way a production pipeline samples
+    a codec-validation pass; (2) the encode map REPARTITIONS the scan
+    first — a single parquet file arrives as one partition locally, and a
+    CPU-bound per-row kernel is exactly the case where spreading rows
+    across cores is worth one exchange (the decode stage inherits the
+    layout, so it's one exchange total).
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % GIF_SUBSET_MOD == 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "media_bytes": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                out["doc_id"].append(doc_id)
+                out["media_bytes"].append(gif_encode_gray(text.encode("utf-8")))
+            yield pd.DataFrame(out)
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in GIF_STATS_SCHEMA.fields}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media_bytes"]):
+                try:
+                    stats = gif_decode_stats(blob)
+                except ValueError as exc:
+                    raise ValueError(f"doc {doc_id}: {exc}") from exc
+                rows["doc_id"].append(doc_id)
+                for k, v in stats.items():
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        _encode, "doc_id long, media_bytes binary"
+    )
+    return media.mapInPandas(_parse, GIF_STATS_SCHEMA).orderBy(
         F.col("doc_id").asc()
     )

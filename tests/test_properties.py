@@ -242,3 +242,36 @@ def test_png_roundtrip_arbitrary_bytes(payload):
     assert stats["pixel_sum"] == sum(payload)
     assert stats["pixel_max"] == (max(payload) if n else 0)
     assert stats["sub_rows"] == h // 2
+
+
+@given(st.binary(min_size=0, max_size=600))
+@settings(max_examples=120, deadline=None)
+def test_gif_roundtrip_arbitrary_bytes(payload):
+    """The GIF/LZW kernels must round-trip ANY byte string through the
+    variable-code-width LZW chain (bit packing, KwKwK, table growth)."""
+    from databricks_spark_sql_challenge1_spark.operators.multimodal import (
+        GIF_WIDTH,
+        gif_decode_stats,
+        gif_encode_gray,
+    )
+
+    stats = gif_decode_stats(gif_encode_gray(payload))
+    n = len(payload)
+    h = (n + GIF_WIDTH - 1) // GIF_WIDTH
+    assert stats["img_w"] == GIF_WIDTH
+    assert stats["img_h"] == h == stats["screen_h"]
+    assert stats["pixel_sum"] == sum(payload)
+    assert stats["pixel_max"] == (max(payload) if n else 0)
+
+
+@given(st.binary(min_size=0, max_size=200))
+@settings(max_examples=60, deadline=None)
+def test_gif_lzw_stream_is_exact(payload):
+    """LZW compress→decompress must reproduce the raster bytes exactly
+    (stats equality above could in principle hide transpositions)."""
+    from databricks_spark_sql_challenge1_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    assert _gif_lzw_decode(_gif_lzw_encode(payload)) == payload
