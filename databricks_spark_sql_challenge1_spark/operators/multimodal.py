@@ -958,6 +958,16 @@ def _gif_lzw_encode(data: bytes, min_code: int = GIF_LZW_MIN_CODE) -> bytes:
         w = bytes([ch])
     if w:
         emit(table[w])
+        # phantom registration: the decoder defines an entry after EVERY
+        # data code, including the last one — mirror its counter here so
+        # the code-width rule stays in lockstep when the growth boundary
+        # lands exactly on the final code (EOI must be written at the
+        # width the decoder will read it with; found by the 50k-doc
+        # corpus, pinned in test_properties.py's boundary test).
+        if next_code < 4096:
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
     emit(eoi)
     if nbits:
         out.append(cur & 0xFF)

@@ -275,3 +275,30 @@ def test_gif_lzw_stream_is_exact(payload):
     )
 
     assert _gif_lzw_decode(_gif_lzw_encode(payload)) == payload
+
+
+def test_gif_lzw_final_code_width_boundary():
+    """Directed regression: when the code-width growth boundary lands
+    exactly on the LAST data code, the encoder's phantom registration must
+    keep the EOI width in lockstep with the decoder (found on the sf0.1
+    corpus, doc 264)."""
+    import duckdb
+
+    from databricks_spark_sql_challenge1_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    con = duckdb.connect()
+    (text,) = con.sql(
+        "SELECT text FROM '/root/testdata/sf0.1/documents.parquet' "
+        "WHERE doc_id = 264"
+    ).fetchone()
+    raw = text.encode()
+    assert _gif_lzw_decode(_gif_lzw_encode(raw)) == raw
+    # sweep lengths around every 2^k boundary region with a low-entropy
+    # payload (dictionary grows fast) to keep hitting final-code edges
+    base = (b"ab" * 4000)
+    for n in range(500, 560):
+        payload = base[:n]
+        assert _gif_lzw_decode(_gif_lzw_encode(payload)) == payload
