@@ -789,3 +789,142 @@ def orders_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "checked",
         F.round(F.col("violations") / F.col("checked"), 6).alias("viol_rate"),
     ).orderBy(F.col("check_name").asc())
+
+
+# Engine-portable count-min sketch (round 7): the `dedup_minhash_portable`
+# move applied to frequency sketches — md5-derived bucket hashes make
+# every counter reproducible in DuckDB, so unlike `approx_topk_products`
+# (rows-only: HLL internals are JVM-specific) the sketch itself is
+# oracle-verified, including the one-sided overestimate property.
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _cms_bucket_sql(key: str, d: str) -> str:
+    """Bucket of `key` in sketch row `d`: top 8 md5 hex chars of key#d,
+    mod width. Same text is valid in both engines modulo the hex-parse
+    idiom (handled per engine below)."""
+    return f"md5(CAST({key} AS VARCHAR) || '#' || CAST({d} AS VARCHAR))"
+
+
+@query(
+    "topk_products_cms",
+    oracle=f"""
+WITH ab AS (
+    SELECT l.l_partkey AS partkey
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'O' AND l.l_partkey IS NOT NULL
+),
+hashed AS (
+    SELECT partkey, d,
+           CAST(CAST('0x' || substr({_cms_bucket_sql("partkey", "d")}, 1, 8)
+                AS UBIGINT) % {CMS_WIDTH} AS BIGINT) AS bucket
+    FROM ab, unnest(generate_series(0, {CMS_DEPTH - 1})) AS t(d)
+),
+counters AS (
+    SELECT d, bucket, COUNT(*) AS c FROM hashed GROUP BY d, bucket
+),
+keys AS (
+    SELECT DISTINCT partkey FROM ab
+),
+key_buckets AS (
+    SELECT k.partkey, t.d,
+           CAST(CAST('0x' || substr({_cms_bucket_sql("k.partkey", "t.d")}, 1, 8)
+                AS UBIGINT) % {CMS_WIDTH} AS BIGINT) AS bucket
+    FROM keys k, unnest(generate_series(0, {CMS_DEPTH - 1})) AS t(d)
+),
+est AS (
+    SELECT kb.partkey, MIN(c.c) AS cms_estimate
+    FROM key_buckets kb JOIN counters c
+      ON c.d = kb.d AND c.bucket = kb.bucket
+    GROUP BY kb.partkey
+),
+exact AS (
+    SELECT partkey, COUNT(*) AS exact_rows FROM ab GROUP BY partkey
+)
+SELECT e.partkey,
+       CAST(e.cms_estimate AS BIGINT) AS cms_estimate,
+       CAST(x.exact_rows AS BIGINT) AS exact_rows,
+       e.cms_estimate >= x.exact_rows AS is_overestimate
+FROM est e JOIN exact x ON x.partkey = e.partkey
+ORDER BY cms_estimate DESC, e.partkey ASC
+LIMIT 20
+""",
+)
+def topk_products_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter products by count-min sketch, engine-portable: a
+    {CMS_DEPTH}x{CMS_WIDTH} counter grid keyed by md5-derived buckets,
+    estimate = min over rows — reported next to the exact count with the
+    sketch's one-sided error (`is_overestimate`, always true by
+    construction) verified row-by-row by the oracle. The portable-hash
+    companion to the rows-only HLL `approx_topk_products`: every counter
+    is reproducible in DuckDB, so the DRIVER hash-checks the sketch
+    itself, not just its plausibility.
+
+    Scale shape: the sketch is {CMS_DEPTH}x{CMS_WIDTH} = 1024 cells
+    regardless of input volume — built with one map-side-combinable
+    groupBy, then BROADCAST back for the estimate lookup (the join on
+    (d, bucket) is against a 1 KB relation), so at 100 TB the only
+    data-sized term is the one pass over the fact join. The exact counts
+    exist here for verification; a production heavy-hitter pass ships
+    ONLY the mergeable 1024-cell sketch per partition/shard.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    ab = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .where(
+            (F.col("o_orderstatus") == "O") & F.col("l_partkey").isNotNull()
+        )
+        .select(F.col("l_partkey").alias("partkey"))
+    )
+
+    def bucket(key_col: str, d_col: str) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.expr(
+                        f"md5(CAST({key_col} AS STRING) || '#' "
+                        f"|| CAST({d_col} AS STRING))"
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % CMS_WIDTH
+        )
+
+    depths = F.explode(
+        F.array(*[F.lit(d) for d in range(CMS_DEPTH)])
+    ).alias("d")
+    hashed = ab.select("partkey", depths).select(
+        "partkey", "d", bucket("partkey", "d").alias("bucket")
+    )
+    counters = hashed.groupBy("d", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    keys = ab.select("partkey").distinct()
+    key_buckets = keys.select("partkey", depths).select(
+        "partkey", "d", bucket("partkey", "d").alias("bucket")
+    )
+    est = (
+        key_buckets.join(F.broadcast(counters), ["d", "bucket"])
+        .groupBy("partkey")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    exact = ab.groupBy("partkey").agg(F.count(F.lit(1)).alias("exact_rows"))
+    return (
+        est.join(exact, "partkey")
+        .select(
+            "partkey",
+            "cms_estimate",
+            "exact_rows",
+            (F.col("cms_estimate") >= F.col("exact_rows")).alias(
+                "is_overestimate"
+            ),
+        )
+        .orderBy(F.col("cms_estimate").desc(), F.col("partkey").asc())
+        .limit(20)
+    )

@@ -45,10 +45,10 @@ def query(name: str, oracle: str | None = None):
 # first 50 registered names). This list pins the window deliberately instead of
 # leaving it to import order. Round-7 window, in priority order:
 #   0. queries that are new or whose code/oracle changed this round: the
-#      nine round-7 additions (GIF/LZW and PNG/DEFLATE codec round-trips,
-#      exact-interpolation and locf gap-fills, stateful gap monitor,
-#      adaptive-band SimHash, JL random projection, PII redaction, DQ
-#      audit), the WAV/BMP
+#      ten round-7 additions (portable count-min heavy hitters, GIF/LZW
+#      and PNG/DEFLATE codec round-trips, exact-interpolation and locf
+#      gap-fills, stateful gap monitor, adaptive-band SimHash, JL random
+#      projection, PII redaction, DQ audit), the WAV/BMP
 #      container round-trips, and the three queries whose edge-case
 #      guards changed in BOTH engines (ADVICE r6);
 #   1. the four similarity_* queries whose shared ``_pq_scored`` helper was
@@ -63,7 +63,8 @@ def query(name: str, oracle: str | None = None):
 # widget_month_* re-aggs ride r5 one more round); see QUERIES.md
 # §driver-window for the exact histogram.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # 0: new or changed this round (14)
+    # 0: new or changed this round (15)
+    "topk_products_cms",  # new: engine-portable count-min heavy hitters
     "multimodal_gif_roundtrip",  # new: real GIF87a/LZW encode+decode
     "events_gapfill_interp",  # new: exact linear-interpolation gapfill
     "streaming_gap_monitor",  # new: stateful inter-event gap/SLA monitor
@@ -115,12 +116,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "customer_value_deciles",
     "multimodal_frame_stats",
     "orders_unpivot_metrics",
-    # 3: slack — r5-evidence widgets + calendar_dim, untouched code (2).
-    # Eight of the ten widget_* re-aggs ride their r5 evidence one more
-    # round: the r7 window spent their slots on this round's nine NEW
-    # queries; all 10 widgets share one generator (dashboards.py) which
-    # the widget_day_items entry below still witnesses.
-    "widget_day_items",
+    # 3: slack — r5-evidence widgets + calendar_dim, untouched code (1).
+    # All ten widget_* re-aggs ride their r5 evidence one more round:
+    # the r7 window spent their slots on this round's ten NEW queries
+    # (they share one generator, dashboards.py, untouched since r5, and
+    # the full registry is still sf0.01-oracle-checked locally each
+    # round via tests/test_oracle_parity.py).
     "calendar_dim",
     # --- window boundary: 50 names above (tests/test_registry_order.py) ---
 )
