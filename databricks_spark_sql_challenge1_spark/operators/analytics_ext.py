@@ -847,7 +847,7 @@ SELECT e.partkey,
        CAST(x.exact_rows AS BIGINT) AS exact_rows,
        e.cms_estimate >= x.exact_rows AS is_overestimate
 FROM est e JOIN exact x ON x.partkey = e.partkey
-ORDER BY cms_estimate DESC, e.partkey ASC
+ORDER BY cms_estimate DESC NULLS LAST, e.partkey ASC NULLS FIRST
 LIMIT 20
 """,
 )
@@ -877,6 +877,8 @@ def topk_products_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderstatus") == "O") & F.col("l_partkey").isNotNull()
         )
         .select(F.col("l_partkey").alias("partkey"))
+        .cache()  # feeds three aggregations (counters, keys, exact) —
+        # without this the fact join executes three times per run
     )
 
     def bucket(key_col: str, d_col: str) -> F.Column:
@@ -925,6 +927,9 @@ def topk_products_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "is_overestimate"
             ),
         )
-        .orderBy(F.col("cms_estimate").desc(), F.col("partkey").asc())
+        .orderBy(
+            F.col("cms_estimate").desc_nulls_last(),
+            F.col("partkey").asc_nulls_first(),
+        )
         .limit(20)
     )

@@ -668,17 +668,21 @@ def parse_bmp_stats(media: DataFrame) -> DataFrame:
 WITH dims AS (
     SELECT doc_id, text,
            CAST(floor(sqrt(length(text))) AS BIGINT) AS w,
-           length(text) // CAST(floor(sqrt(length(text))) AS BIGINT) AS h
+           CASE WHEN length(text) = 0 THEN 0 ELSE
+               length(text) // CAST(floor(sqrt(length(text))) AS BIGINT)
+           END AS h
     FROM documents
 )
 SELECT doc_id,
        w AS img_w,
        h AS img_h,
        CAST(54 + ((3 * w + 3) // 4) * 4 * h AS BIGINT) AS file_size,
-       CAST(list_sum(list_transform(generate_series(1, CAST(w * h AS BIGINT)),
-                                    i -> ord(text[i]))) AS BIGINT)
+       CAST(COALESCE(list_sum(list_transform(
+                generate_series(1, CAST(w * h AS BIGINT)),
+                i -> ord(text[i]))), 0) AS BIGINT)
            AS pixel_sum,
-       CAST(ord(text[1]) AS BIGINT) AS top_left
+       CAST(CASE WHEN length(text) = 0 THEN 0 ELSE ord(text[1]) END
+            AS BIGINT) AS top_left
 FROM dims
 ORDER BY doc_id ASC
 """,
@@ -760,10 +764,10 @@ def png_encode_gray(raw: bytes) -> bytes:
     z = zlib.compress(bytes(scan), 6)
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
     png = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    # zlib.compress(b"") still emits the header/trailer, so z is never
+    # empty and every PNG carries >= 1 IDAT chunk.
     for i in range(0, len(z), PNG_IDAT_CHUNK):
         png += _png_chunk(b"IDAT", z[i : i + PNG_IDAT_CHUNK])
-    if not z:
-        png += _png_chunk(b"IDAT", b"")
     return png + _png_chunk(b"IEND", b"")
 
 

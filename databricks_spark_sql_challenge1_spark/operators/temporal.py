@@ -276,7 +276,7 @@ SELECT f.user_id,
        COUNT(f.v) AS n_observed,
        COUNT(*) - COUNT(f.v) AS n_filled,
        g.longest_gap_hours,
-       SUM(f.fv) AS ffill_sum_cents
+       CAST(SUM(f.fv) AS BIGINT) AS ffill_sum_cents
 FROM filled f JOIN gaps g ON g.user_id = f.user_id
 GROUP BY f.user_id, g.longest_gap_hours
 ORDER BY f.user_id ASC

@@ -57,10 +57,11 @@ def query(name: str, oracle: str | None = None):
 #   2. all 30 queries whose latest driver evidence is ROUND 4 — the whole
 #      events family, the 6 streaming rows-only re-runs, and the remaining
 #      dedup/docs/analytics stragglers (VERDICT r6 "Next round" #1);
-#   3. slack: 5 widget re-aggs + calendar_dim (r5 evidence, untouched
-#      code — keeps the no-evidence-older-than-two-rounds invariant).
-# After this round nothing keeps evidence older than r5 (the five
-# widget_month_* re-aggs ride r5 one more round); see QUERIES.md
+#   3. slack: calendar_dim only — the ten round-7 additions consumed
+#      every widget slot (the widgets share one untouched generator and
+#      stay locally sf0.01-oracle-checked; they lead the r8 backlog).
+# After this round nothing keeps evidence older than r5 (all ten
+# widget_* re-aggs ride r5 one more round); see QUERIES.md
 # §driver-window for the exact histogram.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # 0: new or changed this round (15)

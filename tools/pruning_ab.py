@@ -75,7 +75,13 @@ def main() -> None:
     import glob
 
     total_parts = len(glob.glob(f"{parted}/order_year=*/order_month=*"))
-    def scan_units(path):
+
+    def matched_files(path):
+        # files that still appear AFTER the filter — exact for the
+        # partitioned side (pruning removes whole directories before the
+        # scan). NOT a fair scan-cost metric for the plain side: a plain
+        # file with zero matching rows is still read (footer + stats +
+        # any surviving row groups) yet would vanish from this list.
         df = spark.read.parquet(path).where(
             (F.col("order_year") == 1998) & (F.col("order_month") == 1)
         )
@@ -85,8 +91,14 @@ def main() -> None:
         ]
         return len(files), sum(os.path.getsize(f) for f in files)
 
-    part_files, part_bytes = scan_units(parted)
-    plain_files, plain_bytes = scan_units(plain)
+    def layout_total(path):
+        files = glob.glob(f"{path}/**/*.parquet", recursive=True)
+        return len(files), sum(os.path.getsize(f) for f in files)
+
+    part_files, part_bytes = matched_files(parted)
+    # the plain scan must consider the whole layout (no partition dirs to
+    # drop); row-group stats skip ROWS inside files, not files
+    plain_files, plain_bytes = layout_total(plain)
     print(
         {
             "sf_dir": sf_dir,
