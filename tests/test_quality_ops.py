@@ -119,3 +119,30 @@ def test_simhash_adaptive_band_width_invariance(spark):
     )
     assert narrow == wide
     assert narrow, "fixture should produce near-dup pairs"
+
+
+def test_multimodal_oracles_guard_empty_documents():
+    """Fixtures have no empty documents, so pin the empty-payload guards
+    in the BMP / thumbnail / PNG / WAV oracles directly: each oracle must
+    run on a manufactured empty-text doc and produce the same zeros the
+    Spark kernels emit (round-7 review: the unguarded BMP oracle returned
+    NULLs via 0 // 0)."""
+    import duckdb
+
+    from databricks_spark_sql_challenge1_spark.registry import ORACLES
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT CAST(0 AS BIGINT) AS doc_id, "
+        "'' AS text, 'en' AS lang, 'web' AS source, CAST(0 AS BIGINT) AS n_chars"
+    )
+    bmp = con.sql(ORACLES["multimodal_bmp_parse"]).fetchall()
+    assert bmp == [(0, 0, 0, 54, 0, 0)], bmp
+    png = con.sql(ORACLES["multimodal_png_roundtrip"]).fetchall()
+    assert png == [(0, 32, 0, 0, 0, 0, 0)], png
+    wav = con.sql(ORACLES["multimodal_wav_parse"]).fetchall()
+    assert wav == [(0, 16000, 0, 36, 0, 0, 0)], wav
+    gif = con.sql(ORACLES["multimodal_gif_roundtrip"]).fetchall()
+    assert gif == [(0, 32, 0, 0, 0, 0, 0)], gif
+    thumb = con.sql(ORACLES["multimodal_image_thumbnail"]).fetchall()
+    assert all(v is not None for row in thumb for v in row), thumb
