@@ -47,3 +47,29 @@ def test_stress_fixture_invariants(tmp_path):
         FROM s JOIN o ON o.vec_id = s.vec_id + 1000
     """).fetchone()[0]
     assert drift < 1e-9
+
+
+def test_stress_fixture_events_replicated(tmp_path):
+    """Round-7: events are replicated into disjoint user/event key spaces
+    over the SAME time span — volume scales, per-user series shape does
+    not (the honest growth input for the event-time family)."""
+    src = "/root/testdata/sf0.001"
+    out = str(tmp_path / "k2e")
+    make_fixture(src, 2, out)
+    con = duckdb.connect()
+    n_src = con.sql(f"SELECT COUNT(*) FROM '{src}/events.parquet'").fetchone()[0]
+    n_out = con.sql(f"SELECT COUNT(*) FROM '{out}/events.parquet'").fetchone()[0]
+    assert n_out == 2 * n_src
+    dup = con.sql(
+        f"SELECT COUNT(*) - COUNT(DISTINCT event_id) FROM '{out}/events.parquet'"
+    ).fetchone()[0]
+    assert dup == 0
+    # user populations double; the time span is untouched
+    u_src, t0s, t1s = con.sql(
+        f"SELECT COUNT(DISTINCT user_id), MIN(ts), MAX(ts) FROM '{src}/events.parquet'"
+    ).fetchone()
+    u_out, t0o, t1o = con.sql(
+        f"SELECT COUNT(DISTINCT user_id), MIN(ts), MAX(ts) FROM '{out}/events.parquet'"
+    ).fetchone()
+    assert u_out == 2 * u_src
+    assert (t0o, t1o) == (t0s, t1s)

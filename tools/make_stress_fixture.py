@@ -12,7 +12,12 @@ rows would grow the *answer* quadratically and drown the plan signal):
   cross-replica candidates, exactly like K independent corpora;
 - embeddings: replica k cyclically shifts dimensions by 7k (mod dim), a
   norm-preserving decorrelation that keeps intra-replica geometry exact;
-- nation/region/events: copied as-is (dims; events not under stress here).
+- events: replica k offsets user_id and event_id into disjoint key spaces
+  (ts/value/props unchanged) — K independent user populations over the
+  SAME time span, so per-user series shape (spine width, session counts,
+  gap structure) stays constant while event volume scales, the honest
+  growth input for the event-time operator family;
+- nation/region: copied as-is (dims).
 
 Output is written to /tmp (never to /root/testdata). Usage:
     python tools/make_stress_fixture.py /root/testdata/sf0.1 4 /tmp/stress_4x
@@ -33,7 +38,7 @@ OFFSETS = {
     "customer": ("c_custkey",),
     "supplier": ("s_suppkey",),
 }
-COPY = ("nation", "region", "events")
+COPY = ("nation", "region")
 EMB_SHIFT = 7
 
 
@@ -117,9 +122,26 @@ def main(src: str, k: int, out: str) -> None:
         f"(FORMAT PARQUET)"
     )
 
+    # events: disjoint user/event key spaces per replica, time span shared
+    ne = con.sql(f"SELECT MAX(event_id) FROM '{src}/events.parquet'").fetchone()[0]
+    nu = con.sql(f"SELECT MAX(user_id) FROM '{src}/events.parquet'").fetchone()[0]
+    e_off = 10 ** len(str(int(ne)))
+    u_off = 10 ** len(str(int(nu)))
+    parts = [f"SELECT * FROM '{src}/events.parquet'"]
+    for r in range(1, k):
+        parts.append(
+            f"SELECT * REPLACE (event_id + {r * e_off} AS event_id, "
+            f"user_id + {r * u_off} AS user_id) "
+            f"FROM '{src}/events.parquet'"
+        )
+    con.sql(
+        f"COPY ({' UNION ALL '.join(parts)}) TO '{out}/events.parquet' "
+        f"(FORMAT PARQUET)"
+    )
+
     for t in COPY:
         shutil.copy(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
-    for t in list(OFFSETS) + ["documents", "embeddings"]:
+    for t in list(OFFSETS) + ["documents", "embeddings", "events"]:
         n = con.sql(f"SELECT COUNT(*) FROM '{out}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n} rows")
 
