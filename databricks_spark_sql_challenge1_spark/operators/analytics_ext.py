@@ -933,3 +933,109 @@ def topk_products_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+# K-minimum-values distinct-count sketch (round 7): completes the
+# portable-sketch trilogy (MinHash near-dup, count-min frequency, KMV
+# cardinality). Estimate = (K-1) * 2^32 intdiv m_K where m_K is the K-th
+# smallest 32-bit md5 hash of the distinct keys — pure integer
+# arithmetic, so both engines produce the IDENTICAL estimate and the
+# driver hash-checks the sketch itself (HLL `approx_topk_products` stays
+# rows-only: its register layout is JVM-internal).
+KMV_K = 64
+
+
+@query(
+    "distinct_orders_kmv",
+    oracle=f"""
+WITH keys AS (
+    SELECT DISTINCT o_orderstatus, o_orderkey FROM orders
+),
+hashed AS (
+    SELECT o_orderstatus,
+           CAST(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+                AS UBIGINT) AS BIGINT) AS h,
+           o_orderkey
+    FROM keys
+),
+ranked AS (
+    SELECT o_orderstatus, h,
+           ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                              ORDER BY h ASC, o_orderkey ASC) AS rn
+    FROM hashed
+),
+sk AS (
+    SELECT o_orderstatus,
+           COUNT(*) AS n_kept,
+           MAX(h) AS m_k
+    FROM ranked WHERE rn <= {KMV_K}
+    GROUP BY o_orderstatus
+),
+exact AS (
+    SELECT o_orderstatus, COUNT(DISTINCT o_orderkey) AS n_exact
+    FROM orders GROUP BY o_orderstatus
+)
+SELECT s.o_orderstatus,
+       x.n_exact,
+       CAST(CASE WHEN s.n_kept < {KMV_K} THEN x.n_exact
+                 ELSE ({KMV_K - 1} * 4294967296) // s.m_k
+            END AS BIGINT) AS kmv_estimate
+FROM sk s JOIN exact x ON x.o_orderstatus = s.o_orderstatus
+ORDER BY s.o_orderstatus ASC
+""",
+)
+def distinct_orders_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct order count per status by K-minimum-values sketch, next to
+    the exact count: keep the {KMV_K} smallest 32-bit md5 hashes of the
+    distinct keys, estimate = (K-1)·2^32 / m_K (integer division), fall
+    back to the exact count when the group has fewer than K keys. Every
+    number is md5-derived integer arithmetic, so the DuckDB oracle
+    reproduces the ESTIMATE itself — the portable, driver-verifiable
+    counterpart to the JVM-internal HLL sketch.
+
+    Scale shape: KMV is a fixed-K mergeable bottom-k — in Spark terms one
+    distinct (map-side combinable) plus a per-group bottom-K window whose
+    state is K rows per group; the exact count exists for verification
+    and error reporting, production ships only the K-row sketch per
+    shard. Accuracy floor pinned in tests (relative error ≤ 2/sqrt(K) on
+    the fixture groups).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.select("o_orderstatus", "o_orderkey").distinct()
+    hashed = keys.select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("h").asc(), F.col("o_orderkey").asc()
+    )
+    sk = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KMV_K)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("m_k"))
+    )
+    exact = orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_orderkey").alias("n_exact")
+    )
+    return (
+        sk.join(exact, "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            "n_exact",
+            F.when(F.col("n_kept") < KMV_K, F.col("n_exact"))
+            .otherwise(
+                F.expr(f"({KMV_K - 1} * 4294967296) div m_k")
+            )
+            .cast("bigint")
+            .alias("kmv_estimate"),
+        )
+        .orderBy(F.col("o_orderstatus").asc())
+    )

@@ -45,7 +45,8 @@ def query(name: str, oracle: str | None = None):
 # first 50 registered names). This list pins the window deliberately instead of
 # leaving it to import order. Round-7 window, in priority order:
 #   0. queries that are new or whose code/oracle changed this round: the
-#      ten round-7 additions (portable count-min heavy hitters, GIF/LZW
+#      eleven round-7 additions (portable KMV cardinality and count-min
+#      heavy-hitter sketches, GIF/LZW
 #      and PNG/DEFLATE codec round-trips, exact-interpolation and locf
 #      gap-fills, stateful gap monitor, adaptive-band SimHash, JL random
 #      projection, PII redaction, DQ audit), the WAV/BMP
@@ -57,14 +58,15 @@ def query(name: str, oracle: str | None = None):
 #   2. all 30 queries whose latest driver evidence is ROUND 4 — the whole
 #      events family, the 6 streaming rows-only re-runs, and the remaining
 #      dedup/docs/analytics stragglers (VERDICT r6 "Next round" #1);
-#   3. slack: calendar_dim only — the ten round-7 additions consumed
-#      every widget slot (the widgets share one untouched generator and
-#      stay locally sf0.01-oracle-checked; they lead the r8 backlog).
-# After this round nothing keeps evidence older than r5 (all ten
-# widget_* re-aggs ride r5 one more round); see QUERIES.md
-# §driver-window for the exact histogram.
+#   3. (no slack left) — the eleven round-7 additions consumed every
+#      widget slot and calendar_dim's; those untouched queries stay
+#      locally sf0.01-oracle-checked and lead the r8 rotation backlog.
+# After this round nothing keeps evidence older than r5 (the ten
+# widget_* re-aggs + calendar_dim ride r5 one more round); see
+# QUERIES.md §driver-window for the exact histogram.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # 0: new or changed this round (15)
+    # 0: new or changed this round (16)
+    "distinct_orders_kmv",  # new: portable KMV cardinality sketch
     "topk_products_cms",  # new: engine-portable count-min heavy hitters
     "multimodal_gif_roundtrip",  # new: real GIF87a/LZW encode+decode
     "events_gapfill_interp",  # new: exact linear-interpolation gapfill
@@ -117,13 +119,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "customer_value_deciles",
     "multimodal_frame_stats",
     "orders_unpivot_metrics",
-    # 3: slack — r5-evidence widgets + calendar_dim, untouched code (1).
-    # All ten widget_* re-aggs ride their r5 evidence one more round:
-    # the r7 window spent their slots on this round's ten NEW queries
-    # (they share one generator, dashboards.py, untouched since r5, and
-    # the full registry is still sf0.01-oracle-checked locally each
-    # round via tests/test_oracle_parity.py).
-    "calendar_dim",
+    # 3: slack — none left; the window is exactly 16 new/changed + 4
+    # similarity + 30 r4-stale. The ten widget_* re-aggs and calendar_dim
+    # ride their r5 evidence one more round (one shared generator,
+    # dashboards.py, untouched since r5; the full registry stays
+    # sf0.01-oracle-checked locally via tests/test_oracle_parity.py) and
+    # lead the r8 rotation backlog.
     # --- window boundary: 50 names above (tests/test_registry_order.py) ---
 )
 

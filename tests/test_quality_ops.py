@@ -146,3 +146,18 @@ def test_multimodal_oracles_guard_empty_documents():
     assert gif == [(0, 32, 0, 0, 0, 0, 0)], gif
     thumb = con.sql(ORACLES["multimodal_image_thumbnail"]).fetchall()
     assert all(v is not None for row in thumb for v in row), thumb
+
+
+def test_kmv_estimate_accuracy(spark):
+    """KMV relative error must stay within the standard 2/sqrt(K) bound
+    on every fixture group (the estimate itself is oracle-hash-checked;
+    this pins that the CONFIG is accurate enough to be useful)."""
+    from databricks_spark_sql_challenge1_spark.operators.analytics_ext import (
+        KMV_K,
+        distinct_orders_kmv,
+    )
+
+    bound = 2.0 / KMV_K**0.5
+    for r in distinct_orders_kmv(spark, SF_DIR).collect():
+        rel = abs(r["kmv_estimate"] - r["n_exact"]) / r["n_exact"]
+        assert rel <= bound, (r, rel, bound)

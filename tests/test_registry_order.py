@@ -20,6 +20,7 @@ DRIVER_WINDOW = 50
 # latest driver evidence is round 4 (VERDICT r6 "Next round" #1).
 MUST_VERIFY = {
     # new or changed this round
+    "distinct_orders_kmv",
     "topk_products_cms",
     "multimodal_gif_roundtrip",
     "events_gapfill_interp",
