@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from databricks_spark_sql_challenge1_spark.catalog import load_table
 from databricks_spark_sql_challenge1_spark.registry import query
@@ -1060,4 +1061,103 @@ def docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(clean).alias("clean_md5"),
         )
         .orderBy(F.col("doc_id").asc())
+    )
+
+
+@query(
+    "corpus_privacy_pipeline",
+    oracle=f"""
+WITH aug AS (
+    SELECT doc_id, lang, {_PII_AUG_SQL} AS t FROM documents
+),
+red AS (
+    SELECT doc_id, lang, t,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{PII_PHONE_RE}', '<PHONE>', 'g'),
+               '{PII_IP_RE}', '<IP>', 'g') AS clean,
+           CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}'))
+                + len(regexp_extract_all(t, '{PII_PHONE_RE}'))
+                + len(regexp_extract_all(t, '{PII_IP_RE}')) AS BIGINT)
+               AS pii_spans
+    FROM aug
+),
+ranked AS (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY md5(clean)
+                              ORDER BY doc_id ASC) AS rn
+    FROM red
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_survivors,
+       CAST(SUM(pii_spans) AS BIGINT) AS pii_spans,
+       CAST(SUM(length(t) - length(clean)) AS BIGINT) AS chars_delta,
+       CAST(SUM(CASE WHEN rn = 1 THEN length(clean) ELSE 0 END) AS BIGINT)
+           AS survivor_chars
+FROM ranked
+GROUP BY lang
+ORDER BY lang ASC
+""",
+)
+def corpus_privacy_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-aware corpus assembly, end to end in ONE declarative plan:
+    PII scrub (the ``docs_pii_redact`` stage) → exact dedup on the
+    REDACTED text (scrubbing first means two docs differing only in their
+    PII spans collapse to one survivor — the order production pipelines
+    use) → per-language privacy card (docs in, survivors kept, PII spans
+    removed, redaction byte delta, surviving corpus size). Companion to
+    ``corpus_dedup_pipeline``'s quality-gated assembly; the oracle chains
+    the SAME injection/redaction SQL fragments (one source of truth with
+    ``docs_pii_redact``).
+
+    Scale shape: narrow regex maps, ONE fingerprint shuffle (window on
+    md5(clean)), one per-lang aggregate — the same two-exchange profile as
+    the quality assembly, measured flat-to-linear for every stage family.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(_PII_AUG_SQL.replace("VARCHAR", "STRING")).alias("t"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_IP_RE,
+        "<IP>",
+    )
+    spans = (
+        F.size(F.regexp_extract_all("t", F.lit(PII_EMAIL_RE), 0))
+        + F.size(F.regexp_extract_all("t", F.lit(PII_PHONE_RE), 0))
+        + F.size(F.regexp_extract_all("t", F.lit(PII_IP_RE), 0))
+    ).cast("long")
+    red = aug.select(
+        "doc_id", "lang", "t", clean.alias("clean"), spans.alias("pii_spans")
+    )
+    w = Window.partitionBy(F.md5("clean")).orderBy(F.col("doc_id").asc())
+    ranked = red.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("rn") == 1).cast("long")).alias("n_survivors"),
+            F.sum("pii_spans").alias("pii_spans"),
+            F.sum(F.length("t") - F.length("clean"))
+            .cast("long")
+            .alias("chars_delta"),
+            F.sum(
+                F.when(F.col("rn") == 1, F.length("clean")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("survivor_chars"),
+        )
+        .orderBy(F.col("lang").asc())
     )

@@ -45,7 +45,8 @@ def query(name: str, oracle: str | None = None):
 # first 50 registered names). This list pins the window deliberately instead of
 # leaving it to import order. Round-7 window, in priority order:
 #   0. queries that are new or whose code/oracle changed this round: the
-#      eleven round-7 additions (portable KMV cardinality and count-min
+#      seventeen-entry head: the twelve round-7 additions (privacy
+#      assembly pipeline, portable KMV cardinality and count-min
 #      heavy-hitter sketches, GIF/LZW
 #      and PNG/DEFLATE codec round-trips, exact-interpolation and locf
 #      gap-fills, stateful gap monitor, adaptive-band SimHash, JL random
@@ -55,9 +56,13 @@ def query(name: str, oracle: str | None = None):
 #   1. the four similarity_* queries whose shared ``_pq_scored`` helper was
 #      refactored in r6 without window rotation (VERDICT r6 "What's wrong"
 #      #1 — closing the changed-query-rule slip);
-#   2. all 30 queries whose latest driver evidence is ROUND 4 — the whole
-#      events family, the 6 streaming rows-only re-runs, and the remaining
-#      dedup/docs/analytics stragglers (VERDICT r6 "Next round" #1);
+#   2. 29 of the 30 queries whose latest driver evidence is ROUND 4 — the
+#      whole events family, 5 of the 6 streaming rows-only re-runs, and
+#      the remaining dedup/docs/analytics stragglers (VERDICT r6 #1).
+#      streaming_nation_activity yielded its slot to the 17th round-7
+#      addition: a rows-only driver re-run is the weakest evidence class
+#      and that query is batch-pinned locally (test_streaming.py); it
+#      joins the widgets atop the r8 backlog;
 #   3. (no slack left) — the eleven round-7 additions consumed every
 #      widget slot and calendar_dim's; those untouched queries stay
 #      locally sf0.01-oracle-checked and lead the r8 rotation backlog.
@@ -65,7 +70,8 @@ def query(name: str, oracle: str | None = None):
 # widget_* re-aggs + calendar_dim ride r5 one more round); see
 # QUERIES.md §driver-window for the exact histogram.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # 0: new or changed this round (16)
+    # 0: new or changed this round (17)
+    "corpus_privacy_pipeline",  # new: PII-scrub -> redacted-dedup assembly
     "distinct_orders_kmv",  # new: portable KMV cardinality sketch
     "topk_products_cms",  # new: engine-portable count-min heavy hitters
     "multimodal_gif_roundtrip",  # new: real GIF87a/LZW encode+decode
@@ -104,7 +110,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_type_transitions",
     "streaming_click_attribution",
     "streaming_dedup_events",
-    "streaming_nation_activity",
     "streaming_session_30m",
     "streaming_tumbling_1h",
     "streaming_user_state",

@@ -20,6 +20,7 @@ DRIVER_WINDOW = 50
 # latest driver evidence is round 4 (VERDICT r6 "Next round" #1).
 MUST_VERIFY = {
     # new or changed this round
+    "corpus_privacy_pipeline",
     "distinct_orders_kmv",
     "topk_products_cms",
     "multimodal_gif_roundtrip",
@@ -57,7 +58,6 @@ MUST_VERIFY = {
     "events_type_transitions",
     "streaming_click_attribution",
     "streaming_dedup_events",
-    "streaming_nation_activity",
     "streaming_session_30m",
     "streaming_tumbling_1h",
     "streaming_user_state",
