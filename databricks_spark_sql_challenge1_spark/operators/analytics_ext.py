@@ -986,7 +986,7 @@ ORDER BY s.o_orderstatus ASC
 )
 def distinct_orders_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct order count per status by K-minimum-values sketch, next to
-    the exact count: keep the {KMV_K} smallest 32-bit md5 hashes of the
+    the exact count: keep the KMV_K (= 64) smallest 32-bit md5 hashes of the
     distinct keys, estimate = (K-1)·2^32 / m_K (integer division), fall
     back to the exact count when the group has fewer than K keys. Every
     number is md5-derived integer arithmetic, so the DuckDB oracle

@@ -978,6 +978,31 @@ PII_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 # deterministic PII-shaped spans onto a doc_id-keyed subset — the same
 # manufactured-input pattern the join-miss NULL queries use. Both engines
 # build the IDENTICAL augmented text, so redaction is tested non-vacuously.
+def _pii_red_sql(col: str) -> str:
+    """The redaction chain as a SQL fragment over `col` — the ONE source
+    of truth shared by docs_pii_redact and corpus_privacy_pipeline (both
+    engines; DuckDB needs the 'g' flag)."""
+    return (
+        f"regexp_replace(regexp_replace(regexp_replace({col}, "
+        f"'{PII_EMAIL_RE}', '<EMAIL>', 'g'), "
+        f"'{PII_PHONE_RE}', '<PHONE>', 'g'), "
+        f"'{PII_IP_RE}', '<IP>', 'g')"
+    )
+
+
+def _pii_clean(col: Column) -> Column:
+    """Spark-side twin of ``_pii_red_sql``."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_IP_RE,
+        "<IP>",
+    )
+
+
 _PII_AUG_SQL = """
     text
     || CASE WHEN doc_id % 3 = 0
@@ -1000,12 +1025,7 @@ WITH aug AS (
     SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents
 ),
 red AS (
-    SELECT doc_id, t,
-           regexp_replace(
-               regexp_replace(
-                   regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
-                   '{PII_PHONE_RE}', '<PHONE>', 'g'),
-               '{PII_IP_RE}', '<IP>', 'g') AS clean
+    SELECT doc_id, t, {_pii_red_sql("t")} AS clean
     FROM aug
 )
 SELECT doc_id,
@@ -1036,15 +1056,7 @@ def docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = docs.select(
         "doc_id", F.expr(_PII_AUG_SQL.replace("VARCHAR", "STRING")).alias("t")
     )
-    clean = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("t"), PII_EMAIL_RE, "<EMAIL>"),
-            PII_PHONE_RE,
-            "<PHONE>",
-        ),
-        PII_IP_RE,
-        "<IP>",
-    )
+    clean = _pii_clean(F.col("t"))
     return (
         aug.select(
             "doc_id",
@@ -1072,11 +1084,7 @@ WITH aug AS (
 ),
 red AS (
     SELECT doc_id, lang, t,
-           regexp_replace(
-               regexp_replace(
-                   regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
-                   '{PII_PHONE_RE}', '<PHONE>', 'g'),
-               '{PII_IP_RE}', '<IP>', 'g') AS clean,
+           {_pii_red_sql("t")} AS clean,
            CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}'))
                 + len(regexp_extract_all(t, '{PII_PHONE_RE}'))
                 + len(regexp_extract_all(t, '{PII_IP_RE}')) AS BIGINT)
@@ -1123,15 +1131,7 @@ def corpus_privacy_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.expr(_PII_AUG_SQL.replace("VARCHAR", "STRING")).alias("t"),
     )
-    clean = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("t"), PII_EMAIL_RE, "<EMAIL>"),
-            PII_PHONE_RE,
-            "<PHONE>",
-        ),
-        PII_IP_RE,
-        "<IP>",
-    )
+    clean = _pii_clean(F.col("t"))
     spans = (
         F.size(F.regexp_extract_all("t", F.lit(PII_EMAIL_RE), 0))
         + F.size(F.regexp_extract_all("t", F.lit(PII_PHONE_RE), 0))

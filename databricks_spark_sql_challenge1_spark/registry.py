@@ -63,12 +63,13 @@ def query(name: str, oracle: str | None = None):
 #      addition: a rows-only driver re-run is the weakest evidence class
 #      and that query is batch-pinned locally (test_streaming.py); it
 #      joins the widgets atop the r8 backlog;
-#   3. (no slack left) — the eleven round-7 additions consumed every
-#      widget slot and calendar_dim's; those untouched queries stay
-#      locally sf0.01-oracle-checked and lead the r8 rotation backlog.
-# After this round nothing keeps evidence older than r5 (the ten
-# widget_* re-aggs + calendar_dim ride r5 one more round); see
-# QUERIES.md §driver-window for the exact histogram.
+#   3. (no slack left) — the twelve round-7 additions consumed every
+#      widget slot, calendar_dim's, and one streaming re-run slot; those
+#      untouched queries stay locally sf0.01-oracle-checked and lead the
+#      r8 rotation backlog.
+# Post-r7 histogram: r7=50, r6=47, r5=40 (widgets + calendar_dim ride r5
+# one more round), r4=1 (streaming_nation_activity, rows-only,
+# batch-pinned locally); see QUERIES.md §driver-window.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # 0: new or changed this round (17)
     "corpus_privacy_pipeline",  # new: PII-scrub -> redacted-dedup assembly
@@ -124,8 +125,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "customer_value_deciles",
     "multimodal_frame_stats",
     "orders_unpivot_metrics",
-    # 3: slack — none left; the window is exactly 16 new/changed + 4
-    # similarity + 30 r4-stale. The ten widget_* re-aggs and calendar_dim
+    # 3: slack — none left; the window is exactly 17 new/changed + 4
+    # similarity + 29 r4-stale. The ten widget_* re-aggs and calendar_dim
     # ride their r5 evidence one more round (one shared generator,
     # dashboards.py, untouched since r5; the full registry stays
     # sf0.01-oracle-checked locally via tests/test_oracle_parity.py) and

@@ -73,3 +73,29 @@ def test_stress_fixture_events_replicated(tmp_path):
     ).fetchone()
     assert u_out == 2 * u_src
     assert (t0o, t1o) == (t0s, t1s)
+
+
+def test_stress_fixture_events_users_align_with_customers(tmp_path):
+    """user_id is a customer key: replica events must reference their OWN
+    replica's customers (round-7 review: an independent user_id offset put
+    replica-1 users inside the base customer range, silently crossing
+    replicas on the events->customer join)."""
+    src = "/root/testdata/sf0.001"
+    out = str(tmp_path / "k2u")
+    make_fixture(src, 2, out)
+    con = duckdb.connect()
+    orphans = con.sql(f"""
+        SELECT COUNT(*) FROM '{out}/events.parquet' e
+        WHERE NOT EXISTS (SELECT 1 FROM '{out}/customer.parquet' c
+                          WHERE c.c_custkey = e.user_id)
+    """).fetchone()[0]
+    assert orphans == 0
+    # replica-1 events must reference replica-1 customers, not base ones
+    c_off = con.sql(f"""
+        SELECT MIN(user_id) FROM '{out}/events.parquet'
+        WHERE event_id >= (SELECT MAX(event_id) FROM '{src}/events.parquet') + 1
+    """).fetchone()[0]
+    base_max = con.sql(
+        f"SELECT MAX(c_custkey) FROM '{src}/customer.parquet'"
+    ).fetchone()[0]
+    assert c_off > base_max

@@ -122,11 +122,15 @@ def main(src: str, k: int, out: str) -> None:
         f"(FORMAT PARQUET)"
     )
 
-    # events: disjoint user/event key spaces per replica, time span shared
+    # events: disjoint user/event key spaces per replica, time span shared.
+    # user_id is a customer key (events->customer joins on user_id =
+    # c_custkey), so it MUST use the customer offset — an independent
+    # 10^digits(max user_id) offset can land replica users inside the BASE
+    # customer range and silently cross replicas on that join (round-7
+    # review catch; pinned in test_stress_fixture.py).
     ne = con.sql(f"SELECT MAX(event_id) FROM '{src}/events.parquet'").fetchone()[0]
-    nu = con.sql(f"SELECT MAX(user_id) FROM '{src}/events.parquet'").fetchone()[0]
     e_off = 10 ** len(str(int(ne)))
-    u_off = 10 ** len(str(int(nu)))
+    u_off = key_offsets["customer"]
     parts = [f"SELECT * FROM '{src}/events.parquet'"]
     for r in range(1, k):
         parts.append(
