@@ -19,4 +19,7 @@ from databricks_spark_sql_challenge1_spark.operators import (  # noqa: F401
     traindata,
     windows,
 )
-from databricks_spark_sql_challenge1_spark.streaming import events_stream  # noqa: F401
+from databricks_spark_sql_challenge1_spark.streaming import (  # noqa: F401
+    events_stream,
+    parity,
+)

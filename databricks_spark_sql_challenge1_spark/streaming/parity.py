@@ -1,0 +1,358 @@
+"""Driver-verifiable batch parity for the streaming surface.
+
+The nine ``streaming_*`` queries are rows-only by design: a live stream has
+no DuckDB oracle. But the ``availableNow`` drain used throughout
+events_stream.py is Spark's batch-equivalent execution mode — the drained
+result of each stream IS the batch aggregate, which is SQL-expressible. Each
+``streaming_parity_*`` query below re-runs the stream pipeline (watermark,
+stateful operator, memory-sink drain — the real streaming machinery, not the
+batch twin) and registers the batch twin's DuckDB oracle against the drained
+output. A green hash row therefore certifies end-to-end that the streaming
+operator, its state handling, and its drain reproduce the declarative batch
+semantics — the strongest form of the batch-parity pin that previously lived
+only in tests/test_streaming.py (invisible to CORRECTNESS_r*.json).
+
+Alignment notes (CLAUDE.md rules):
+  - tumbling / session / nation reuse the batch twins' exact agg
+    expressions (COUNT + ROUND(SUM(value), 2)) so the oracle text is the
+    twins' oracle text — proven green since r4;
+  - the stateful-profile parity accumulates integer CENTS inside the
+    ``applyInPandasWithState`` state (per-row ROUND(value*100) computed
+    JVM-side before the stateful op) so cross-micro-batch float
+    accumulation order can never flip a rounding boundary;
+  - DuckDB SUM(BIGINT) widens to HUGEINT → CAST back to BIGINT.
+
+Reference: the original notebook has no streaming surface (SURVEY.md §2.10);
+this parity family is part of the extension streaming stack.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_spark_sql_challenge1_spark.catalog import load_table
+from databricks_spark_sql_challenge1_spark.registry import query
+from databricks_spark_sql_challenge1_spark.streaming.events_stream import (
+    _drain_to_memory,
+    _events_stream,
+)
+
+
+@query(
+    "streaming_parity_tumbling_1h",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(value) AS DOUBLE), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start ASC, event_type ASC
+""",
+)
+def streaming_parity_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drained tumbling-window stream vs the batch oracle: watermarked
+    1-hour event-time windows per event type, executed as a real stream
+    (window state + availableNow drain), hash-checked against
+    ``events_tumbling_1h``'s DuckDB oracle."""
+    stream = _events_stream(spark, sf_dir)
+    windowed = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _drain_to_memory(windowed, spark).orderBy("window_start", "event_type")
+
+
+@query(
+    "streaming_parity_session_30m",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, ts, value,
+           CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        >= INTERVAL '30 minutes'
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+sessions AS (
+    SELECT user_id, ts, value,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(value) AS DOUBLE), 2) AS sum_value
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id ASC, session_start ASC
+""",
+)
+def streaming_parity_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drained stateful session-window stream (30-minute gap, native
+    streaming session state under a watermark) hash-checked against
+    ``events_session_30m``'s gaps-and-islands DuckDB oracle."""
+    stream = _events_stream(spark, sf_dir)
+    windowed = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _drain_to_memory(windowed, spark).orderBy("user_id", "session_start")
+
+
+@query(
+    "streaming_parity_dedup",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_unique_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type ASC
+""",
+)
+def streaming_parity_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drained streaming dedup→aggregate chain (dropDuplicates state under
+    a watermark feeding a count) hash-checked against the batch
+    COUNT(DISTINCT) it must equal — a replayed event double-counts iff the
+    dedup state fails."""
+    stream = _events_stream(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique_users"))
+    )
+    return _drain_to_memory(deduped, spark).orderBy("event_type")
+
+
+@query(
+    "streaming_parity_user_state",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       MAX(ts) AS last_ts
+FROM events
+GROUP BY user_id
+ORDER BY user_id ASC
+""",
+)
+def streaming_parity_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator, exactly oracle-checkable: the
+    per-user running profile of ``streaming_user_state`` re-expressed with
+    INTEGER state (event count, value cents, last-seen µs) accumulated in
+    ``applyInPandasWithState`` across micro-batches. Cents are computed
+    JVM-side per row (ROUND(value*100) → BIGINT) before the stateful op, so
+    every accumulation is exact integer arithmetic and the drained profile
+    hash-matches the batch aggregate regardless of micro-batch order."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_cents", LongType()),
+            StructField("last_ts", TimestampType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("c", LongType()),
+            StructField("last_us", LongType()),
+        ]
+    )
+
+    def update(key, batches, state: GroupState):
+        n, c, last_us = state.get if state.exists else (0, 0, 0)
+        for pdf in batches:
+            n += len(pdf)
+            c += int(pdf["cents"].sum())
+            last_us = max(last_us, int(pdf["ts"].astype("int64").max()) // 1000)
+        state.update((n, c, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_cents": [c],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+            }
+        )
+
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    profiled = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        profiled.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode may emit one row per micro-batch per user; the final
+    # emission (max n_events) is the complete profile.
+    out = spark.table(name)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .drop("rk")
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "streaming_parity_click_attribution",
+    oracle="""
+SELECT p.user_id AS user_id,
+       p.ts AS purchase_ts,
+       c.ts AS click_ts,
+       ROUND(CAST(p.value AS DOUBLE), 2) AS purchase_value
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL '30 minutes'
+WHERE p.event_type = 'purchase'
+  AND c.event_type = 'click'
+ORDER BY user_id ASC, purchase_ts ASC, click_ts ASC
+""",
+)
+def streaming_parity_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drained stream-stream interval join (purchase ← preceding-30-minute
+    clicks, both sides buffered in watermark-bounded join state) hash-
+    checked against the identical batch interval join in DuckDB — append
+    mode emits each matched pair exactly once iff the join state is
+    correct."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "click_ts",
+        F.round(F.col("purchase_value"), 2).alias("purchase_value"),
+    )
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("user_id", "purchase_ts", "click_ts")
+
+
+@query(
+    "streaming_parity_nation_activity",
+    oracle="""
+SELECT date_trunc('hour', e.ts) AS window_start,
+       n.n_name AS nation,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(e.value) AS DOUBLE), 2) AS sum_value
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY 1, 2
+ORDER BY window_start ASC, nation ASC
+""",
+)
+def streaming_parity_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drained stream-static enrichment (events stream broadcast-joined to
+    the customer→nation dimension chain, then windowed per nation)
+    hash-checked against the identical batch join+window in DuckDB."""
+    stream = _events_stream(spark, sf_dir)
+    dims = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_nationkey")
+        .join(
+            load_table(spark, sf_dir, "nation").select(
+                F.col("n_nationkey").alias("c_nationkey"),
+                F.col("n_name").alias("nation"),
+            ),
+            "c_nationkey",
+        )
+        .select("user_id", "nation")
+    )
+    windowed = (
+        stream.withWatermark("ts", "1 hour")
+        .join(dims, "user_id")
+        .groupBy(F.window("ts", "1 hour"), "nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "nation",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _drain_to_memory(windowed, spark).orderBy("window_start", "nation")
