@@ -1056,6 +1056,17 @@ def gif_decode_stats(blob: bytes) -> dict:
     b = bytes(blob)
     if b[:6] != b"GIF87a":
         raise ValueError("bad GIF signature")
+
+    def at(i: int) -> int:
+        # every header/walk byte read goes through this guard so a
+        # truncated blob raises ValueError (carried by _parse's doc-id
+        # wrapper), never a bare IndexError (ADVICE r7)
+        if i >= len(b):
+            raise ValueError("truncated GIF")
+        return b[i]
+
+    if len(b) < 13:
+        raise ValueError("truncated GIF")
     sw, sh, flags, _, _ = struct.unpack_from("<HHBBB", b, 6)
     pos = 13
     if not flags & 0x80:
@@ -1065,23 +1076,27 @@ def gif_decode_stats(blob: bytes) -> dict:
     if gct != bytes(v for i in range(gct_n) for v in (i, i, i)):
         raise ValueError("global color table is not the gray ramp")
     pos += 3 * gct_n
-    if b[pos] != 0x2C:
+    if at(pos) != 0x2C:
         raise ValueError(f"expected image descriptor, got {b[pos]:#x}")
+    if pos + 10 > len(b):
+        raise ValueError("truncated GIF")
     _, _, w, h, iflags = struct.unpack_from("<HHHHB", b, pos + 1)
     if iflags:
         raise ValueError("local color table / interlace unsupported")
     pos += 10
-    min_code = b[pos]
+    min_code = at(pos)
     pos += 1
     z = bytearray()
     while True:
-        blen = b[pos]
+        blen = at(pos)
         pos += 1
         if blen == 0:
             break
+        if pos + blen > len(b):
+            raise ValueError("truncated GIF")
         z += b[pos : pos + blen]
         pos += blen
-    if b[pos] != 0x3B:
+    if at(pos) != 0x3B:
         raise ValueError("missing GIF trailer")
     px = np.frombuffer(_gif_lzw_decode(bytes(z), min_code), np.uint8)
     if len(px) != w * h:

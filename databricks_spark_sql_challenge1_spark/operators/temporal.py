@@ -242,7 +242,7 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH obs AS (
     SELECT user_id, date_trunc('hour', ts) AS hr,
-           CAST(ROUND(SUM(value) * 100) AS BIGINT) AS v
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
     FROM events GROUP BY user_id, date_trunc('hour', ts)
 ),
 span AS (
@@ -288,11 +288,12 @@ def events_gapfill_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     last observed hour, left-join the observed hourly averages, carry the
     last observation forward across the gaps, and report per-user fill
     statistics (spine size, observed/filled counts, longest gap run, sum
-    of the forward-filled series). The hourly metric is integer CENTS of
-    the hour's value sum — summing ~700 per-hour ROUNDed doubles would
-    amplify a single rounding-boundary flip into a visible 0.01 hash
-    mismatch (observed at sf0.001), so the series goes integer at the
-    hourly grain and every downstream sum is exact.
+    of the forward-filled series). The hourly metric is integer CENTS
+    accumulated at the ROW grain (each event's value rounded to cents
+    before any sum) — rounding a floating SUM whose addend order differs
+    between engines can flip a .5-cent boundary (observed at sf0.001;
+    ADVICE r7), so every aggregation at and above the hourly grain is
+    exact integer arithmetic.
 
     Spark has no gapfill built-in; the composition is `sequence(min_hr,
     max_hr, interval 1 hour)` + explode for the spine (computed from the
@@ -308,7 +309,7 @@ def events_gapfill_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     obs = ev.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("hr")
-    ).agg(F.round(F.sum("value") * 100, 0).cast("long").alias("v"))
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("v"))
     span = obs.groupBy("user_id").agg(
         F.min("hr").alias("h0"), F.max("hr").alias("h1")
     )
@@ -375,7 +376,7 @@ def _floor_div_sql(a: str, b: str, intdiv: str) -> str:
 _GAPFILL_INTERP_SQL = """
 WITH obs AS (
     SELECT user_id, date_trunc('hour', ts) AS hr,
-           CAST(ROUND(SUM(value) * 100) AS BIGINT) AS v
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
     FROM events GROUP BY user_id, date_trunc('hour', ts)
 ),
 span AS (

@@ -282,23 +282,49 @@ def test_gif_lzw_final_code_width_boundary():
     exactly on the LAST data code, the encoder's phantom registration must
     keep the EOI width in lockstep with the decoder (found on the sf0.1
     corpus, doc 264)."""
-    import duckdb
+    import os
 
     from databricks_spark_sql_challenge1_spark.operators.multimodal import (
         _gif_lzw_decode,
         _gif_lzw_encode,
     )
 
-    con = duckdb.connect()
-    (text,) = con.sql(
-        "SELECT text FROM '/root/testdata/sf0.1/documents.parquet' "
-        "WHERE doc_id = 264"
-    ).fetchone()
-    raw = text.encode()
-    assert _gif_lzw_decode(_gif_lzw_encode(raw)) == raw
+    # the original triggering payload came from the sf0.1 corpus (doc 264);
+    # re-check it only when that fixture exists — the deterministic boundary
+    # sweep below covers the regression regardless (ADVICE r7: no hard
+    # dependency on a regenerable fixture)
+    fixture = "/root/testdata/sf0.1/documents.parquet"
+    if os.path.exists(fixture):
+        import duckdb
+
+        con = duckdb.connect()
+        row = con.sql(
+            f"SELECT text FROM '{fixture}' WHERE doc_id = 264"
+        ).fetchone()
+        if row is not None:
+            raw = row[0].encode()
+            assert _gif_lzw_decode(_gif_lzw_encode(raw)) == raw
     # sweep lengths around every 2^k boundary region with a low-entropy
     # payload (dictionary grows fast) to keep hitting final-code edges
     base = (b"ab" * 4000)
     for n in range(500, 560):
         payload = base[:n]
         assert _gif_lzw_decode(_gif_lzw_encode(payload)) == payload
+
+
+def test_gif_decode_truncation_always_valueerror():
+    """Every truncation point of a valid GIF must raise ValueError (never a
+    bare IndexError escaping the doc-id-labelled _parse wrapper, which only
+    catches ValueError — ADVICE r7)."""
+    import pytest
+
+    from databricks_spark_sql_challenge1_spark.operators.multimodal import (
+        gif_decode_stats,
+        gif_encode_gray,
+    )
+
+    blob = gif_encode_gray(b"truncation sweep payload for the gif decoder")
+    assert gif_decode_stats(blob)["n_pixels"] > 0
+    for cut in range(len(blob)):
+        with pytest.raises(ValueError):
+            gif_decode_stats(blob[:cut])
