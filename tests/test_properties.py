@@ -328,3 +328,50 @@ def test_gif_decode_truncation_always_valueerror():
     for cut in range(len(blob)):
         with pytest.raises(ValueError):
             gif_decode_stats(blob[:cut])
+
+
+@given(st.binary(min_size=0, max_size=600))
+@settings(max_examples=100, deadline=None)
+def test_jpeg_roundtrip_arbitrary_bytes(payload):
+    """The baseline JPEG kernels must round-trip ANY byte string: the
+    entropy layer (Huffman, bit packing, stuffing, DC prediction, RLE) is
+    lossless — decoded quantized coefficients equal the encoder's exactly —
+    and pixel reconstruction stays inside the quantization error bound."""
+    import numpy as np
+
+    from databricks_spark_sql_challenge1_spark.operators.multimodal import (
+        JPEG_MAX_ABS_ERR,
+        JPEG_WIDTH,
+        _jpeg_quantize_blocks,
+        jpeg_decode_gray,
+        jpeg_encode_gray,
+    )
+
+    px, qb = jpeg_decode_gray(jpeg_encode_gray(payload))
+    n = len(payload)
+    true_h = max(1, (n + JPEG_WIDTH - 1) // JPEG_WIDTH)
+    pad_h = (true_h + 7) // 8 * 8
+    raster = np.zeros((pad_h, JPEG_WIDTH), np.uint8)
+    raster.reshape(-1)[:n] = np.frombuffer(payload, np.uint8)
+    assert np.array_equal(_jpeg_quantize_blocks(raster), qb)
+    assert px.shape == (true_h, JPEG_WIDTH)
+    err = np.abs(
+        px.astype(np.int64) - raster[:true_h, :].astype(np.int64)
+    ).max()
+    assert err <= JPEG_MAX_ABS_ERR, err
+
+
+def test_jpeg_decode_truncation_always_valueerror():
+    """Every truncation of a valid JPEG must raise ValueError (the _parse
+    wrapper catches only ValueError — same contract as the GIF decoder)."""
+    import pytest
+
+    from databricks_spark_sql_challenge1_spark.operators.multimodal import (
+        jpeg_decode_gray,
+        jpeg_encode_gray,
+    )
+
+    blob = jpeg_encode_gray(b"jpeg truncation sweep payload " * 4)
+    for cut in range(len(blob)):
+        with pytest.raises(ValueError):
+            jpeg_decode_gray(blob[:cut])
