@@ -14,64 +14,38 @@ from databricks_spark_sql_challenge1_spark.registry import (
 
 DRIVER_WINDOW = 50
 
-# Round-7 must-verify: everything new or whose code/oracle changed this
-# round, the four similarity_* queries whose shared helper changed in r6
-# without rotation (VERDICT r6 "What's wrong" #1), and the 30 queries whose
-# latest driver evidence is round 4 (VERDICT r6 "Next round" #1).
+# Round-8 must-verify: everything new or whose code/oracle changed this
+# round (streaming parity family, JPEG codec, integer-cents gapfills,
+# guarded fixed-band baselines, hardened GIF decoder), the last round-4
+# row, and the committed widget/calendar_dim r5 backlog (VERDICT r7 #3).
 MUST_VERIFY = {
     # new or changed this round
-    "corpus_privacy_pipeline",
-    "distinct_orders_kmv",
-    "topk_products_cms",
-    "multimodal_gif_roundtrip",
-    "events_gapfill_interp",
-    "streaming_gap_monitor",
-    "dedup_simhash_adaptive",
-    "embedding_random_projection",
+    "streaming_parity_tumbling_1h",
+    "streaming_parity_session_30m",
+    "streaming_parity_dedup",
+    "streaming_parity_user_state",
+    "streaming_parity_click_attribution",
+    "streaming_parity_nation_activity",
+    "multimodal_jpeg_roundtrip",
     "events_gapfill_stats",
-    "docs_pii_redact",
-    "orders_dq_audit",
-    "multimodal_png_roundtrip",
-    "multimodal_wav_parse",
-    "multimodal_bmp_parse",
-    "multimodal_image_thumbnail",
-    "embedding_quantize_int8",
-    "jsonl_roundtrip_checksum",
-    # _pq_scored helper refactored in r6 without rotation
-    "similarity_pq",
-    "similarity_ivfpq",
-    "similarity_topk",
-    "similarity_ivf",
-    # round-4-stale evidence refresh
-    "events_asof_join",
-    "events_funnel_conversion",
-    "events_hourly_anomaly",
-    "events_json_extract",
-    "events_json_schema",
-    "events_range_join",
-    "events_retention_cohorts",
-    "events_rolling_7d_value",
-    "events_session_30m",
-    "events_sliding_1h_30m",
-    "events_time_rollup",
-    "events_tumbling_1h",
-    "events_type_transitions",
-    "streaming_click_attribution",
-    "streaming_dedup_events",
-    "streaming_session_30m",
-    "streaming_tumbling_1h",
-    "streaming_user_state",
-    "dedup_cluster_components",
-    "dedup_semantic_ivf",
-    "dedup_simhash_pairs",
-    "docs_contamination_bloom",
-    "docs_perplexity_buckets",
-    "docs_quality_tiers",
-    "corpus_mixture_weights",
-    "cube_order_summary",
-    "customer_value_deciles",
-    "multimodal_frame_stats",
-    "orders_unpivot_metrics",
+    "events_gapfill_interp",
+    "dedup_simhash_wide_pairs",
+    "dedup_embedding_lsh",
+    "multimodal_gif_roundtrip",
+    # the last round-4 row (ADVICE r7 made this mandatory)
+    "streaming_nation_activity",
+    # the committed r5 backlog head
+    "widget_month_orders",
+    "widget_month_items",
+    "widget_month_totals",
+    "widget_month_value_orders",
+    "widget_month_value_items",
+    "widget_day_orders",
+    "widget_day_items",
+    "widget_day_peak",
+    "widget_day_value_orders",
+    "widget_day_value_items",
+    "calendar_dim",
 }
 
 
@@ -109,3 +83,41 @@ def test_boundary_comment_matches_actual_window():
 
 def ordered_queries_names():
     return list(ordered_queries())
+
+
+def test_no_evidence_older_than_two_rounds():
+    """ADVICE r7: assert a maximum evidence age so the rotation invariant
+    can't silently slip. Every registered query whose latest CORRECTNESS
+    row is two or more rounds old (or which has never had one, except
+    queries new THIS round) must be inside the upcoming driver window —
+    with a bounded allowance for deliberately parked names documented in
+    registry.py."""
+    import glob
+    import json
+    import os
+
+    latest = {}
+    max_round = 0
+    for f in sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r*.json"))):
+        rnd = int(os.path.basename(f)[13:15])
+        max_round = max(max_round, rnd)
+        for name in json.load(open(f)):
+            latest[name] = rnd
+    if not latest:
+        return  # fresh clone without driver artifacts
+    window = set(list(ordered_queries())[:DRIVER_WINDOW])
+    # names whose evidence would be MORE than two rounds old after the
+    # upcoming driver run (latest <= max_round - 2) that the window does
+    # not refresh
+    stale_unrefreshed = sorted(
+        n
+        for n in QUERIES
+        if latest.get(n, max_round) <= max_round - 2 and n not in window
+    )
+    # documented parking allowance: at most two rows-only queries may ride
+    # one extra round (see registry.py's window comment)
+    assert len(stale_unrefreshed) <= 2, stale_unrefreshed
+    for n in stale_unrefreshed:
+        assert n not in ORACLES, (
+            f"{n} is oracle-backed and stale but outside the window"
+        )
