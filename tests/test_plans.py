@@ -42,11 +42,6 @@ def test_column_pruning(spark):
     assert "l_extendedprice" not in joined and "o_totalprice" not in joined, schemas
 
 
-def test_no_cartesian_products(spark):
-    for q in (top_abandoned_products, top_abandoned_pairs, order_export_denorm):
-        df = q(spark, SF_DIR)
-        assert not has_cartesian(df), f"{q.__name__} degenerated:\n{simple_plan(df)}"
-
 
 def test_dim_joins_broadcast(spark):
     """nation (25 rows) must come in as a broadcast join, not a shuffle."""
@@ -108,41 +103,6 @@ def test_chunk_windows_is_narrow(spark):
     assert all("rangepartitioning" in ln for ln in exchanges), plan
 
 
-def test_incremental_dedup_no_cartesian(spark):
-    """The incoming-vs-existing check must be the band equi-join, never an
-    all-pairs degeneration."""
-    from databricks_spark_sql_challenge1_spark.operators.dedup import (
-        dedup_incremental,
-    )
-
-    df = dedup_incremental(spark, SF_DIR)
-    assert not has_cartesian(df), simple_plan(df)
-
-
-def test_round4_operators_no_cartesian_product(spark):
-    """Round-4 operators must never degenerate into a CartesianProduct.
-    (BroadcastNestedLoopJoin against broadcast-tiny centroid/query tables
-    is intended and allowed — see VERDICT r3 BNLJ audit — so this checks
-    the plan string directly instead of has_cartesian.)"""
-    from databricks_spark_sql_challenge1_spark.operators.dedup import (
-        dedup_simhash_pairs,
-    )
-    from databricks_spark_sql_challenge1_spark.operators.similarity import (
-        dedup_semantic_ivf,
-        embedding_kmeans_refine,
-    )
-    from databricks_spark_sql_challenge1_spark.operators.traindata import (
-        docs_contamination_bloom,
-    )
-
-    for q in (
-        dedup_semantic_ivf,
-        embedding_kmeans_refine,
-        docs_contamination_bloom,
-        dedup_simhash_pairs,
-    ):
-        plan = simple_plan(q(spark, SF_DIR))
-        assert "CartesianProduct" not in plan, f"{q.__name__}:\n{plan}"
 
 
 def test_bloom_bitmap_joins_as_broadcast(spark):
@@ -189,31 +149,6 @@ def test_round5_operators_plan_shapes(spark):
     nplan = simple_plan(nested)
     assert "Join" not in nplan and "CartesianProduct" not in nplan, nplan
 
-
-def test_round5_new_operators_no_cartesian(spark):
-    """corpus_dedup_pipeline, dedup_simhash_wide_pairs, similarity_ivfpq
-    and dedup_semantic_sqrtk must never degenerate into a CartesianProduct
-    (BNLJ against broadcast-tiny centroid/probe tables is allowed, as in
-    the round-4 audit)."""
-    from databricks_spark_sql_challenge1_spark.operators.dedup import (
-        dedup_simhash_wide_pairs,
-    )
-    from databricks_spark_sql_challenge1_spark.operators.similarity import (
-        dedup_semantic_sqrtk,
-        similarity_ivfpq,
-    )
-    from databricks_spark_sql_challenge1_spark.operators.traindata import (
-        corpus_dedup_pipeline,
-    )
-
-    for q in (
-        corpus_dedup_pipeline,
-        dedup_simhash_wide_pairs,
-        similarity_ivfpq,
-        dedup_semantic_sqrtk,
-    ):
-        plan = simple_plan(q(spark, SF_DIR))
-        assert "CartesianProduct" not in plan, f"{q.__name__}:\n{plan}"
 
 
 def test_round6_operators_plan_shapes(spark):
@@ -280,17 +215,6 @@ def test_multimodal_raw_kernels_are_narrow(spark):
         assert all("rangepartitioning" in ln for ln in exchanges), plan
 
 
-def test_embedding_clusters_no_cartesian(spark):
-    """The embedding keep-one pipeline (LSH pairs -> CC -> survivor) must
-    keep every join an equi-join — no cartesian anywhere in the composed
-    plan."""
-    from databricks_spark_sql_challenge1_spark.operators.clustering import (
-        dedup_embedding_clusters,
-    )
-
-    df = dedup_embedding_clusters(spark, SF_DIR)
-    assert not has_cartesian(df), simple_plan(df)
-
 
 def test_round7_operators_plan_shapes(spark):
     """Round-7 operators: the three corpus-scan-shaped queries (PII scrub,
@@ -321,3 +245,66 @@ def test_round7_operators_plan_shapes(spark):
     for q in (multimodal_png_roundtrip, events_gapfill_stats, orders_dq_audit):
         plan = simple_plan(q(spark, SF_DIR))
         assert "CartesianProduct" not in plan, f"{q.__name__}:\n{plan}"
+
+
+# --------------------------------------------------------------------------
+# Registry-wide plan-regression sweep (VERDICT r7 #4): every registered
+# query is plan-checked BY DEFAULT — no more per-round hand lists. The
+# targeted tests above remain as directed regressions for richer
+# invariants (pushdown, broadcast sides, narrowness, no-pair-reshuffle).
+# --------------------------------------------------------------------------
+
+import pytest
+
+import databricks_spark_sql_challenge1_spark.operators  # noqa: F401  (registers)
+from databricks_spark_sql_challenge1_spark.registry import QUERIES
+
+# BroadcastNestedLoopJoin is allowed ONLY where a prior-round audit showed
+# the nested-loop side is broadcast-tiny BY CONSTRUCTION (a 1-row scalar
+# aggregate spread via crossJoin, or a <= O(sqrt N)/fixed-K centroid /
+# probe-query table). Everything else must plan as equi/broadcast-hash
+# joins. A new registration that needs BNLJ must be audited and added here
+# with the same justification — the default is NO.
+BNLJ_ALLOWED = {
+    # 1-row scalar-aggregate spreads (crossJoin(broadcast(agg)) pattern;
+    # VERDICT r6/r7 anti-pattern audits: textstats/traindata scalar CTEs)
+    "count_distinct_orders",
+    "orders_dq_audit",
+    "copurchase_lift",
+    "corpus_mixture_weights",
+    "corpus_temperature_mixture",
+    "customer_rfm_segments",
+    "docs_lang_rebalance",
+    "docs_perplexity_buckets",
+    "docs_quality_tiers",
+    "text_tfidf_top_terms",
+    # broadcast-tiny centroid / probe-query tables (VERDICT r3 BNLJ audit:
+    # fixed-K probes and sqrt(N) centroids, deliberately nested-loop)
+    "embedding_kmeans_refine",
+    "similarity_ivf",
+    "similarity_ivfpq",
+    "similarity_topk",
+}
+
+# Streaming queries run a real stream to a memory sink; their returned
+# frame is a sink scan, so there is no logical plan to audit here (their
+# plan-relevant batch shapes are covered by the batch twins above and the
+# parity queries' oracles).
+_SWEEP_NAMES = sorted(n for n in QUERIES if not n.startswith("streaming_"))
+
+
+@pytest.mark.parametrize("name", _SWEEP_NAMES)
+def test_plan_sweep_no_cartesian_no_unaudited_bnlj(name, spark):
+    plan = simple_plan(QUERIES[name](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+    if name not in BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} plans an unaudited BroadcastNestedLoopJoin — if the "
+            f"nested-loop side is broadcast-tiny by construction, audit it "
+            f"and add it to BNLJ_ALLOWED:\n{plan}"
+        )
+
+
+def test_bnlj_allowlist_has_no_dead_names():
+    dead = BNLJ_ALLOWED - set(QUERIES)
+    assert not dead, f"allowlisted but not registered: {dead}"
