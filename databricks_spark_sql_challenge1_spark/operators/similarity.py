@@ -31,6 +31,31 @@ N_QUERIES = 10  # query set = vec_id < 10
 TOP_K = 5
 CENTROID_STRIDE = 50  # centroids = vec_id % 50 == 0  → 10 buckets at sf0.01
 
+# Stride-saturation guard (round 8): the fixture rule "every 50th vector
+# is a centroid / code vector" grows K linearly with N, so centroid
+# assignment and PQ encoding each do N·K = N²/50 distance folds — measured
+# quadratic, twice: similarity_pq_rerank's stride codebook at 3.2×/doubling
+# (r6 curve, fixed by the capped codebook), and similarity_ivfpq directly
+# at 2.15 s → 23.1 s → 103.9 s across 1×/4×/8× (r8 re-measure, closing
+# VERDICT r7 #6). The four stride-parameterized fixture baselines below
+# therefore guard their corpus size at the knee and raise toward the
+# committed scale configs — same pattern as the fixed-band dedup guards
+# (dedup.py): a copy-paste user cannot silently run a measured-quadratic
+# config at scale.
+STRIDE_SATURATION_VECS = 5_000
+
+
+def _guard_stride_corpus(n: int, name: str, scale_config: str) -> None:
+    if n > STRIDE_SATURATION_VECS:
+        raise ValueError(
+            f"{name}: corpus size {n} exceeds the stride-parameterized "
+            f"baseline's measured saturation knee ({STRIDE_SATURATION_VECS})"
+            " — the every-50th-vector centroid/codebook rule makes "
+            "assignment/encoding O(N^2/50) past it (SCALE.md r6/r8 curves)."
+            f" Use {scale_config}, whose index parameters follow a rule "
+            "that holds at scale."
+        )
+
 
 def _emb(spark, sf_dir) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings").select(
@@ -163,7 +188,9 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     low-cardinality key) instead of a full crossJoin — the plan that still
     works when N is 10^9.
     """
-    assigned = _ivf_assigned(_emb(spark, sf_dir))
+    e = _emb(spark, sf_dir)
+    _guard_stride_corpus(e.count(), "similarity_ivf", "dedup_semantic_ivf's sqrt-N sibling rule (dedup_semantic_sqrtk) or similarity_pq_rerank")
+    assigned = _ivf_assigned(e)
     q = assigned.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("qemb"),
@@ -285,6 +312,9 @@ def similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (mapPartitions over packed codes); the relational plan here keeps the
     identical algebra oracle-checkable.
     """
+    _guard_stride_corpus(
+        _emb(spark, sf_dir).count(), "similarity_pq", "similarity_pq_rerank"
+    )
     scored = _pq_scored(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("neighbor_id").asc()
@@ -447,6 +477,7 @@ def similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     real clustered embeddings the same plan is the FAISS IVF-PQ shape.
     """
     e = _emb(spark, sf_dir)
+    _guard_stride_corpus(e.count(), "similarity_ivfpq", "similarity_pq_rerank")
     assigned = _ivf_assigned(e).select("vec_id", "centroid_id")
     cent = e.where(F.col("vec_id") % CENTROID_STRIDE == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
@@ -683,6 +714,7 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     + recall floor).
     """
     e = _emb(spark, sf_dir)
+    _guard_stride_corpus(e.count(), "dedup_semantic_ivf", "dedup_semantic_sqrtk")
     cent = e.where(F.col("vec_id") % CENTROID_STRIDE == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
     )

@@ -493,3 +493,22 @@ def test_fixed_band_saturation_guards(spark, monkeypatch):
     monkeypatch.setattr(dedup, "EMB_LSH_SATURATION_VECS", 1)
     with pytest.raises(ValueError, match="dedup_embedding_lsh_adaptive"):
         dedup.dedup_embedding_lsh(spark, SF_DIR)
+
+
+def test_stride_saturation_guards(spark, monkeypatch):
+    """The four stride-parameterized fixture baselines refuse corpora past
+    the measured quadratic knee (SCALE.md r6/r8 curves) and direct the
+    caller to the committed scale configs."""
+    import pytest
+
+    from databricks_spark_sql_challenge1_spark.operators import similarity
+
+    monkeypatch.setattr(similarity, "STRIDE_SATURATION_VECS", 1)
+    for fn, repl in (
+        (similarity.similarity_pq, "similarity_pq_rerank"),
+        (similarity.similarity_ivf, "sqrt"),
+        (similarity.similarity_ivfpq, "similarity_pq_rerank"),
+        (similarity.dedup_semantic_ivf, "dedup_semantic_sqrtk"),
+    ):
+        with pytest.raises(ValueError, match=repl):
+            fn(spark, SF_DIR)
