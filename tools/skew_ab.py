@@ -11,7 +11,7 @@ then a global aggregate so the result is one row (identical under both
 configs; any divergence fails the run). Broadcast is disabled so the join
 is a genuine shuffled sort-merge join, the only shape the skew lever
 applies to. The AQE skew thresholds are lowered proportionally to the
-local fixture scale (a ~300 MB hot partition at 16× vs the 256 MB
+local fixture scale (a ~25 MB hot partition at 16× (column-pruned, compressed shuffle bytes) vs the 256 MB
 default knee it was designed for at cluster scale) — the A/B measures the
 MECHANISM; at 100 TB the defaults govern and the hot partition is tens of
 GB, far past the knee.
@@ -51,9 +51,10 @@ def main() -> None:
     # force the genuine shuffled sort-merge shape and scale the AQE skew
     # knee down to the local fixture (see module docstring)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8MB")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
     spark.conf.set(
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16MB"
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4MB"
     )
     spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
 
