@@ -11,9 +11,24 @@ SURVEY.md §2 for the operator inventory each query covers).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Python workers spawned by the JVM resolve module-level kernel functions
+# (codecs, parsers referenced from mapInPandas closures) by importing this
+# package — make the repo importable for them regardless of the harness's
+# cwd/sys.path by exporting it on PYTHONPATH before the first job launches
+# a worker (workers inherit the driver process environment).
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+if _REPO_DIR not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _REPO_DIR + os.pathsep + os.environ.get("PYTHONPATH", "")
+    ).rstrip(os.pathsep)
 
 
 def entry(spark: SparkSession) -> DataFrame:
