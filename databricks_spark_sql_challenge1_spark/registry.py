@@ -59,6 +59,14 @@ def query(name: str, oracle: str | None = None):
 #      round: approx_price_percentiles / approx_topk_products are
 #      rows-only JVM-sketch witnesses whose driver rows carry no hash
 #      either way (locally pinned in tests); they lead the r9 backlog.
+# Committed r9 window head (in this order, before any r9 additions):
+#   streaming_parity_gap_monitor + streaming_parity_incremental_dedup
+#   (registered late in r8 AFTER this window was sealed — both are
+#   oracle-backed and sf0.01-green locally, see streaming/parity.py),
+#   the four stride-guarded ANN baselines (similarity_pq, similarity_ivf,
+#   similarity_ivfpq, dedup_semantic_ivf — r8 guard change was
+#   raise-only, locally sf0.01-verified, documented above), then the
+#   parked approx_* pair and the r6-evidence rotation.
 # Post-r8 histogram (if the driver verifies this window): r8=50,
 # r7=47, r6=44, r5=2 (the parked approx_* rows-only pair);
 # tests/test_registry_order.py::test_no_evidence_older_than_two_rounds

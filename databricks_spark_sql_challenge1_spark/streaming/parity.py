@@ -356,3 +356,94 @@ def streaming_parity_nation_activity(spark: SparkSession, sf_dir: str) -> DataFr
         )
     )
     return _drain_to_memory(windowed, spark).orderBy("window_start", "nation")
+
+
+def _gap_monitor_oracle_sql() -> str:
+    from databricks_spark_sql_challenge1_spark.streaming.events_stream import (
+        GAP_ALERT_US,
+    )
+
+    return f"""
+WITH g AS (
+    SELECT user_id, ts,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+    FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(COALESCE(MAX(epoch_us(ts) - epoch_us(prev)), 0) AS BIGINT)
+           AS max_gap_us,
+       CAST(COALESCE(SUM(CASE WHEN epoch_us(ts) - epoch_us(prev)
+                                   > {GAP_ALERT_US} THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_gaps_over_1h
+FROM g
+GROUP BY user_id
+ORDER BY user_id ASC
+"""
+
+
+@query("streaming_parity_gap_monitor", oracle=_gap_monitor_oracle_sql())
+def streaming_parity_gap_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful gap/SLA monitor, hash-checked: its per-user metrics
+    (event count, max inter-event gap in µs, gaps over the 1-hour alert
+    threshold) are already exact integers carried in
+    ``applyInPandasWithState`` state, so the drained profile equals the
+    batch LAG() equivalent bit-for-bit — no diff column or rounding shim
+    needed. Registered in round 8 AFTER the driver window was sealed at 50
+    (see registry.py); leads the round-9 window with its sibling below;
+    until then its evidence is the local sf0.001/sf0.01 oracle parity run
+    every round by tests/test_oracle_parity.py."""
+    from databricks_spark_sql_challenge1_spark.streaming.events_stream import (
+        streaming_gap_monitor,
+    )
+
+    return streaming_gap_monitor(spark, sf_dir).orderBy("user_id")
+
+
+def _incremental_dedup_oracle_sql() -> str:
+    from databricks_spark_sql_challenge1_spark.operators.dedup import (
+        HAMMING_MAX,
+        INCREMENTAL_MOD,
+        _simhash_sql_duckdb,
+    )
+
+    sig = _simhash_sql_duckdb().replace("ORDER BY doc_id ASC", "")
+    return f"""
+WITH sig AS ({sig}),
+inc AS (SELECT * FROM sig WHERE doc_id % {INCREMENTAL_MOD} = 0),
+ex  AS (SELECT * FROM sig WHERE doc_id % {INCREMENTAL_MOD} <> 0)
+SELECT i.doc_id, CAST(COUNT(*) AS BIGINT) AS n_near_dups
+FROM inc i JOIN ex e
+  ON bit_count(xor(i.simhash, e.simhash)) <= {HAMMING_MAX}
+GROUP BY i.doc_id
+ORDER BY i.doc_id ASC
+"""
+
+
+@query(
+    "streaming_parity_incremental_dedup",
+    oracle=_incremental_dedup_oracle_sql(),
+)
+def streaming_parity_incremental_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming near-dup admission control, hash-checked against the
+    quadratic all-pairs oracle: the stream-side SimHash sign (pure
+    expression pipeline), band-exploded stream-static join against the
+    corpus band index, first-agreeing-band single emission, and streaming
+    count must together flag exactly the docs with an existing near-dup
+    (Hamming <= {h}) and count each neighbor exactly once — the band
+    blocking is complete for Hamming <= {h} by pigeonhole, so the drained
+    counts equal the oracle's brute-force join. Windowing note as in
+    ``streaming_parity_gap_monitor``: registered r8, windowed r9,
+    locally oracle-checked meanwhile."""
+    from databricks_spark_sql_challenge1_spark.streaming.events_stream import (
+        streaming_incremental_dedup,
+    )
+
+    return streaming_incremental_dedup(spark, sf_dir).orderBy("doc_id")
+
+
+streaming_parity_incremental_dedup.__doc__ = (
+    streaming_parity_incremental_dedup.__doc__.format(h=3)
+)
