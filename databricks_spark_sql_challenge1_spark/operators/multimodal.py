@@ -811,12 +811,16 @@ def png_decode_stats(blob: bytes) -> dict:
     idat = bytearray()
     while pos + 12 <= len(b):
         (clen,) = struct.unpack_from(">I", b, pos)
+        if pos + 12 + clen > len(b):
+            raise ValueError("truncated PNG chunk")
         ctype = b[pos + 4 : pos + 8]
         data = b[pos + 8 : pos + 8 + clen]
         (crc,) = struct.unpack_from(">I", b, pos + 8 + clen)
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"CRC mismatch in {ctype!r}")
         if ctype == b"IHDR":
+            if len(data) != 13:
+                raise ValueError("bad IHDR length")
             w, h, depth, ctype_id, _, _, ilace = struct.unpack(">IIBBBBB", data)
             if depth != 8 or ctype_id != 0 or ilace != 0:
                 raise ValueError("expected 8-bit gray non-interlaced")
@@ -827,7 +831,12 @@ def png_decode_stats(blob: bytes) -> dict:
         pos += 12 + clen
     if w is None:
         raise ValueError("missing IHDR")
-    scan = zlib.decompress(bytes(idat))
+    try:
+        scan = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG deflate stream: {exc}") from exc
+    if len(scan) != h * (w + 1):
+        raise ValueError("PNG scanline payload does not match IHDR dims")
     img = np.zeros((h, w), np.int64)
     prev = np.zeros(w, np.int64)
     sub_rows = 0

@@ -398,3 +398,29 @@ def test_jpeg_decode_corruption_always_valueerror():
             jpeg_decode_gray(bytes(b))
         except ValueError:
             pass
+
+
+def test_png_gif_decode_corruption_always_valueerror():
+    """Random corruptions and truncations of valid PNG/GIF blobs must
+    raise ValueError or decode — same contract as the JPEG fuzz."""
+    import random
+
+    from databricks_spark_sql_challenge1_spark.operators.multimodal import (
+        gif_decode_stats,
+        gif_encode_gray,
+        png_decode_stats,
+        png_encode_gray,
+    )
+
+    rng = random.Random(11)
+    for enc, dec in ((png_encode_gray, png_decode_stats),
+                     (gif_encode_gray, gif_decode_stats)):
+        blob = bytearray(enc(b"codec fuzz payload " * 5))
+        for _ in range(400):
+            b = bytearray(blob)
+            for _ in range(rng.randint(1, 3)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            try:
+                dec(bytes(b))
+            except ValueError:
+                pass
