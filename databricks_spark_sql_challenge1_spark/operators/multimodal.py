@@ -513,7 +513,11 @@ def parse_wav_stats(media: DataFrame) -> DataFrame:
                 while pos + 8 <= len(b):
                     cid, csize = struct.unpack_from("<4sI", b, pos)
                     body = b[pos + 8 : pos + 8 + csize]
+                    if len(body) < csize:
+                        raise ValueError(f"doc {doc_id}: truncated RIFF chunk")
                     if cid == b"fmt ":
+                        if len(body) < 8:
+                            raise ValueError(f"doc {doc_id}: short fmt chunk")
                         fmt_tag, channels, rate = struct.unpack_from(
                             "<HHI", body, 0
                         )
@@ -641,6 +645,8 @@ def parse_bmp_stats(media: DataFrame) -> DataFrame:
             rows = {k.name: [] for k in BMP_STATS_SCHEMA.fields}
             for doc_id, blob in zip(pdf["doc_id"], pdf["media_bytes"]):
                 b = bytes(blob)
+                if len(b) < 54:  # file header (14) + BITMAPINFOHEADER (40)
+                    raise ValueError(f"doc {doc_id}: truncated BMP")
                 magic, file_size, _, _, px_off = struct.unpack_from(
                     "<2sIHHI", b, 0
                 )
@@ -649,6 +655,8 @@ def parse_bmp_stats(media: DataFrame) -> DataFrame:
                 hdr_size, w, h, _, bpp = struct.unpack_from("<IiiHH", b, 14)
                 if hdr_size != 40 or bpp != 24:
                     raise ValueError("expected BITMAPINFOHEADER / 24 bpp")
+                if w < 0 or h < 0:
+                    raise ValueError(f"doc {doc_id}: negative BMP dims")
                 stride = (3 * w + 3) & ~3
                 arr = np.frombuffer(b, np.uint8, stride * h, px_off)
                 img = arr.reshape(h, stride)[::-1, : 3 * w : 3]  # un-pad,
