@@ -70,7 +70,7 @@ WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < {N_QUERIES}),
 scored AS (
     SELECT q.query_id, e.vec_id AS neighbor_id,
-           ROUND(list_cosine_similarity(q.qemb, e.emb), 6) AS sim
+           ROUND(list_cosine_similarity(q.qemb, e.emb), 6) + 0 AS sim
     FROM q JOIN e ON e.vec_id <> q.query_id
 )
 SELECT query_id, neighbor_id, sim
@@ -168,7 +168,7 @@ q AS (SELECT vec_id AS query_id, emb AS qemb, centroid_id AS qc
       FROM assigned WHERE vec_id < {N_QUERIES}),
 scored AS (
     SELECT q.query_id, a.vec_id AS neighbor_id,
-           ROUND(list_cosine_similarity(q.qemb, a.emb), 6) AS sim
+           ROUND(list_cosine_similarity(q.qemb, a.emb), 6) + 0 AS sim
     FROM q JOIN assigned a ON a.centroid_id = q.qc AND a.vec_id <> q.query_id
 )
 SELECT query_id, neighbor_id, sim
@@ -552,7 +552,7 @@ def similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_centroids",
     oracle="""
-SELECT label, CAST(i - 1 AS INTEGER) AS pos, ROUND(AVG(emb[i]), 6) AS centroid_val
+SELECT label, CAST(i - 1 AS INTEGER) AS pos, ROUND(AVG(emb[i]), 6) + 0 AS centroid_val
 FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
      unnest(generate_series(1, len(emb))) AS t(i)
 GROUP BY label, i
@@ -602,10 +602,13 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CAST(i - 1 AS INTEGER) AS pos,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(AVG(emb[i]), 4) AS mean_val,
+       -- + 0 maps -0.0 -> 0.0: DuckDB ROUND preserves the sign of a tiny
+       -- negative (ROUND(-1e-9, 4) = -0.0) while Spark's HALF_UP returns
+       -- +0.0 — hash-mismatch measured on dim 24 at sf0.1
+       ROUND(AVG(emb[i]), 4) + 0 AS mean_val,
        ROUND(stddev_pop(emb[i]), 4) AS std_val,
-       ROUND(MIN(emb[i]), 6) AS min_val,
-       ROUND(MAX(emb[i]), 6) AS max_val
+       ROUND(MIN(emb[i]), 6) + 0 AS min_val,
+       ROUND(MAX(emb[i]), 6) + 0 AS max_val
 FROM (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
      unnest(generate_series(1, len(emb))) AS t(i)
 GROUP BY i
@@ -926,7 +929,7 @@ def _km_oracle_sql(iters: int = KMEANS_ITERS) -> str:
     ctes.append(
         f"""mfin AS (
     SELECT a{last}.centroid_id, CAST(i - 1 AS INTEGER) AS pos,
-           ROUND(AVG(emb[i]), {KMEANS_ROUND}) AS centroid_val
+           ROUND(AVG(emb[i]), {KMEANS_ROUND}) + 0 AS centroid_val
     FROM a{last}, unnest(generate_series(1, {EMB_DIM})) AS t(i)
     GROUP BY a{last}.centroid_id, i
 )"""
@@ -1299,7 +1302,7 @@ SELECT vec_id,
            f'''ROUND(list_sum(list_transform(generate_series(1, {EMB_DIM}),
                d -> CAST(embedding[d] AS DOUBLE)
                     * {_rp_sign_sql(str(j), "d")}))
-               / sqrt({RP_OUT_DIMS}), 4) AS p{j}'''
+               / sqrt({RP_OUT_DIMS}), 4) + 0 AS p{j}'''
            for j in range(RP_OUT_DIMS)
        )}
 FROM embeddings

@@ -251,7 +251,7 @@ s AS (
 )
 SELECT h.event_type, h.hour,
        CAST(h.n AS BIGINT) AS n_events,
-       ROUND((h.n - s.mu) / s.sd, 3) AS zscore,
+       ROUND((h.n - s.mu) / s.sd, 3) + 0 AS zscore,
        ABS(ROUND((h.n - s.mu) / s.sd, 3)) >= {ANOMALY_Z} AS is_anomaly
 FROM h JOIN s ON s.event_type = h.event_type
 ORDER BY h.event_type ASC, h.hour ASC

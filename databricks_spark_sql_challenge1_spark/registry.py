@@ -65,8 +65,12 @@ def query(name: str, oracle: str | None = None):
 #   oracle-backed and sf0.01-green locally, see streaming/parity.py),
 #   the four stride-guarded ANN baselines (similarity_pq, similarity_ivf,
 #   similarity_ivfpq, dedup_semantic_ivf — r8 guard change was
-#   raise-only, locally sf0.01-verified, documented above), then the
-#   parked approx_* pair and the r6-evidence rotation.
+#   raise-only, locally sf0.01-verified, documented above),
+#   embedding_random_projection + events_hourly_anomaly (r8 oracle
+#   `+ 0` negative-zero immunization — value-identical at driver scale,
+#   locally sf0.01-green; the measured instance embedding_dim_stats and
+#   the other immunized queries already sit inside the r8 window), then
+#   the parked approx_* pair and the r6-evidence rotation.
 # Post-r8 histogram (if the driver verifies this window): r8=50,
 # r7=47, r6=44, r5=2 (the parked approx_* rows-only pair);
 # tests/test_registry_order.py::test_no_evidence_older_than_two_rounds

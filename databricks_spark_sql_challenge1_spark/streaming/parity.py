@@ -1,6 +1,6 @@
 """Driver-verifiable batch parity for the streaming surface.
 
-The nine ``streaming_*`` queries are rows-only by design: a live stream has
+The eight live ``streaming_*`` operators are rows-only by design: a live stream has
 no DuckDB oracle. But the ``availableNow`` drain used throughout
 events_stream.py is Spark's batch-equivalent execution mode — the drained
 result of each stream IS the batch aggregate, which is SQL-expressible. Each
