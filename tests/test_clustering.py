@@ -143,3 +143,52 @@ def test_lang_rebalance_targets(spark):
     # smallest language keeps everything (rate 1.0)
     smallest = min(totals, key=lambda k: totals[k])
     assert kept[smallest] == totals[smallest]
+
+
+def test_cluster_components_match_union_find_at_sf01(spark):
+    """The distributed CC labels on the REAL sf0.1 near-dup graph
+    (1.57 M edges, dense buckets — a shape the tiny random graphs in
+    test_properties.py can't produce) must equal a sequential union-find
+    over the same pair relation. This stands in for the DuckDB oracle at
+    sf0.1, whose recursive-CTE reachability is intractable on this graph
+    (see QUERIES.md §out-of-window sweep)."""
+    import os
+
+    import pytest
+
+    sf01 = "/root/testdata/sf0.1"
+    if not os.path.exists(os.path.join(sf01, "documents.parquet")):
+        pytest.skip("sf0.1 fixture not present")
+
+    from databricks_spark_sql_challenge1_spark.operators.clustering import (
+        dedup_cluster_components,
+    )
+    from databricks_spark_sql_challenge1_spark.operators.dedup import (
+        dedup_simhash_pairs,
+    )
+
+    pairs = [
+        (r["doc_1"], r["doc_2"])
+        for r in dedup_simhash_pairs(spark, sf01).collect()
+    ]
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_cluster_components(spark, sf01).collect()
+    }
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, list[int]] = {}
+    for d in labels:
+        comp.setdefault(find(d), []).append(d)
+    want = {d: min(ms) for ms in comp.values() for d in ms}
+    assert sum(1 for d in labels if labels[d] != want[d]) == 0
