@@ -44,7 +44,7 @@ def query(name: str, oracle: str | None = None):
 # empirically in rounds 1-7: each CORRECTNESS_r*.json has rows for exactly the
 # first 50 registered names). This list pins the window deliberately instead of
 # leaving it to import order. Round-8 window, in priority order:
-#   0. new or changed this round (12): the six streaming batch-parity
+#   0. new or changed this round (14): the eight streaming batch-parity
 #      queries (VERDICT r7 #1 — they convert the streaming class from
 #      rows-only to hash-checked), the baseline-JPEG codec witness
 #      (VERDICT r7 #5), the two gapfill queries whose cents now go
@@ -53,16 +53,18 @@ def query(name: str, oracle: str | None = None):
 #      GIF witness whose decoder grew truncation guards (ADVICE r7);
 #   1. streaming_nation_activity — the last round-4 row (VERDICT r7 #3
 #      and ADVICE r7 made this rotation mandatory);
-#   2. the round-5-evidence backlog (37): the ten widget_* re-aggs +
+#   2. the round-5-evidence backlog (35): the ten widget_* re-aggs +
 #      calendar_dim first (the exact list registry r7 committed to),
-#      then every other r5-evidence query. Two r5 names park one more
-#      round: approx_price_percentiles / approx_topk_products are
-#      rows-only JVM-sketch witnesses whose driver rows carry no hash
-#      either way (locally pinned in tests); they lead the r9 backlog.
+#      then every other r5-evidence query. Four r5 names park one more
+#      round — ALL rows-only, whose driver rows carry no hash either
+#      way: approx_price_percentiles / approx_topk_products (JVM-sketch,
+#      error/recall pinned in tests) and streaming_incremental_dedup /
+#      dedup_minhash_lsh (batch-pinned / recall-pinned locally;
+#      streaming_incremental_dedup's SEMANTICS are now hash-checked via
+#      streaming_parity_incremental_dedup in this window — strictly
+#      stronger evidence than its own rows-only re-run would be). All
+#      four lead the r9 backlog.
 # Committed r9 window head (in this order, before any r9 additions):
-#   streaming_parity_gap_monitor + streaming_parity_incremental_dedup
-#   (registered late in r8 AFTER this window was sealed — both are
-#   oracle-backed and sf0.01-green locally, see streaming/parity.py),
 #   the four stride-guarded ANN baselines (similarity_pq, similarity_ivf,
 #   similarity_ivfpq, dedup_semantic_ivf — r8 guard change was
 #   raise-only, locally sf0.01-verified, documented above),
@@ -70,9 +72,12 @@ def query(name: str, oracle: str | None = None):
 #   `+ 0` negative-zero immunization — value-identical at driver scale,
 #   locally sf0.01-green; the measured instance embedding_dim_stats and
 #   the other immunized queries already sit inside the r8 window), then
-#   the parked approx_* pair and the r6-evidence rotation.
+#   the parked rows-only quartet and the r6-evidence rotation (46 names
+#   — with the 10-slot head above that is 56 candidates for 50 slots, so
+#   ~6 of the most stable r6 names slip to r10; update the age test's
+#   allowance with the same documented-parking rule when that happens).
 # Post-r8 histogram (if the driver verifies this window): r8=50,
-# r7=47, r6=44, r5=2 (the parked approx_* rows-only pair);
+# r7=47, r6=44, r5=4 (the parked rows-only quartet above);
 # tests/test_registry_order.py::test_no_evidence_older_than_two_rounds
 # enforces the invariant from the CORRECTNESS files themselves.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -89,6 +94,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_simhash_wide_pairs",  # changed: saturation guard added (also r5-stale)
     "dedup_embedding_lsh",  # changed: saturation guard added
     "multimodal_gif_roundtrip",  # changed: truncation bounds-guards in decoder
+    "streaming_parity_gap_monitor",  # new: integer-exact stateful SLA monitor
+    "streaming_parity_incremental_dedup",  # new: stream-static SimHash admission
     # 1: the last round-4 row
     "streaming_nation_activity",
     # 2: round-5-evidence backlog (37 of 39; approx_* pair parks, r9 head)
@@ -109,7 +116,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_fingerprint",
     "dedup_incremental",
     "dedup_keep_best",
-    "dedup_minhash_lsh",
     "dedup_minhash_portable",
     "dedup_ngram_jaccard",
     "dedup_semantic_sqrtk",
@@ -125,7 +131,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "price_percentiles",
     "rollup_order_values",
     "set_ops_customers",
-    "streaming_incremental_dedup",
     "text_quality_stats",
     "text_simhash",
     "text_token_stats",

@@ -389,10 +389,7 @@ def streaming_parity_gap_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold) are already exact integers carried in
     ``applyInPandasWithState`` state, so the drained profile equals the
     batch LAG() equivalent bit-for-bit — no diff column or rounding shim
-    needed. Registered in round 8 AFTER the driver window was sealed at 50
-    (see registry.py); leads the round-9 window with its sibling below;
-    until then its evidence is the local sf0.001/sf0.01 oracle parity run
-    every round by tests/test_oracle_parity.py."""
+    needed."""
     from databricks_spark_sql_challenge1_spark.streaming.events_stream import (
         streaming_gap_monitor,
     )
@@ -434,9 +431,10 @@ def streaming_parity_incremental_dedup(
     count must together flag exactly the docs with an existing near-dup
     (Hamming <= {h}) and count each neighbor exactly once — the band
     blocking is complete for Hamming <= {h} by pigeonhole, so the drained
-    counts equal the oracle's brute-force join. Windowing note as in
-    ``streaming_parity_gap_monitor``: registered r8, windowed r9,
-    locally oracle-checked meanwhile."""
+    counts equal the oracle's brute-force join. This parity row is
+    strictly stronger evidence than ``streaming_incremental_dedup``'s own
+    rows-only driver re-run (same pipeline, hash-checked output), which
+    is why that name parks outside the window this round."""
     from databricks_spark_sql_challenge1_spark.streaming.events_stream import (
         streaming_incremental_dedup,
     )
