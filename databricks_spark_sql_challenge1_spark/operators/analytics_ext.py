@@ -148,11 +148,9 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_topk_products")  # rows-only: sketch results are engine-specific
-def approx_topk_products(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB variant of the flagship: HLL approx_count_distinct instead
-    of exact distinct (no expand, single-pass mergeable sketch). Accuracy
-    pinned by tests/test_skew.py-style tolerance in test_extensions."""
+def _approx_topk_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw HLL estimates per partkey (engine-specific values — accuracy
+    pinned in tests/test_extensions.py, not driver-hashable)."""
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     return (
@@ -164,18 +162,144 @@ def approx_topk_products(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "approx_abandoned_orders"
             )
         )
+    )
+
+
+@query(
+    "approx_topk_products",
+    oracle="""
+WITH exact AS (
+    SELECT l.l_partkey AS partkey,
+           COUNT(DISTINCT o.o_orderkey) AS abandoned_orders
+    FROM lineitem l RIGHT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'O'
+    GROUP BY l.l_partkey
+)
+SELECT partkey,
+       CAST(abandoned_orders AS BIGINT) AS abandoned_orders,
+       TRUE AS approx_ok
+FROM exact
+ORDER BY abandoned_orders DESC NULLS LAST, partkey ASC NULLS FIRST
+LIMIT 100
+""",
+)
+def approx_topk_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB variant of the flagship: HLL ``approx_count_distinct``
+    (rsd = 0.02) instead of exact distinct — no expand, single-pass
+    mergeable sketch. Bounds-check oracle (VERDICT r8 #4, the
+    `distinct_orders_kmv` pattern adapted to a JVM-internal sketch): the
+    HLL register values themselves are engine-specific, so instead of
+    hashing the estimate the query computes BOTH the sketch estimate and
+    the exact count in ONE groupBy pass and emits, per exact-top-100
+    partkey, the exact count plus ``approx_ok`` = |estimate − exact| ≤
+    max(2, 10% of exact) — 5 standard errors at rsd 0.02, the same bound
+    tests/test_extensions.py pins. DuckDB reproduces the exact side and
+    asserts the bound holds (TRUE): a broken sketch flips ``approx_ok``
+    to false and fails the driver hash. Production at 100 TB ships ONLY
+    the mergeable sketch; the exact twin exists to make the sketch
+    driver-falsifiable at verification scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    both = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "right")
+        .where(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.countDistinct("o_orderkey").alias("abandoned_orders"),
+            F.approx_count_distinct("o_orderkey", rsd=0.02).alias("approx_est"),
+        )
+    )
+    return (
+        both.select(
+            "partkey",
+            "abandoned_orders",
+            (
+                F.abs(F.col("approx_est") - F.col("abandoned_orders"))
+                <= F.greatest(
+                    F.lit(2.0), F.col("abandoned_orders") * F.lit(0.1)
+                )
+            ).alias("approx_ok"),
+        )
         .orderBy(
-            F.col("approx_abandoned_orders").desc(),
+            F.col("abandoned_orders").desc_nulls_last(),
             F.col("partkey").asc_nulls_first(),
         )
         .limit(100)
     )
 
 
-@query("approx_price_percentiles")  # rows-only: t-digest results engine-specific
+# Rank tolerance for the percentile-sketch bounds check: Spark's
+# approx_percentile at accuracy 10000 guarantees rank error <= n/10000;
+# 0.005 (0.5% of rank span) is 50x that guarantee yet still a genuine
+# property — a broken sketch lands far outside it.
+PCT_RANK_EPS = 0.005
+
+
+@query(
+    "approx_price_percentiles",
+    oracle="""
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+       ROUND(quantile_cont(o_totalprice, 0.99), 2) AS p99,
+       TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_p99
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus ASC
+""",
+)
 def approx_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-pass mergeable-sketch percentiles (approx_percentile) — what
-    replaces exact interpolation when the group is 10^11 rows."""
+    """Single-pass mergeable-sketch percentiles (``approx_percentile``,
+    accuracy 10000) — what replaces exact interpolation when the group is
+    10^11 rows. Bounds-check oracle (VERDICT r8 #4): the sketch's values
+    are engine-specific, so the query emits the EXACT percentiles (the
+    hashable payload, identical to `price_percentiles`) plus per-
+    percentile ``ok_*`` booleans asserting the sketch estimate lies
+    between the exact interpolated quantiles at p ± 0.005 rank — 50x the
+    sketch's guaranteed rank error, checked in-engine in the same
+    aggregation pass. DuckDB reproduces the exact side and asserts the
+    bound (TRUE); a drifting sketch flips a boolean and fails the driver
+    hash. Production ships only the mergeable sketch.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    eps = PCT_RANK_EPS
+    agg = orders.groupBy("o_orderstatus").agg(
+        F.expr(
+            "approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)"
+        ).alias("est"),
+        F.expr(
+            "percentile(o_totalprice, array(0.5, 0.9, 0.99))"
+        ).alias("exact"),
+        F.expr(
+            f"percentile(o_totalprice, array({0.5 - eps}, {0.9 - eps}, "
+            f"{0.99 - eps}))"
+        ).alias("lo"),
+        F.expr(
+            f"percentile(o_totalprice, array({0.5 + eps}, {0.9 + eps}, "
+            f"{0.99 + eps}))"
+        ).alias("hi"),
+    )
+
+    def ok(i: int) -> F.Column:
+        return (F.col("est")[i] >= F.col("lo")[i]) & (
+            F.col("est")[i] <= F.col("hi")[i]
+        )
+
+    return agg.select(
+        "o_orderstatus",
+        F.round(F.col("exact")[0], 2).alias("p50"),
+        F.round(F.col("exact")[1], 2).alias("p90"),
+        F.round(F.col("exact")[2], 2).alias("p99"),
+        ok(0).alias("ok_p50"),
+        ok(1).alias("ok_p90"),
+        ok(2).alias("ok_p99"),
+    ).orderBy(F.col("o_orderstatus").asc())
+
+
+def _approx_percentiles_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw t-digest estimates (engine-specific values — accuracy pinned in
+    tests/test_extensions.py, not driver-hashable)."""
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.groupBy("o_orderstatus")

@@ -7,6 +7,8 @@ from databricks_spark_sql_challenge1_spark.operators.abandonment import (
     top_abandoned_products,
 )
 from databricks_spark_sql_challenge1_spark.operators.analytics_ext import (
+    _approx_percentiles_raw,
+    _approx_topk_raw,
     approx_price_percentiles,
     approx_topk_products,
     price_percentiles,
@@ -21,7 +23,7 @@ def test_approx_topk_close_to_exact(spark):
     }
     approx = {
         r["partkey"]: r["approx_abandoned_orders"]
-        for r in approx_topk_products(spark, SF_DIR).collect()
+        for r in _approx_topk_raw(spark, SF_DIR).collect()
     }
     # top sets largely overlap and counts are within 10%
     overlap = set(exact) & set(approx)
@@ -30,15 +32,31 @@ def test_approx_topk_close_to_exact(spark):
         assert abs(approx[k] - exact[k]) <= max(2, 0.1 * exact[k])
 
 
+def test_approx_topk_bounds_check_holds_in_engine(spark):
+    """The registered bounds-check variant: every exact-top-100 row's
+    in-engine sketch-error verdict is true (what the DuckDB oracle
+    asserts via literal TRUE)."""
+    rows = approx_topk_products(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    assert all(r["approx_ok"] for r in rows)
+
+
 def test_approx_percentiles_close_to_exact(spark):
     exact = {r["o_orderstatus"]: (r["p50"], r["p90"], r["p99"])
              for r in price_percentiles(spark, SF_DIR).collect()}
     approx = {r["o_orderstatus"]: (r["p50"], r["p90"], r["p99"])
-              for r in approx_price_percentiles(spark, SF_DIR).collect()}
+              for r in _approx_percentiles_raw(spark, SF_DIR).collect()}
     assert exact.keys() == approx.keys()
     for k in exact:
         for e, a in zip(exact[k], approx[k]):
             assert abs(a - e) / e < 0.05
+
+
+def test_approx_percentiles_bounds_check_holds_in_engine(spark):
+    rows = approx_price_percentiles(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["ok_p50"] and r["ok_p90"] and r["ok_p99"], r
 
 
 def test_cosine_chunked_matches_broadcast(spark):
