@@ -231,13 +231,10 @@ ORDER BY doc_id ASC
 
 
 @query("text_simhash", oracle=_simhash_sql_duckdb())
-def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document 32-bit SimHash over distinct whitespace tokens.
-
-    Token hash = first 8 md5 hex chars as int (engine-portable); bit b of
-    the signature = sign of Σ ±1 over token-hash bit b. One explode + one
-    groupBy — a single shuffle on doc_id at any scale.
-    """
+def _text_simhash_unsorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``text_simhash`` without the presentation sort — the building-block
+    form for downstream joins/bands, where a global range-partitioning
+    sort before a shuffle is pure waste at scale."""
     docs = load_table(spark, sf_dir, "documents")
     toks = (
         docs.select(
@@ -248,10 +245,20 @@ def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
         )
     )
-    return (
-        toks.groupBy("doc_id")
-        .agg(F.expr(_simhash_exprs_spark()).alias("simhash"))
-        .orderBy(F.col("doc_id").asc())
+    return toks.groupBy("doc_id").agg(
+        F.expr(_simhash_exprs_spark()).alias("simhash")
+    )
+
+
+def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 32-bit SimHash over distinct whitespace tokens.
+
+    Token hash = first 8 md5 hex chars as int (engine-portable); bit b of
+    the signature = sign of Σ ±1 over token-hash bit b. One explode + one
+    groupBy — a single shuffle on doc_id at any scale.
+    """
+    return _text_simhash_unsorted(spark, sf_dir).orderBy(
+        F.col("doc_id").asc()
     )
 
 
@@ -511,14 +518,26 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     collide on a band, so the incremental check costs O(batch) shuffles,
     not O(corpus²). At 100 TB the existing side's band table is a
     precomputed, bucketed index the daily batch joins against.
+
+    Round-9 shape (VERDICT r8 #2): the ``doc_id % mod`` split pushes
+    below the simhash aggregation to the scan, so building the two sides
+    from the UNSORTED signature tokenizes each document exactly once
+    with no full-corpus cache — only the incoming 20% (consumed twice:
+    bands + the left-join back) is cached. Multi-band pair duplicates
+    are dropped by the per-row first-agreeing-band rule instead of a
+    post-join ``.distinct()``, removing a shuffle over the matched pair
+    set (the ``_simhash_true_pairs`` trick applied across the split).
     """
-    # cache: both the incoming and existing sides derive from this one
-    # aggregation — without it the tokenize+simhash pass runs twice
-    sig = text_simhash(spark, sf_dir).cache()
-    incoming = sig.where(F.col("doc_id") % INCREMENTAL_MOD == 0)
+    sig = _text_simhash_unsorted(spark, sf_dir)
+    incoming = sig.where(F.col("doc_id") % INCREMENTAL_MOD == 0).cache()
     existing = sig.where(F.col("doc_id") % INCREMENTAL_MOD != 0)
     i = _simhash_bands(incoming).alias("i")
     e = _simhash_bands(existing).alias("e")
+    n_bands = HAMMING_MAX + 1
+    band_width = SIMHASH_BITS // n_bands
+    first_band = _first_agreeing_band_sql(
+        "(i.simhash ^ e.simhash)", n_bands, band_width, (1 << band_width) - 1
+    )
     hits = (
         i.join(
             e,
@@ -526,9 +545,10 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("i.band_val") == F.col("e.band_val")),
         )
         .where(F.expr("bit_count(i.simhash ^ e.simhash)") <= HAMMING_MAX)
-        .select(F.col("i.doc_id").alias("doc_id"), F.col("e.doc_id").alias("ex_id"))
-        .distinct()  # a pair may collide on several bands
-        .groupBy("doc_id")
+        # each colliding (incoming, existing) pair counted exactly once:
+        # keep only the row whose band is the pair's first agreeing band
+        .where(F.col("i.band_id") == F.expr(first_band))
+        .groupBy(F.col("i.doc_id").alias("doc_id"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return (
