@@ -57,6 +57,35 @@ def test_delta_rewrite_is_idempotent(tmp_path):
     assert s.count(bench._DELTA_END) == 1
 
 
+def test_delta_adjudication_classes_contention_vs_code(tmp_path):
+    """Round 9 (VERDICT r8 #3): a slower flag whose fresh-subprocess
+    re-measure is back within the band is classed contention; one that
+    stays slow is classed a real code regression — no manual re-measure."""
+    notes = _notes(tmp_path)
+    prev = _detail({"cont": 2.0, "real": 2.0}, 0.5)
+    now = _detail({"cont": 5.0, "real": 5.0}, 0.5)
+    now["isolated"] = {"cont": 2.1, "real": 4.8}  # vs prev 2.0 each
+    bench._write_delta_table(now, prev, notes)
+    s = open(notes).read()
+    cont_row = [ln for ln in s.splitlines() if ln.startswith("| cont |")][0]
+    real_row = [ln for ln in s.splitlines() if ln.startswith("| real |")][0]
+    assert "contention (in-sweep)" in cont_row and "2.100" in cont_row
+    assert "slower (code" in real_row and "4.800" in real_row
+
+
+def test_adjudicate_flags_only_remeasures_slower(monkeypatch):
+    calls = []
+    monkeypatch.setattr(
+        bench, "_isolated_median", lambda name: calls.append(name) or 1.0
+    )
+    prev = _detail({"slow": 2.0, "fast": 2.0, "same": 2.0}, 0.5)
+    now = _detail({"slow": 5.0, "fast": 0.5, "same": 2.0}, 0.5)
+    out = bench._adjudicate_flags(now, prev)
+    assert calls == ["slow"]
+    assert out == {"slow": 1.0}
+    assert bench._adjudicate_flags(now, None) == {}
+
+
 def test_delta_degrades_gracefully(tmp_path):
     notes = _notes(tmp_path)
     # no previous detail / no calibration: no write, no crash
