@@ -403,12 +403,20 @@ EMB_LSH_SATURATION_VECS = 10_000
 
 
 def _guard_fixed_band_corpus(n: int, knee: int, name: str, adaptive: str) -> None:
+    """Raise-style saturation guard — kept ONLY for fixed-band baselines
+    whose output contract the adaptive sibling cannot reproduce (r9,
+    VERDICT r8 #5: `dedup_simhash_wide_pairs` emits exact Hamming over the
+    60-bit signature, while the adaptive sibling hams an 88-bit one — the
+    values differ, so silent delegation would change results). Variants
+    whose contract DOES match delegate instead (see `dedup_embedding_lsh`)."""
     if n > knee:
         raise ValueError(
             f"{name}: corpus size {n} exceeds the measured band-saturation "
             f"knee ({knee}) of this fixed-band baseline — candidate volume "
             f"goes quadratic past it (SCALE.md). Use {adaptive}, whose "
-            "band space adapts to corpus size and is measured flat 1x-16x."
+            "band space adapts to corpus size and is measured flat 1x-16x "
+            f"(not auto-delegated: {adaptive}'s signature width differs, "
+            "so its hamming values are a different exact relation)."
         )
 
 
@@ -984,19 +992,23 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes make even this "not SQL-expressible" op oracle-checkable: the
     matrix is baked into the DuckDB SQL as literals (_emb_lsh_oracle_sql).
 
-    Scale posture (r8): the 2⁶-value band space is fixed, and the round-5
-    growth curve measured it saturating (4.9×/doubling past ~10⁴
-    vectors) — so this baseline now guards its corpus size and raises
-    toward ``dedup_embedding_lsh_adaptive`` (count-derived band width,
-    measured flat 1×–16×) past the knee rather than going quadratic.
+    Scale posture (r9, VERDICT r8 #5): the 2⁶-value band space is fixed,
+    and the round-5 growth curve measured it saturating (4.9×/doubling
+    past ~10⁴ vectors) — past the knee this baseline now DELEGATES to
+    ``dedup_embedding_lsh_adaptive`` instead of raising. The contracts
+    match: both emit a recall-bounded subset of the exact cosine ≥
+    threshold pairs with identical columns and identical verify
+    arithmetic, and below the knee the adaptive clamp floor makes the two
+    bit-identical (pinned in tests/test_extensions.py) — so delegation
+    only ever swaps in a band space with BETTER collision behavior at a
+    size where the fixed config's own recall envelope was never
+    validated. (Contrast ``dedup_simhash_wide_pairs``, whose exact
+    60-bit-hamming contract the adaptive sibling cannot reproduce — it
+    keeps the raise.)
     """
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    _guard_fixed_band_corpus(
-        e.count(),
-        EMB_LSH_SATURATION_VECS,
-        "dedup_embedding_lsh",
-        "dedup_embedding_lsh_adaptive",
-    )
+    if e.count() > EMB_LSH_SATURATION_VECS:
+        return dedup_embedding_lsh_adaptive(spark, sf_dir)
     dim = len(e.select("embedding").head()[0])
     return _emb_lsh_pairs(spark, e, _lsh_planes(dim), EMB_LSH_BITS)
 

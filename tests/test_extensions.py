@@ -497,9 +497,12 @@ def test_ann_recall_floors(spark):
 
 
 def test_fixed_band_saturation_guards(spark, monkeypatch):
-    """The retained fixed-band baselines refuse corpora past their measured
-    saturation knees (VERDICT r7: candidate volume goes quadratic there)
-    and direct the caller to the adaptive siblings."""
+    """Past the measured saturation knees (candidate volume quadratic
+    there): the wide-simhash baseline still RAISES toward its adaptive
+    sibling, whose 88-bit hamming is a different exact relation; the
+    embedding LSH baseline DELEGATES to its adaptive sibling, whose
+    contract (recall-bounded subset at the same threshold, identical
+    columns) matches (r9, VERDICT r8 #5)."""
     import pytest
 
     from databricks_spark_sql_challenge1_spark.operators import dedup
@@ -509,8 +512,14 @@ def test_fixed_band_saturation_guards(spark, monkeypatch):
         dedup.dedup_simhash_wide_pairs(spark, SF_DIR)
 
     monkeypatch.setattr(dedup, "EMB_LSH_SATURATION_VECS", 1)
-    with pytest.raises(ValueError, match="dedup_embedding_lsh_adaptive"):
-        dedup.dedup_embedding_lsh(spark, SF_DIR)
+    delegated = {
+        tuple(r) for r in dedup.dedup_embedding_lsh(spark, SF_DIR).collect()
+    }
+    adaptive = {
+        tuple(r)
+        for r in dedup.dedup_embedding_lsh_adaptive(spark, SF_DIR).collect()
+    }
+    assert delegated == adaptive and len(delegated) > 0
 
 
 def test_stride_saturation_guards(spark, monkeypatch):
