@@ -159,6 +159,102 @@ def streaming_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tws_available() -> bool:
+    """``transformWithStateInPandas`` needs the ``protobuf`` Python package
+    for its state-server wire protocol (the streaming Python runner imports
+    ``pyspark.sql.streaming.proto.StateMessage_pb2``); absent in this
+    container — probed here so the capability gap is visible in-tree
+    (tests/test_streaming.py::test_streaming_user_state_tws)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def streaming_user_state_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``streaming_user_state`` on the Spark-4 ``transformWithStateInPandas``
+    API (typed state handles instead of a single state tuple schema) —
+    same per-user running profile, same output contract, so the batch
+    totals pin in tests applies verbatim. Unregistered: the container
+    lacks the protobuf dependency the TWS state server requires, so this
+    path cannot earn driver evidence here; the witness test skips with a
+    pinned reason and runs for real the moment the dependency appears.
+    """
+    if not tws_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the protobuf package "
+            "(pyspark.sql.streaming.proto.StateMessage_pb2) — not installed "
+            "in this container; use streaming_user_state "
+            "(applyInPandasWithState) instead"
+        )
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = (
+        "user_id long, n_events long, sum_value double, last_ts timestamp"
+    )
+
+    class UserProfile(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "profile", "n bigint, s double, last_us bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s, last_us = (
+                self._state.get() if self._state.exists() else (0, 0.0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+                last_us = max(
+                    last_us, int(pdf["ts"].astype("int64").max()) // 1000
+                )
+            self._state.update((n, s, last_us))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [round(s, 2)],
+                    "last_ts": [pd.Timestamp(last_us, unit="us")],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    stream = _events_stream(spark, sf_dir)
+    profiled = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserProfile(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        profiled.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+
 @query("streaming_session_30m")  # rows-only
 def streaming_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful session windows (30m gap) per user on the stream — Spark's
