@@ -1759,3 +1759,437 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(_roundtrip, JPEG_STATS_SCHEMA)
         .orderBy(F.col("doc_id").asc())
     )
+
+
+# --------------------------------------------------------------------------
+# FLAC (Free Lossless Audio Codec), from scratch — the FOURTH compressed
+# codec family (PNG/DEFLATE, GIF/LZW, JPEG/Huffman-DCT, now FLAC/Rice) and
+# the first compressed AUDIO one (the WAV witness is an uncompressed
+# container). Spec-layout subset: mono, 16-bit, fixed 256-sample blocks,
+# FIXED order-2 predictor subframes, 4-bit Rice residual coding, CRC-8
+# frame-header check, CRC-16 frame check, STREAMINFO MD5 over the decoded
+# PCM. Because FLAC is LOSSLESS, the round-trip is integer-exact end to
+# end: the oracle replays the PCM signal stats from the text payload
+# exactly as for WAV, and the three in-band integrity layers (CRC-8,
+# CRC-16, MD5) mean any single-bit defect in the bit packer, Rice coder,
+# predictor, or header arithmetic fails the whole query rather than
+# shifting a stat. Reference notebook has no codecs at all — this extends
+# the multimodal extension surface (SURVEY.md §2.10).
+# --------------------------------------------------------------------------
+
+FLAC_BLOCK = 256  # fixed block size (samples per frame; last may be short)
+FLAC_SAMPLE_RATE = 16000  # header code 0b0101 — same rate as the WAV witness
+FLAC_SUBSET_MOD = 4  # witness subset: doc_id % 4 == 2 (GIF %4==0, JPEG %4==1)
+
+
+def _crc_table(poly: int, width: int) -> list[int]:
+    mask, top = (1 << width) - 1, 1 << (width - 1)
+    table = []
+    for byte in range(256):
+        crc = byte << (width - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) if crc & top else (crc << 1)
+        table.append(crc & mask)
+    return table
+
+
+_FLAC_CRC8 = _crc_table(0x07, 8)  # x^8+x^2+x+1, init 0 (FLAC frame header)
+_FLAC_CRC16 = _crc_table(0x8005, 16)  # x^16+x^15+x^2+1, init 0 (FLAC frame)
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc = _FLAC_CRC8[crc ^ b]
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFF) ^ _FLAC_CRC16[(crc >> 8) ^ b]
+    return crc
+
+
+class _FlacBitWriter:
+    """MSB-first bit packer (FLAC bitstream order)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, bits: int) -> None:
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.nbits += bits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:  # bound per-call shift growth on pathological k
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)  # q zero bits then a one bit
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def getvalue(self) -> bytes:
+        assert self.nbits == 0, "unaligned bitstream"
+        return bytes(self.buf)
+
+
+class _FlacBitReader:
+    """MSB-first bit reader; every premature end raises ValueError."""
+
+    def __init__(self, data: bytes, pos_bytes: int = 0) -> None:
+        self.data = data
+        self.pos = pos_bytes * 8
+
+    def read(self, bits: int) -> int:
+        if self.pos + bits > len(self.data) * 8:
+            raise ValueError("bitstream truncated")
+        out = 0
+        for _ in range(bits):
+            byte = self.data[self.pos >> 3]
+            out = (out << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return out
+
+    def read_unary(self) -> int:
+        q = 0
+        while True:
+            if self.read(1):
+                return q
+            q += 1
+            if q > 1 << 20:
+                raise ValueError("unterminated unary run")
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+    def byte_pos(self) -> int:
+        assert self.pos % 8 == 0
+        return self.pos // 8
+
+
+def _flac_utf8_number(n: int) -> bytes:
+    """FLAC's UTF-8-style frame-number coding (subset: up to 16 bits)."""
+    if n < 0x80:
+        return bytes([n])
+    if n < 0x800:
+        return bytes([0xC0 | (n >> 6), 0x80 | (n & 0x3F)])
+    if n < 0x10000:
+        return bytes(
+            [0xE0 | (n >> 12), 0x80 | ((n >> 6) & 0x3F), 0x80 | (n & 0x3F)]
+        )
+    raise ValueError("frame number out of the supported range")
+
+
+def _flac_parse_utf8_number(b: bytes, pos: int) -> tuple[int, int]:
+    if pos >= len(b):
+        raise ValueError("truncated frame number")
+    lead = b[pos]
+    if lead < 0x80:
+        return lead, pos + 1
+    if lead >> 5 == 0b110:
+        n_cont, val = 1, lead & 0x1F
+    elif lead >> 4 == 0b1110:
+        n_cont, val = 2, lead & 0x0F
+    else:
+        raise ValueError("bad frame-number coding")
+    for i in range(1, n_cont + 1):
+        if pos + i >= len(b) or b[pos + i] >> 6 != 0b10:
+            raise ValueError("bad frame-number continuation byte")
+        val = (val << 6) | (b[pos + i] & 0x3F)
+    return val, pos + n_cont + 1
+
+
+def _rice_k(u: np.ndarray) -> int:
+    """Best 4-bit Rice parameter for zigzagged residuals: minimize
+    sum(u >> k) + n*(k+1) over k = 0..14."""
+    best_k, best_cost = 0, None
+    for k in range(15):
+        cost = int((u >> k).sum()) + len(u) * (k + 1)
+        if best_cost is None or cost < best_cost:
+            best_k, best_cost = k, cost
+    return best_k
+
+
+def flac_encode(raw: bytes) -> bytes:
+    """Encode bytes as a REAL FLAC stream (mono 16-bit, sample[i] =
+    (byte[i]-128)*256 — the same PCM transform as the WAV witness):
+    fLaC magic, STREAMINFO with the PCM MD5, then fixed-blocking frames
+    with FIXED order-2 predictor subframes and Rice-coded residuals."""
+    import hashlib
+    import struct
+
+    x = (np.frombuffer(raw, np.uint8).astype(np.int64) - 128) * 256
+    n = len(x)
+    md5 = hashlib.md5(x.astype("<i2").tobytes()).digest()
+
+    si = _FlacBitWriter()
+    si.write(FLAC_BLOCK, 16)  # min block size
+    si.write(FLAC_BLOCK, 16)  # max block size
+    si.write(0, 24)  # min frame size (0 = unknown, spec-legal)
+    si.write(0, 24)  # max frame size
+    si.write(FLAC_SAMPLE_RATE, 20)
+    si.write(0, 3)  # channels - 1
+    si.write(15, 5)  # bits per sample - 1
+    si.write(n, 36)  # total samples
+    streaminfo = si.getvalue() + md5
+    assert len(streaminfo) == 34
+    out = bytearray(b"fLaC")
+    out += struct.pack(">I", (1 << 31) | (0 << 24) | 34)[:4]  # last|type|len
+    out += streaminfo
+
+    for fi, start in enumerate(range(0, n, FLAC_BLOCK)):
+        block = x[start : start + FLAC_BLOCK]
+        bs = len(block)
+        hdr = bytearray()
+        w = _FlacBitWriter()
+        w.write(0b11111111111110, 14)  # sync
+        w.write(0, 1)  # reserved
+        w.write(0, 1)  # fixed blocking strategy
+        w.write(0b0111, 4)  # block size: 16-bit (bs-1) at header end
+        w.write(0b0101, 4)  # sample rate: 16 kHz
+        w.write(0b0000, 4)  # channels: mono
+        w.write(0b100, 3)  # sample size: 16 bit
+        w.write(0, 1)  # reserved
+        hdr += w.getvalue()
+        hdr += _flac_utf8_number(fi)
+        hdr += bytes([(bs - 1) >> 8, (bs - 1) & 0xFF])
+        hdr.append(_crc8(bytes(hdr)))
+
+        fw = _FlacBitWriter()
+        order = 2 if bs > 2 else 0
+        fw.write(0, 1)  # subframe padding bit
+        fw.write(0b001000 | order, 6)  # SUBFRAME_FIXED, order
+        fw.write(0, 1)  # no wasted bits
+        for s in block[:order]:
+            fw.write(int(s) & 0xFFFF, 16)  # warmup, 16-bit two's complement
+        if order == 2:
+            res = block[2:] - 2 * block[1:-1] + block[:-2]
+        else:
+            res = block
+        u = np.where(res >= 0, res << 1, (-res << 1) - 1).astype(np.int64)
+        fw.write(0b00, 2)  # residual method: 4-bit Rice
+        fw.write(0, 4)  # partition order 0
+        k = _rice_k(u) if len(u) else 0
+        fw.write(k, 4)
+        for v in u:
+            fw.write_unary(int(v) >> k)
+            if k:
+                fw.write(int(v), k)
+        fw.align()
+        frame = bytes(hdr) + fw.getvalue()
+        crc = _crc16(frame)
+        out += frame + bytes([crc >> 8, crc & 0xFF])
+    return bytes(out)
+
+
+def flac_decode_stats(blob: bytes) -> dict:
+    """REAL FLAC decoder for the encoder's subset, spec-checked at every
+    layer: magic + metadata walk, per-frame sync/CRC-8/CRC-16 validation,
+    Rice + fixed-predictor reconstruction, and the STREAMINFO MD5 check
+    over the full decoded PCM. Any corruption raises ValueError."""
+    import hashlib
+
+    b = bytes(blob)
+    if b[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    pos, streaminfo = 4, None
+    while True:
+        if pos + 4 > len(b):
+            raise ValueError("truncated metadata header")
+        last, btype = b[pos] >> 7, b[pos] & 0x7F
+        blen = int.from_bytes(b[pos + 1 : pos + 4], "big")
+        body = b[pos + 4 : pos + 4 + blen]
+        if len(body) < blen:
+            raise ValueError("truncated metadata block")
+        if btype == 0:
+            if blen != 34:
+                raise ValueError("bad STREAMINFO length")
+            streaminfo = body
+        pos += 4 + blen
+        if last:
+            break
+    if streaminfo is None:
+        raise ValueError("missing STREAMINFO")
+    r = _FlacBitReader(streaminfo)
+    min_bs, max_bs = r.read(16), r.read(16)
+    r.read(24), r.read(24)  # min/max frame size (unknown)
+    rate = r.read(20)
+    channels = r.read(3) + 1
+    bps = r.read(5) + 1
+    total = r.read(36)
+    md5_expect = streaminfo[18:34]
+    if (min_bs, max_bs, rate, channels, bps) != (
+        FLAC_BLOCK, FLAC_BLOCK, FLAC_SAMPLE_RATE, 1, 16
+    ):
+        raise ValueError("unsupported stream parameters")
+
+    samples: list[np.ndarray] = []
+    n_frames = 0
+    while pos < len(b):
+        frame_start = pos
+        if pos + 4 > len(b):
+            raise ValueError("truncated frame header")
+        if b[pos] != 0xFF or (b[pos + 1] >> 2) != 0b111110:
+            raise ValueError("bad frame sync")
+        if b[pos + 1] & 0b11 != 0b00:  # reserved + fixed blocking
+            raise ValueError("unsupported frame flags")
+        if b[pos + 2] != (0b0111 << 4 | 0b0101):
+            raise ValueError("unsupported blocksize/samplerate code")
+        if b[pos + 3] != (0b0000 << 4 | 0b100 << 1):
+            raise ValueError("unsupported channel/samplesize code")
+        fnum, pos = _flac_parse_utf8_number(b, pos + 4)
+        if fnum != n_frames:
+            raise ValueError("frame number out of sequence")
+        if pos + 3 > len(b):
+            raise ValueError("truncated frame header tail")
+        bs = (b[pos] << 8 | b[pos + 1]) + 1
+        pos += 2
+        if _crc8(b[frame_start:pos]) != b[pos]:
+            raise ValueError("frame header CRC-8 mismatch")
+        pos += 1
+        if not (0 < bs <= FLAC_BLOCK):
+            raise ValueError("bad block size")
+        fr = _FlacBitReader(b, pos)
+        if fr.read(1):
+            raise ValueError("bad subframe padding bit")
+        stype = fr.read(6)
+        if stype >> 3 != 0b001 or (stype & 0b111) not in (0, 2):
+            raise ValueError("unsupported subframe type")
+        order = stype & 0b111
+        if fr.read(1):
+            raise ValueError("wasted bits unsupported")
+        warm = []
+        for _ in range(order):
+            v = fr.read(16)
+            warm.append(v - 0x10000 if v & 0x8000 else v)
+        if fr.read(2) != 0b00:
+            raise ValueError("unsupported residual method")
+        if fr.read(4) != 0:
+            raise ValueError("unsupported partition order")
+        k = fr.read(4)
+        if k == 0b1111:
+            raise ValueError("rice escape code unsupported")
+        res = np.empty(bs - order, np.int64)
+        for i in range(bs - order):
+            q = fr.read_unary()
+            u = (q << k) | (fr.read(k) if k else 0)
+            res[i] = (u >> 1) ^ -(u & 1)  # un-zigzag
+        fr.align()
+        pos = fr.byte_pos()
+        if pos + 2 > len(b):
+            raise ValueError("truncated frame CRC-16")
+        if _crc16(b[frame_start:pos]) != (b[pos] << 8 | b[pos + 1]):
+            raise ValueError("frame CRC-16 mismatch")
+        pos += 2
+        block = np.empty(bs, np.int64)
+        block[:order] = warm
+        if order == 2:
+            for i in range(2, bs):
+                block[i] = res[i - 2] + 2 * block[i - 1] - block[i - 2]
+        else:
+            block[:] = res
+        if np.abs(block).max(initial=0) > 0x8000:
+            raise ValueError("decoded sample out of 16-bit range")
+        samples.append(block)
+        n_frames += 1
+
+    x = np.concatenate(samples) if samples else np.empty(0, np.int64)
+    if len(x) != total:
+        raise ValueError("decoded sample count != STREAMINFO total")
+    if hashlib.md5(x.astype("<i2").tobytes()).digest() != md5_expect:
+        raise ValueError("decoded PCM MD5 != STREAMINFO MD5")
+    return {
+        "n_samples": int(total),
+        "n_frames": n_frames,
+        "peak": int(np.abs(x).max()) if len(x) else 0,
+        "sample_sum": int(x.sum()),
+        "md5_ok": True,
+    }
+
+
+FLAC_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("peak", LongType()),
+        StructField("sample_sum", LongType()),
+        StructField("md5_ok", BooleanType()),
+    ]
+)
+
+
+@query(
+    "multimodal_flac_roundtrip",
+    oracle=f"""
+WITH c AS (
+    SELECT doc_id, length(text) AS n,
+           list_transform(generate_series(1, length(text)),
+                          i -> (ord(text[i]) - 128) * 256) AS x
+    FROM documents WHERE doc_id % {FLAC_SUBSET_MOD} = 2
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST((n + {FLAC_BLOCK - 1}) // {FLAC_BLOCK} AS BIGINT) AS n_frames,
+       CAST(COALESCE(list_max(list_transform(x, v -> abs(v))), 0)
+            AS BIGINT) AS peak,
+       CAST(COALESCE(list_sum(x), 0) AS BIGINT) AS sample_sum,
+       TRUE AS md5_ok
+FROM c
+ORDER BY doc_id ASC
+""",
+)
+def multimodal_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC round-trip, end to end REAL and LOSSLESS: encode each
+    document's PCM (the WAV witness transform) as a spec-layout FLAC
+    stream — STREAMINFO with the PCM MD5, fixed 256-sample frames, FIXED
+    order-2 predictor subframes, 4-bit Rice residuals, CRC-8 + CRC-16 —
+    then decode it back with a bit-level parser that validates every
+    layer and verifies the STREAMINFO MD5 over the reconstructed PCM.
+    The oracle replays the signal stats from the text payload and
+    asserts md5_ok: because the codec is lossless with three in-band
+    integrity checks, any single-bit defect in the Rice coder, the
+    predictor, the bit packer, or the header arithmetic turns into a
+    ValueError or a hash mismatch instead of a silently-wrong stat.
+
+    Scale shape: doc_id % {FLAC_SUBSET_MOD} == 2 subset (the GIF/JPEG
+    witnesses take the other residues), one Arrow-batched mapInPandas
+    kernel. The explicit repartition below is a small-file artifact: the
+    fixture's documents table is a single parquet split, which would pin
+    the (CPU-bound, per-sample bit-level) kernel to one core — one tiny
+    row-shuffle buys 32-way decode parallelism. At 100 TB the input is
+    thousands of splits and the repartition is a no-op to remove.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % FLAC_SUBSET_MOD == 2)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in FLAC_STATS_SCHEMA.fields}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                try:
+                    stats = flac_decode_stats(flac_encode(text.encode("utf-8")))
+                except ValueError as exc:
+                    raise ValueError(f"doc {doc_id}: {exc}") from exc
+                rows["doc_id"].append(doc_id)
+                for key, val in stats.items():
+                    rows[key].append(val)
+            yield pd.DataFrame(rows)
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(_roundtrip, FLAC_STATS_SCHEMA)
+        .orderBy(F.col("doc_id").asc())
+    )

@@ -52,13 +52,17 @@ def query(name: str, oracle: str | None = None):
 #      `+ 0` negative-zero immunization in r8 but missed the r8 window —
 #      ADVICE r8; note the r8 comment here previously mis-described the
 #      similarity_ivf/similarity_topk changes as raise-only guards: both
-#      also had oracle `+ 0` edits), and the approx sketch pair
-#      approx_price_percentiles / approx_topk_products, which this round
-#      gain bounds-check oracles (VERDICT r8 #4: estimate-vs-exact bound
-#      verified in-engine, exact side reproduced by DuckDB — the
-#      `distinct_orders_kmv` pattern) and so leave the rows-only class,
-#      plus dedup_incremental (r9 perf fix of the measured 1.6x
-#      regression, VERDICT r8 #2 — output hash-identical, re-proven here).
+#      also had oracle `+ 0` edits), multimodal_flac_roundtrip (NEW r9 —
+#      from-scratch FLAC codec witness, VERDICT r8 #6), and the approx
+#      sketch pair approx_price_percentiles / approx_topk_products, which
+#      this round gain bounds-check oracles (VERDICT r8 #4:
+#      estimate-vs-exact bound verified in-engine, exact side reproduced
+#      by DuckDB — the `distinct_orders_kmv` pattern) and so leave the
+#      rows-only class. dedup_incremental's r9 perf fix (VERDICT r8 #2)
+#      lost its head slot to the new codec witness: the fix is
+#      hash-identical to the oracle at sf0.001/0.01/0.1 (re-proven this
+#      round, BENCH_NOTES r9), its r8 driver row stands, and it leads
+#      NEXT_WINDOW below.
 #   1. the complete r6-evidence cohort (46): every oracle-backed query
 #      whose latest CORRECTNESS row is round 6 — after this round's run
 #      no oracle-backed name has evidence older than two rounds.
@@ -88,9 +92,9 @@ def query(name: str, oracle: str | None = None):
 DRIVER_PRIORITY: tuple[str, ...] = (
     # 0: new or changed this round (4)
     "similarity_topk",  # changed r8: oracle `+ 0` immunization (ADVICE r8)
+    "multimodal_flac_roundtrip",  # NEW r9: from-scratch FLAC codec (VERDICT r8 #6)
     "approx_price_percentiles",  # changed r9: bounds-check oracle (VERDICT r8 #4)
     "approx_topk_products",  # changed r9: bounds-check oracle (VERDICT r8 #4)
-    "dedup_incremental",  # changed r9: perf fix, hash-identical (VERDICT r8 #2)
     # 1: the complete r6-evidence cohort (46)
     "valid_orders",
     "clean_orders",
@@ -149,6 +153,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # the most stable tail names to r11 (the r8 cohort's round).
 NEXT_WINDOW: tuple[str, ...] = (
     # changed r9 without an r9 window slot (see triage note above)
+    "dedup_incremental",
     "dedup_simhash_wide_pairs",
     "dedup_embedding_lsh",
     "similarity_pq",

@@ -424,3 +424,57 @@ def test_png_gif_decode_corruption_always_valueerror():
                 dec(bytes(b))
             except ValueError:
                 pass
+
+
+def test_flac_decode_corruption_always_valueerror():
+    """Random corruptions and every truncation of a valid FLAC stream must
+    raise ValueError or decode — same contract as the other codec fuzzes.
+    A corruption that still decodes must be one the three integrity
+    layers genuinely cannot see (CRC-8/CRC-16 are 8/16-bit checks), so
+    the decoded stats must still pass the MD5 gate by construction."""
+    import random
+
+    import pytest
+
+    from databricks_spark_sql_challenge1_spark.operators.multimodal import (
+        flac_decode_stats,
+        flac_encode,
+    )
+
+    blob = bytes(flac_encode(b"flac corruption fuzz payload " * 12))
+    for cut in range(len(blob)):
+        with pytest.raises(ValueError):
+            flac_decode_stats(blob[:cut])
+    rng = random.Random(13)
+    for _ in range(600):
+        b = bytearray(blob)
+        for _ in range(rng.randint(1, 3)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            flac_decode_stats(bytes(b))
+        except ValueError:
+            pass
+
+
+def test_flac_roundtrip_is_lossless_on_random_payloads():
+    """Property: decode(encode(payload)) reproduces the exact PCM stats
+    for arbitrary byte payloads (not just fixture ASCII), across block
+    boundaries (n = 255, 256, 257) and degenerate lengths."""
+    import random
+
+    from databricks_spark_sql_challenge1_spark.operators.multimodal import (
+        flac_decode_stats,
+        flac_encode,
+    )
+
+    rng = random.Random(17)
+    lengths = [1, 2, 3, 255, 256, 257, 512, 1000]
+    for n in lengths:
+        raw = bytes(rng.randrange(256) for _ in range(n))
+        x = [(v - 128) * 256 for v in raw]
+        stats = flac_decode_stats(flac_encode(raw))
+        assert stats["n_samples"] == n
+        assert stats["n_frames"] == (n + 255) // 256
+        assert stats["peak"] == max(abs(v) for v in x)
+        assert stats["sample_sum"] == sum(x)
+        assert stats["md5_ok"]
