@@ -12,6 +12,7 @@ from databricks_spark_sql_challenge1_spark.operators import (  # noqa: F401
     launch,
     marts,
     multimodal,
+    retrieval,
     similarity,
     states,
     temporal,

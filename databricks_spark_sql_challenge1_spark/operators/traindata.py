@@ -856,3 +856,79 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("lang").asc())
     )
+
+
+# --- weighted reservoir sample (Efraimidis–Spirakis A-ES) -------------------
+# One-pass weighted sampling without replacement: each item gets key
+# u^(1/w) for u ~ U(0,1); the k largest keys ARE a weighted sample
+# (Efraimidis & Spirakis 2006, "Weighted random sampling with a
+# reservoir"). u comes from an engine-portable md5 slice so the "random"
+# draw is a pure function of doc_id — reproducible bit-for-bit in DuckDB
+# and stable under re-partitioning. We compare in log space
+# (ln(u)/w, monotone in u^(1/w)) to avoid pow() underflow at large w.
+WRS_SAMPLE_K = 25
+_WRS_TWO_52 = float(1 << 52)
+# shared arithmetic template — identical text on both engines so the FP
+# evaluation order matches exactly (h = 52-bit md5 slice, w = n_chars)
+_WRS_KEY_SQL = f"ln((h + 0.5) / {_WRS_TWO_52!r}) * 1000000.0 / w"
+
+
+@query(
+    "docs_weighted_sample",
+    oracle=f"""
+WITH hw AS (
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS w,
+           CAST(CAST('0x' || substr(md5('wrs|' || CAST(doc_id AS VARCHAR)), 1, 13)
+                AS UBIGINT) AS BIGINT) AS h
+    FROM documents
+)
+SELECT doc_id, lang, w AS weight, ROUND({_WRS_KEY_SQL}, 4) + 0 AS sample_key_e6
+FROM hw
+ORDER BY {_WRS_KEY_SQL} DESC, doc_id ASC
+LIMIT {WRS_SAMPLE_K}
+""",
+)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sample (k=25, weight = n_chars) via the A-ES
+    key construction — longer documents are proportionally likelier to be
+    drawn, membership is a deterministic function of doc_id alone.
+
+    Scale shape: the key is computed inside the scan's codegen stage (md5 +
+    scalar arithmetic, no UDF) and selection is TakeOrderedAndProject —
+    per-partition top-k heaps merged on the driver (k rows per partition,
+    never a global sort). That is exactly the distributed form of reservoir
+    sampling: A-ES keys are mergeable by construction, so the same plan
+    holds on a 1000-executor cluster (each executor ships its k best keys).
+    Fixtures guarantee n_chars > 0 (FIXTURES.md), so the weight is never
+    degenerate. Key reported ×10⁶ (``sample_key_e6``) so ROUND(…,4) keeps
+    precision for the near-zero winning keys; ``+ 0`` immunizes the
+    DuckDB side against -0.0 (CLAUDE.md rounding rule).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hw = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("w"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("wrs|"), F.col("doc_id").cast("string"))), 1, 13
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    key = F.expr(_WRS_KEY_SQL)
+    return (
+        hw.select(
+            "doc_id",
+            "lang",
+            F.col("w").alias("weight"),
+            (F.round(key, 4) + F.lit(0)).alias("sample_key_e6"),
+            key.alias("_raw"),
+        )
+        .orderBy(F.col("_raw").desc(), F.col("doc_id").asc())
+        .limit(WRS_SAMPLE_K)
+        .drop("_raw")
+    )

@@ -146,16 +146,24 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 )
 
 # Committed round-10 window (the rotation the NEXT round starts from; the
-# phase-aware age gate uses this once CORRECTNESS_r09.json lands): the
-# changed-but-unwindowed r9 names first, then the remaining 46-name
-# r7-evidence cohort, then the parked streaming_incremental_dedup rows
-# re-witness. Round 10's own new/changed queries take head slots and push
+# phase-aware age gate uses this once CORRECTNESS_r09.json lands): the two
+# NEW late-r9 queries (registered after the window filled), then the
+# changed-but-unwindowed r9 names, then the remaining 46-name r7-evidence
+# cohort, then the parked streaming_incremental_dedup rows re-witness —
+# exactly 50. Round 10's own new/changed queries take head slots and push
 # the most stable tail names to r11 (the r8 cohort's round).
 NEXT_WINDOW: tuple[str, ...] = (
-    # changed r9 without an r9 window slot (see triage note above)
+    # NEW late-r9 (no r9 slot left — the r6 cohort fills the window; both
+    # verified locally at sf0.001/0.01/0.1 oracle parity, see QUERIES.md)
+    "docs_bm25_topk",
+    "docs_weighted_sample",
+    # changed r9 without an r9 window slot (see triage note above).
+    # dedup_simhash_wide_pairs / dedup_embedding_lsh yield their slots to
+    # the two new queries: their r9 guard->delegate change is byte-
+    # identical at driver scale (pinned in tests/test_extensions.py), so a
+    # driver re-witness would replay the already-green r8 plan; they ride
+    # r8 evidence and rejoin in r11 with the rest of the r8 cohort.
     "dedup_incremental",
-    "dedup_simhash_wide_pairs",
-    "dedup_embedding_lsh",
     "similarity_pq",
     "similarity_ivf",
     "similarity_ivfpq",

@@ -274,6 +274,7 @@ BNLJ_ALLOWED = {
     "corpus_mixture_weights",
     "corpus_temperature_mixture",
     "customer_rfm_segments",
+    "docs_bm25_topk",  # r9 audit: 1-row corpus-stats agg broadcast to the scoring scan
     "docs_lang_rebalance",
     "docs_perplexity_buckets",
     "docs_quality_tiers",
