@@ -1163,3 +1163,148 @@ def distinct_orders_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("o_orderstatus").asc())
     )
+
+
+@query(
+    "distinct_orders_kmv_rollup",
+    oracle=f"""
+WITH keys AS (
+    SELECT DISTINCT o_orderstatus, year(o_orderdate) AS yr, o_orderkey
+    FROM orders
+),
+hashed AS (
+    SELECT o_orderstatus, yr, o_orderkey,
+           CAST(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+                AS UBIGINT) AS BIGINT) AS h
+    FROM keys
+),
+partial AS (
+    SELECT o_orderstatus, h, o_orderkey FROM (
+        SELECT o_orderstatus, yr, h, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_orderstatus, yr
+                                  ORDER BY h ASC, o_orderkey ASC) AS rn
+        FROM hashed
+    ) WHERE rn <= {KMV_K}
+),
+merged AS (
+    SELECT o_orderstatus, COUNT(*) AS n_kept_m, MAX(h) AS m_k_m FROM (
+        SELECT o_orderstatus, h,
+               ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY h ASC, o_orderkey ASC) AS rn2
+        FROM partial
+    ) WHERE rn2 <= {KMV_K} GROUP BY o_orderstatus
+),
+direct AS (
+    SELECT o_orderstatus, COUNT(*) AS n_kept_d, MAX(h) AS m_k_d FROM (
+        SELECT o_orderstatus, h,
+               ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY h ASC, o_orderkey ASC) AS rn
+        FROM hashed
+    ) WHERE rn <= {KMV_K} GROUP BY o_orderstatus
+),
+shards AS (
+    SELECT o_orderstatus, COUNT(DISTINCT yr) AS n_shards
+    FROM keys GROUP BY o_orderstatus
+),
+exact AS (
+    SELECT o_orderstatus, COUNT(DISTINCT o_orderkey) AS n_exact
+    FROM orders GROUP BY o_orderstatus
+)
+SELECT d.o_orderstatus, s.n_shards, x.n_exact,
+       CAST(CASE WHEN d.n_kept_d < {KMV_K} THEN x.n_exact
+                 ELSE ({KMV_K - 1} * 4294967296) // d.m_k_d
+            END AS BIGINT) AS kmv_direct,
+       CAST(CASE WHEN m.n_kept_m < {KMV_K} THEN x.n_exact
+                 ELSE ({KMV_K - 1} * 4294967296) // m.m_k_m
+            END AS BIGINT) AS kmv_merged,
+       (d.m_k_d = m.m_k_m AND d.n_kept_d = m.n_kept_m) AS merge_exact
+FROM direct d
+JOIN merged m ON m.o_orderstatus = d.o_orderstatus
+JOIN shards s ON s.o_orderstatus = d.o_orderstatus
+JOIN exact x ON x.o_orderstatus = d.o_orderstatus
+ORDER BY d.o_orderstatus ASC
+""",
+)
+def distinct_orders_kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level KMV rollup certifying SKETCH MERGEABILITY — the property
+    the whole 100 TB sketch story rests on: build a bottom-K sketch per
+    (status, order-year) shard, merge the shard sketches up to status
+    grain (union the kept hashes, re-take the K smallest), and emit the
+    merged estimate NEXT TO the direct single-pass estimate plus a
+    ``merge_exact`` boolean. Bottom-K merge is exact by construction
+    (any of the K globally-smallest hashes is inside its own shard's
+    bottom-K), so ``merge_exact`` is provably always true and the driver
+    hash-checks that proof — if a merge ever lost a hash, the row would
+    flip visibly.
+
+    Scale shape: this is the cube-of-sketches pattern — at 100 TB the
+    per-shard sketches are what a partitioned pipeline persists (K rows
+    per shard, here K=64), and ANY rollup grain (day→month→year→global)
+    is a K-row-per-group re-merge that never rescans the fact table. The
+    plan is two windowed bottom-K passes (shard grain feeds merge grain,
+    the second over K·shards rows only) next to the direct pass the
+    certification needs; production ships the partial sketches alone.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.select(
+        "o_orderstatus", F.year("o_orderdate").alias("yr"), "o_orderkey"
+    ).distinct()
+    hashed = keys.select(
+        "o_orderstatus",
+        "yr",
+        "o_orderkey",
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    order_cols = [F.col("h").asc(), F.col("o_orderkey").asc()]
+    w_shard = Window.partitionBy("o_orderstatus", "yr").orderBy(*order_cols)
+    partial = (
+        hashed.withColumn("rn", F.row_number().over(w_shard))
+        .where(F.col("rn") <= KMV_K)
+        .select("o_orderstatus", "h", "o_orderkey")
+    )
+    w_status = Window.partitionBy("o_orderstatus").orderBy(*order_cols)
+    merged = (
+        partial.withColumn("rn2", F.row_number().over(w_status))
+        .where(F.col("rn2") <= KMV_K)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_kept_m"), F.max("h").alias("m_k_m"))
+    )
+    direct = (
+        hashed.withColumn("rn", F.row_number().over(w_status))
+        .where(F.col("rn") <= KMV_K)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_kept_d"), F.max("h").alias("m_k_d"))
+    )
+    shards = keys.groupBy("o_orderstatus").agg(
+        F.countDistinct("yr").alias("n_shards")
+    )
+    exact = orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_orderkey").alias("n_exact")
+    )
+
+    def est(n_kept: str, m_k: str):
+        return F.when(F.col(n_kept) < KMV_K, F.col("n_exact")).otherwise(
+            F.expr(f"({KMV_K - 1} * 4294967296) div {m_k}")
+        )
+
+    return (
+        direct.join(merged, "o_orderstatus")
+        .join(shards, "o_orderstatus")
+        .join(exact, "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            "n_shards",
+            "n_exact",
+            est("n_kept_d", "m_k_d").cast("bigint").alias("kmv_direct"),
+            est("n_kept_m", "m_k_m").cast("bigint").alias("kmv_merged"),
+            (
+                (F.col("m_k_d") == F.col("m_k_m"))
+                & (F.col("n_kept_d") == F.col("n_kept_m"))
+            ).alias("merge_exact"),
+        )
+        .orderBy(F.col("o_orderstatus").asc())
+    )

@@ -932,3 +932,67 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(WRS_SAMPLE_K)
         .drop("_raw")
     )
+
+
+# --- ORC interchange round-trip --------------------------------------------
+
+
+@query(
+    "orc_roundtrip_checksum",
+    oracle="""
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(CAST(CAST('0x' || substr(md5(text), 1, 8) AS UBIGINT)
+                     AS BIGINT)) AS BIGINT) AS text_hash_sum,
+       COUNT(DISTINCT source) AS n_sources
+FROM documents
+""",
+)
+def orc_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless-export proof for the ORC source/sink (sources/ingest.py
+    write_orc/read_orc) — the columnar sibling of
+    ``jsonl_roundtrip_checksum``: export the corpus as zstd ORC shards,
+    scan them back (schema rides in the ORC footer — no inference pass,
+    unlike JSONL), and compute an order-insensitive corpus checksum (row
+    count, doc_id and char sums, sum of 32-bit md5 prefixes of text,
+    distinct sources). The oracle computes the same checksum on the
+    source table directly; a hash match means the round trip dropped,
+    duplicated, or mangled nothing.
+
+    Same deliberate eager side effect as the JSONL twin: the export runs
+    at query-construction time into a deterministic per-sf_dir, user-
+    scoped path, overwritten in place (no tempdir leak across bench/
+    driver/test reruns — ADVICE r5/r6).
+
+    Scale: ORC keeps parquet's scan contract (footer schema, column
+    pruning, predicate pushdown through the same V1 scan machinery), so
+    swapping the corpus between the two formats changes storage bytes,
+    not plans; the checksum is one map-side-partial aggregate over the
+    re-scan.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from databricks_spark_sql_challenge1_spark.sources.ingest import (
+        read_orc,
+        write_orc,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    uid = os.getuid() if hasattr(os, "getuid") else "na"
+    out = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_u{uid}_orc_rt_{tag}", "docs"
+    )
+    write_orc(docs.repartition(4), out, mode="overwrite")
+    back = read_orc(spark, out)
+    h = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint")
+    return back.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("doc_id_sum"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(h).alias("text_hash_sum"),
+        F.count_distinct("source").alias("n_sources"),
+    )

@@ -73,7 +73,8 @@ def query(name: str, oracle: str | None = None):
 #     dedup_minhash_portable (r8-green) + the recall pin in tests.
 #   - streaming_incremental_dedup — live-stream variant whose semantics
 #     are hash-checked by streaming_parity_incremental_dedup (r8-green);
-#     committed to the r10 window below for a rows re-witness.
+#     parked through r10 as well (its NEXT_WINDOW slot went to a new
+#     late-r9 query — see the slot-triage note inside NEXT_WINDOW).
 # Changed-but-unwindowed (no slots left; local evidence + r10 head):
 #   - dedup_simhash_wide_pairs / dedup_embedding_lsh (r8-green): their r9
 #     guard->delegate change only alters behavior PAST the saturation
@@ -146,24 +147,29 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 )
 
 # Committed round-10 window (the rotation the NEXT round starts from; the
-# phase-aware age gate uses this once CORRECTNESS_r09.json lands): the two
+# phase-aware age gate uses this once CORRECTNESS_r09.json lands): the four
 # NEW late-r9 queries (registered after the window filled), then the
 # changed-but-unwindowed r9 names, then the remaining 46-name r7-evidence
-# cohort, then the parked streaming_incremental_dedup rows re-witness —
-# exactly 50. Round 10's own new/changed queries take head slots and push
-# the most stable tail names to r11 (the r8 cohort's round).
+# cohort — exactly 50. Round 10's own new/changed queries take head slots
+# and push the most stable tail names to r11 (the r8 cohort's round).
 NEXT_WINDOW: tuple[str, ...] = (
-    # NEW late-r9 (no r9 slot left — the r6 cohort fills the window; both
-    # verified locally at sf0.001/0.01/0.1 oracle parity, see QUERIES.md)
+    # NEW late-r9 (no r9 slot left — the r6 cohort fills the window; all
+    # four verified locally at sf0.001/0.01/0.1 oracle parity, QUERIES.md)
     "docs_bm25_topk",
     "docs_weighted_sample",
-    # changed r9 without an r9 window slot (see triage note above).
-    # dedup_simhash_wide_pairs / dedup_embedding_lsh yield their slots to
-    # the two new queries: their r9 guard->delegate change is byte-
-    # identical at driver scale (pinned in tests/test_extensions.py), so a
-    # driver re-witness would replay the already-green r8 plan; they ride
-    # r8 evidence and rejoin in r11 with the rest of the r8 cohort.
-    "dedup_incremental",
+    "orc_roundtrip_checksum",
+    "distinct_orders_kmv_rollup",
+    # changed r9 without an r9 window slot (see triage note above). Slot
+    # triage for the four new queries above: dedup_simhash_wide_pairs /
+    # dedup_embedding_lsh yielded theirs (r9 guard->delegate change is
+    # byte-identical at driver scale, pinned in tests/test_extensions.py,
+    # so a driver re-witness would replay the already-green r8 plan; they
+    # rejoin in r11 with the r8 cohort); dedup_incremental likewise rides
+    # its standing r8 row (the r9 perf fix is hash-identical at all three
+    # SFs); streaming_incremental_dedup stays parked one more round on
+    # the rows-only allowance next to dedup_minhash_lsh (its semantics
+    # are hash-checked by streaming_parity_incremental_dedup every
+    # rotation it appears in).
     "similarity_pq",
     "similarity_ivf",
     "similarity_ivfpq",
@@ -211,8 +217,6 @@ NEXT_WINDOW: tuple[str, ...] = (
     "streaming_tumbling_1h",
     "streaming_user_state",
     "topk_products_cms",
-    # parked rows-only re-witness
-    "streaming_incremental_dedup",
 )
 
 

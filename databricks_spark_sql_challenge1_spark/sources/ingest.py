@@ -130,3 +130,27 @@ def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         r = r.schema(schema)
     return r.json(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    compression: str = "zstd",
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink — the second columnar interchange format next to parquet
+    (Spark ships the reader/writer natively; Hive-era warehouses and some
+    feature stores still standardize on it). Same layout rules as the
+    parquet sink: one stripe-bearing shard per partition, so repartition
+    upstream to set shard count/size. ``mode`` defaults to ``"overwrite"``
+    (ingest semantics, like ``save_table``/``write_jsonl``).
+    """
+    df.write.mode(mode).option("compression", compression).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source. Schema rides embedded in the file footer (like parquet,
+    no inference pass); predicate pushdown and column pruning work through
+    the same DataSource V1 scan machinery, so ORC-backed queries keep the
+    pushed-filter/pruned-schema plan shape the parquet tests assert."""
+    return spark.read.orc(path)

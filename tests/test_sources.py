@@ -166,3 +166,34 @@ def test_jsonl_write_mode_error_refuses_clobber(spark, tmp_path):
         write_jsonl(docs, path, mode="error")
     # default stays overwrite (documented destructive ingest semantics)
     write_jsonl(docs, path)
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """documents → zstd ORC shards → read back (schema from the ORC
+    footer, no inference): identical rows, real .orc parts, and the
+    re-scan keeps the pruned-schema contract (only requested columns in
+    ReadSchema)."""
+    import os
+
+    from databricks_spark_sql_challenge1_spark.catalog import load_table
+    from databricks_spark_sql_challenge1_spark.sources.ingest import (
+        read_orc,
+        write_orc,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    path = str(tmp_path / "docs_orc")
+    write_orc(docs.repartition(4), path)
+    parts = [f for f in os.listdir(path) if f.endswith(".orc")]
+    assert len(parts) == 4, parts
+    back = read_orc(spark, path)
+    assert sorted(back.columns) == sorted(docs.columns)
+    want = sorted(tuple(str(x) for x in r) for r in docs.collect())
+    got = sorted(
+        tuple(str(x) for x in r)
+        for r in back.select(*docs.columns).collect()
+    )
+    assert got == want
+    # column pruning reaches the ORC scan like it does the parquet one
+    plan = back.select("doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "text" not in plan.split("ReadSchema")[1].splitlines()[0]
