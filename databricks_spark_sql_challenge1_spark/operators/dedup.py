@@ -1519,3 +1519,96 @@ def dedup_simhash_adaptive(
         )
         .orderBy(F.col("doc_1").asc(), F.col("doc_2").asc())
     )
+
+
+# --- n-gram containment (asymmetric near-dup) ------------------------------
+# Broder's other resemblance measure: containment C = |S(A) ∩ S(B)| /
+# min(|S(A)|, |S(B)|). A 200-word document pasted inside a 5,000-word one
+# scores near-zero Jaccard (the union is huge) but containment ≈ 1 — the
+# doc-in-doc case a quote/boilerplate/aggregator dedup pass needs and the
+# symmetric metrics miss. Same inverted-index blocking and hot-shingle
+# DF-cut as dedup_ngram_jaccard; only the denominator changes.
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@query(
+    "dedup_ngram_containment",
+    oracle=f"""
+WITH sh0 AS ({_SHINGLES_SQL}),
+hot AS (SELECT shingle FROM sh0 GROUP BY shingle
+        HAVING COUNT(*) > {NGRAM_DF_CAP}),
+sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 ANTI JOIN hot USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS doc_1, b.doc_id AS doc_2, COUNT(*) AS c
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_1, doc_2,
+       ROUND(CAST(c AS DOUBLE) / least(s1.n, s2.n), 4) AS containment,
+       ROUND(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 4) AS jaccard
+FROM common
+JOIN sizes s1 ON s1.doc_id = doc_1
+JOIN sizes s2 ON s2.doc_id = doc_2
+WHERE CAST(c AS DOUBLE) / least(s1.n, s2.n) >= {CONTAINMENT_THRESHOLD}
+ORDER BY containment DESC, doc_1 ASC, doc_2 ASC
+""",
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup pairs by n-gram CONTAINMENT (|∩| / min set
+    size) next to the Jaccard the pair would have scored — surfacing
+    doc-in-doc relations (quotes, boilerplate wrapping, aggregation)
+    that the symmetric threshold never reaches.
+
+    Scale shape: identical to ``dedup_ngram_jaccard`` — the shingle
+    equi-join IS the blocking (only shingle-sharing docs meet; no
+    quadratic term), the hot-shingle DF-cut bounds the index fanout, and
+    the containment denominator is a broadcast-size lookup. One extra
+    ``least`` per candidate pair is the entire added cost.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return _ngram_containment(docs, NGRAM_DF_CAP)
+
+
+def _ngram_containment(docs: DataFrame, df_cap: int) -> DataFrame:
+    """Core of dedup_ngram_containment, factored out (like
+    ``_ngram_jaccard``) so the asymmetric doc-in-doc catch is unit-
+    testable on synthetic corpora (tests/test_extensions.py)."""
+    sh0 = _shingles_spark(docs)
+    hot = (
+        sh0.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > df_cap)
+        .select("shingle")
+    )
+    sh = sh0.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_1"), F.col("b.doc_id").alias("doc_2")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s1, s2 = sizes.alias("s1"), sizes.alias("s2")
+    cont = F.col("c").cast("double") / F.least(F.col("s1.n"), F.col("s2.n"))
+    jac = F.col("c").cast("double") / (F.col("s1.n") + F.col("s2.n") - F.col("c"))
+    return (
+        common.join(s1, F.col("s1.doc_id") == F.col("doc_1"))
+        .join(s2, F.col("s2.doc_id") == F.col("doc_2"))
+        .where(cont >= CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_1",
+            "doc_2",
+            F.round(cont, 4).alias("containment"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .orderBy(
+            F.col("containment").desc(), F.col("doc_1").asc(), F.col("doc_2").asc()
+        )
+    )

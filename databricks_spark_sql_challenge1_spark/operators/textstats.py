@@ -1161,3 +1161,87 @@ def corpus_privacy_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("lang").asc())
     )
+
+
+# --- model-based quality filter (deterministic logistic inference) ----------
+# The slot a learned quality classifier occupies in a production pretraining
+# pipeline (fastText/logistic filters in the CCNet / C4 / FineWeb lineage):
+# featurize each document, apply FIXED trained weights, sigmoid, threshold.
+# The weights here are pinned constants (a stand-in for a published model's
+# coefficients) so inference is pure deterministic arithmetic — which is
+# exactly how a real exported linear model executes at 100 TB: no UDF, no
+# model server, just expressions in the scan stage.
+QUALITY_CLF_THRESHOLD = 0.40  # keeps ~1/3 of the fixture corpus (median prob 0.375)
+# shared inference template — identical text on both engines (FP evaluation
+# order matches exactly); feature columns: n_toks, n_distinct, n_stop,
+# n_chars_m (all integers computed engine-side from aligned expressions)
+_QUALITY_CLF_LOGIT_SQL = (
+    "(-3.1"
+    " + 3.0 * (n_distinct / CAST(n_toks AS DOUBLE))"
+    " + 2.5 * (n_stop / CAST(n_toks AS DOUBLE))"
+    " + 0.4 * ln(1.0 + n_toks)"
+    " - 0.1 * (n_chars_m / CAST(n_toks AS DOUBLE)))"
+)
+_QUALITY_CLF_PROB_SQL = f"1.0 / (1.0 + exp(-{_QUALITY_CLF_LOGIT_SQL}))"
+
+
+@query(
+    "docs_quality_classifier",
+    oracle=f"""
+WITH feat AS (
+    SELECT doc_id, lang,
+           len(string_split_regex(lower(trim(text)), '\\s+')) AS n_toks,
+           len(list_distinct(string_split_regex(lower(trim(text)), '\\s+')))
+               AS n_distinct,
+           len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           t -> list_contains(['the', 'and', 'of', 'to', 'a'], t)))
+               AS n_stop,
+           length(text) AS n_chars_m
+    FROM documents
+)
+SELECT doc_id, lang,
+       CAST(n_toks AS BIGINT) AS n_toks,
+       ROUND({_QUALITY_CLF_PROB_SQL}, 6) AS quality_prob,
+       ({_QUALITY_CLF_PROB_SQL} >= {QUALITY_CLF_THRESHOLD}) AS keep_doc
+FROM feat
+ORDER BY doc_id ASC
+""",
+)
+def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic logistic quality classifier: lexical-diversity,
+    stopword-density, log-length and chars-per-token features → fixed
+    trained weights → sigmoid probability → keep/drop decision. The
+    heuristic siblings (``text_quality_stats``/``docs_quality_tiers``)
+    rank by hand-built scores; this is the MODEL-shaped stage — the same
+    plan a real exported linear classifier compiles to.
+
+    Scale shape: featurization and inference are one pass of scalar
+    expressions inside the scan's codegen stage (the split/array work
+    fuses with the projection) — no shuffle at all before the
+    presentation sort, no UDF, no model-serving hop. At 100 TB the
+    keep_doc predicate would feed the corpus filter directly and the
+    sort would not exist; it is here so the driver hash-checks every
+    document's probability, not a sample.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    stopset = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    feat = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_toks"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.expr(
+            "size(filter(split(lower(trim(text)), '\\\\s+'),"
+            f" t -> array_contains(array({stopset}), t)))"
+        ).alias("n_stop"),
+        F.length("text").alias("n_chars_m"),
+    )
+    prob = F.expr(_QUALITY_CLF_PROB_SQL)
+    return feat.select(
+        "doc_id",
+        "lang",
+        F.col("n_toks").cast("bigint").alias("n_toks"),
+        F.round(prob, 6).alias("quality_prob"),
+        (prob >= F.lit(QUALITY_CLF_THRESHOLD)).alias("keep_doc"),
+    ).orderBy(F.col("doc_id").asc())

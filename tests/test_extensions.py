@@ -539,3 +539,37 @@ def test_stride_saturation_guards(spark, monkeypatch):
     ):
         with pytest.raises(ValueError, match=repl):
             fn(spark, SF_DIR)
+
+
+def test_ngram_containment_catches_doc_in_doc(spark):
+    """Containment's reason to exist: a short document fully embedded in a
+    long one scores high containment but LOW Jaccard — below the
+    symmetric near-dup threshold — so only the asymmetric metric flags
+    the pair. Pin both sides of that claim on a synthetic corpus."""
+    from databricks_spark_sql_challenge1_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _ngram_containment,
+        _ngram_jaccard,
+    )
+
+    short = "q r s t u"  # 3 shingles: qrs rst stu
+    filler = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, short + " " + filler), (3, "z1 z2 z3 z4")],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r["doc_1"], r["doc_2"]): (r["containment"], r["jaccard"])
+        for r in _ngram_containment(docs, 10_000).collect()
+    }
+    # doc 1's shingle set is a strict subset of doc 2's: containment 1.0
+    assert set(cont) == {(1, 2)}
+    c, j = cont[(1, 2)]
+    assert c == 1.0
+    # ... while the pair's Jaccard sits BELOW the symmetric threshold, so
+    # the Jaccard query ignores it (3 shared / 44 union shingles)
+    assert j < JACCARD_THRESHOLD
+    jac_pairs = {
+        (r["doc_1"], r["doc_2"]) for r in _ngram_jaccard(docs, 10_000).collect()
+    }
+    assert (1, 2) not in jac_pairs
