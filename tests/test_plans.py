@@ -282,6 +282,7 @@ BNLJ_ALLOWED = {
     # broadcast-tiny centroid / probe-query tables (VERDICT r3 BNLJ audit:
     # fixed-K probes and sqrt(N) centroids, deliberately nested-loop)
     "embedding_kmeans_refine",
+    "retrieval_hybrid_rrf",  # r9 audit: 1-row BM25-stats spread + 1-row dense probe
     "similarity_ivf",
     "similarity_ivfpq",
     "similarity_topk",
