@@ -197,3 +197,22 @@ def test_orc_roundtrip(spark, tmp_path):
     # column pruning reaches the ORC scan like it does the parquet one
     plan = back.select("doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "text" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_orc_scan_pushes_predicates(spark, tmp_path):
+    """ORC rides the same V1 scan machinery as parquet — assert the
+    pushed-filter contract holds (not just column pruning) so a format
+    swap can't silently turn filters into post-scan work."""
+    from databricks_spark_sql_challenge1_spark.catalog import load_table
+    from databricks_spark_sql_challenge1_spark.sources.ingest import (
+        read_orc,
+        write_orc,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    path = str(tmp_path / "docs_orc_pred")
+    write_orc(docs, path)
+    back = read_orc(spark, path).where(F.col("doc_id") > 10)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]")[0]
+    assert "GreaterThan(doc_id,10)" in pushed, pushed
