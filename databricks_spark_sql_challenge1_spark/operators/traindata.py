@@ -996,3 +996,172 @@ def orc_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(h).alias("text_hash_sum"),
         F.count_distinct("source").alias("n_sources"),
     )
+
+
+# --- DSIR-style importance-resampling weights -------------------------------
+# Data Selection via Importance Resampling (Xie et al. 2023): score every
+# document by how much more likely its hashed n-gram features are under a
+# TARGET domain than under the corpus-wide PROPOSAL distribution —
+# log w(d) = Σ_b n_d[b]·(ln p_target[b] − ln p_proposal[b]) over hashed
+# feature buckets. Target here = the 'en' slice (the fixture's stand-in
+# for "high-quality reference domain"); features = word bigrams hashed
+# into DSIR_BUCKETS via the repo's portable md5 slice; Laplace +1
+# smoothing on both distributions.
+#
+# Engine-parity design: the per-BUCKET log-ratio is rounded once into
+# integer micro-units (×10⁶) inside the 64-row distribution table — a
+# single deterministic value per bucket, no summation involved — and the
+# per-document weight is then a BIGINT sum of those integers, which is
+# EXACT and order-free on both engines (the integer-cents rule from
+# CLAUDE.md applied to log-space).
+DSIR_BUCKETS = 64
+DSIR_TARGET_LANG = "en"
+
+
+@query(
+    "docs_dsir_weights",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           string_split_regex(lower(trim(text)), '\\s+') AS t
+    FROM documents
+),
+bg AS (
+    SELECT doc_id, lang,
+           unnest(list_transform(generate_series(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i + 1])) AS bigram
+    FROM toks WHERE len(t) >= 2
+),
+tb AS (
+    SELECT doc_id, lang,
+           CAST(CAST('0x' || substr(md5(bigram), 1, 8) AS UBIGINT) AS BIGINT)
+               % {DSIR_BUCKETS} AS bucket
+    FROM bg
+),
+spine AS (SELECT unnest(generate_series(0, {DSIR_BUCKETS - 1})) AS bucket),
+tcnt AS (SELECT bucket, COUNT(*) AS ct FROM tb
+         WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY bucket),
+pcnt AS (SELECT bucket, COUNT(*) AS cp FROM tb GROUP BY bucket),
+tot AS (
+    SELECT CAST((SELECT COUNT(*) FROM tb WHERE lang = '{DSIR_TARGET_LANG}')
+               AS DOUBLE) AS nt,
+           CAST((SELECT COUNT(*) FROM tb) AS DOUBLE) AS np
+),
+dist AS (
+    SELECT s.bucket,
+           CAST(ROUND((ln((COALESCE(t.ct, 0) + 1.0) / (tot.nt + {DSIR_BUCKETS}.0))
+                       - ln((COALESCE(p.cp, 0) + 1.0) / (tot.np + {DSIR_BUCKETS}.0)))
+                      * 1000000.0) AS BIGINT) AS term_e6
+    FROM spine s
+    LEFT JOIN tcnt t ON t.bucket = s.bucket
+    LEFT JOIN pcnt p ON p.bucket = s.bucket
+    CROSS JOIN tot
+),
+w AS (
+    SELECT tb.doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(d.term_e6) AS BIGINT) AS weight_e6
+    FROM tb JOIN dist d ON d.bucket = tb.bucket
+    GROUP BY tb.doc_id
+)
+SELECT doc.doc_id, doc.lang,
+       CAST(COALESCE(w.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(w.weight_e6, 0) AS BIGINT) AS weight_e6,
+       (COALESCE(w.weight_e6, 0) > 0) AS target_leaning
+FROM documents doc LEFT JOIN w ON w.doc_id = doc.doc_id
+ORDER BY doc.doc_id ASC
+""",
+)
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling weights: hashed-bigram features scored
+    by the target-vs-proposal log-likelihood ratio, Laplace-smoothed.
+    Positive ``weight_e6`` = the document's feature profile looks more
+    like the target domain than the corpus average — the resampling
+    score a DSIR selection pass feeds into weighted sampling
+    (``docs_weighted_sample`` is exactly the companion operator).
+
+    Scale shape: one explode to bigram grain (the only corpus-sized
+    shuffle — map-side combinable counts at bucket grain), a
+    {DSIR_BUCKETS}-row distribution table built from two aggregates and
+    broadcast back, and a per-document BIGINT sum. The log-ratio is
+    rounded ONCE per bucket into integer micro-units, so the
+    per-document aggregation is exact integer arithmetic — deterministic
+    under any partitioning, any engine, any summation order; no
+    floating-point ever crosses a shuffle boundary.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.split(F.lower(F.trim("text")), r"\s+").alias("t")
+    )
+    bg = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+                )
+            ).alias("bigram"),
+        )
+    )
+    tb = bg.select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("bigram"), 1, 8), 16, 10).cast("bigint")
+            % DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    spine = spark.range(DSIR_BUCKETS).select(F.col("id").alias("bucket"))
+    tcnt = (
+        tb.where(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    pcnt = tb.groupBy("bucket").agg(F.count(F.lit(1)).alias("cp"))
+    tot = tb.agg(
+        F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0))
+        .cast("double")
+        .alias("nt"),
+        F.count(F.lit(1)).cast("double").alias("np"),
+    )
+    term = (
+        F.log(
+            (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+            / (F.col("nt") + float(DSIR_BUCKETS))
+        )
+        - F.log(
+            (F.coalesce(F.col("cp"), F.lit(0)) + 1.0)
+            / (F.col("np") + float(DSIR_BUCKETS))
+        )
+    )
+    dist = (
+        spine.join(tcnt, "bucket", "left")
+        .join(pcnt, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(term * 1000000.0, 0).cast("bigint").alias("term_e6"),
+        )
+    )
+    w = (
+        tb.join(F.broadcast(dist), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("term_e6").cast("bigint").alias("weight_e6"),
+        )
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(w, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce(F.col("weight_e6"), F.lit(0)).cast("bigint").alias("weight_e6"),
+            (F.coalesce(F.col("weight_e6"), F.lit(0)) > 0).alias("target_leaning"),
+        )
+        .orderBy(F.col("doc_id").asc())
+    )

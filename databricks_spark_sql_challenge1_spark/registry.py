@@ -153,9 +153,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # cohort — exactly 50. Round 10's own new/changed queries take head slots
 # and push the most stable tail names to r11 (the r8 cohort's round).
 # Committed r11 head (no r10 slot left): docs_quality_classifier,
-# dedup_ngram_containment and retrieval_hybrid_rrf — the last late-r9
-# registrations, locally hash-green at sf0.001/0.01/0.1 (QUERIES.md
-# §late-r9) and age-exempt as new until then.
+# dedup_ngram_containment, retrieval_hybrid_rrf and docs_dsir_weights —
+# the last late-r9 registrations, locally hash-green at sf0.001/0.01/0.1
+# (QUERIES.md §late-r9) and age-exempt as new until then.
 NEXT_WINDOW: tuple[str, ...] = (
     # NEW late-r9 (no r9 slot left — the r6 cohort fills the window; all
     # four verified locally at sf0.001/0.01/0.1 oracle parity, QUERIES.md)

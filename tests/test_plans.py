@@ -275,6 +275,7 @@ BNLJ_ALLOWED = {
     "corpus_temperature_mixture",
     "customer_rfm_segments",
     "docs_bm25_topk",  # r9 audit: 1-row corpus-stats agg broadcast to the scoring scan
+    "docs_dsir_weights",  # r9 audit: 1-row totals spread over the 64-row dist table
     "docs_lang_rebalance",
     "docs_perplexity_buckets",
     "docs_quality_tiers",
