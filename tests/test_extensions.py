@@ -573,3 +573,73 @@ def test_ngram_containment_catches_doc_in_doc(spark):
         (r["doc_1"], r["doc_2"]) for r in _ngram_jaccard(docs, 10_000).collect()
     }
     assert (1, 2) not in jac_pairs
+
+
+def test_containment_dominates_jaccard(spark):
+    """Mathematical invariant of the two resemblance measures: for any
+    pair, |∩|/min(n1,n2) ≥ |∩|/|∪| and ≤ 1 — pin it over every pair the
+    registered query emits on the fixture corpus."""
+    from databricks_spark_sql_challenge1_spark.registry import QUERIES
+
+    rows = QUERIES["dedup_ngram_containment"](spark, SF_DIR).collect()
+    assert rows  # fixture corpus produces pairs (FIXTURES.md dense vocab)
+    for r in rows:
+        assert r["jaccard"] <= r["containment"] <= 1.0, r
+
+
+def test_rrf_score_recomputes_from_ranks(spark):
+    """RRF's defining property: the fused score is pure rank arithmetic.
+    Recompute 1/(K+lex) + 1/(K+dense) from the emitted ranks and demand
+    exact agreement with the emitted score (modulo the output ROUND)."""
+    from databricks_spark_sql_challenge1_spark.operators.retrieval import RRF_K
+    from databricks_spark_sql_challenge1_spark.registry import QUERIES
+
+    rows = QUERIES["retrieval_hybrid_rrf"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        expect = sum(
+            1.0 / (RRF_K + rank)
+            for rank in (r["lex_rank"], r["dense_rank"])
+            if rank is not None
+        )
+        assert r["lex_rank"] is not None or r["dense_rank"] is not None, r
+        assert abs(r["rrf_score"] - round(expect, 6)) < 1e-12, r
+
+
+def test_weighted_sample_is_deterministic(spark):
+    """A-ES keys are a pure function of doc_id — two invocations must
+    return byte-identical samples (membership survives re-planning)."""
+    from databricks_spark_sql_challenge1_spark.registry import QUERIES
+
+    a = [tuple(r) for r in QUERIES["docs_weighted_sample"](spark, SF_DIR).collect()]
+    b = [tuple(r) for r in QUERIES["docs_weighted_sample"](spark, SF_DIR).collect()]
+    assert a == b and len(a) > 0
+
+
+def test_kmv_rollup_merge_is_exact(spark):
+    """Bottom-K merge loses nothing by construction — the query's
+    merge_exact certification must hold on every group (the oracle
+    hash-checks the same, this pins the claim in-tree)."""
+    from databricks_spark_sql_challenge1_spark.registry import QUERIES
+
+    rows = QUERIES["distinct_orders_kmv_rollup"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["merge_exact"] is True, r
+        assert r["kmv_merged"] == r["kmv_direct"], r
+
+
+def test_dsir_weights_lean_toward_target_lang(spark):
+    """DSIR's point: documents from the target domain score higher under
+    the target-vs-proposal ratio. Pin the separation on the fixture
+    corpus (measured r9: en mean ≈ +95k micro-units, others ≈ −219k)."""
+    from databricks_spark_sql_challenge1_spark.operators.traindata import (
+        DSIR_TARGET_LANG,
+    )
+    from databricks_spark_sql_challenge1_spark.registry import QUERIES
+
+    rows = QUERIES["docs_dsir_weights"](spark, SF_DIR).collect()
+    target = [r["weight_e6"] for r in rows if r["lang"] == DSIR_TARGET_LANG]
+    rest = [r["weight_e6"] for r in rows if r["lang"] != DSIR_TARGET_LANG]
+    assert target and rest
+    assert sum(target) / len(target) > 0 > sum(rest) / len(rest)
