@@ -75,11 +75,16 @@ bm AS (
 
 
 def _bm25_oracle() -> str:
+    # Top-k MEMBERSHIP is decided on the ROUNDED score (ADVICE r9): ln()
+    # is not bit-identical between DuckDB's libm and the JVM, so a sub-ulp
+    # near-tie at the k boundary on the raw double could select different
+    # row sets per engine. Rounding first + doc_id tiebreak makes the
+    # selected set ulp-drift-immune (the RRF lexical leg already does this).
     return f"""
 WITH {_bm25_cte()}
 SELECT doc_id, ROUND(raw, 4) + 0 AS bm25
 FROM bm
-ORDER BY raw DESC, doc_id ASC
+ORDER BY bm25 DESC, doc_id ASC
 LIMIT {BM25_TOP_K}
 """
 
@@ -106,11 +111,10 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = F.col("_raw")
     return (
         scored.select(
-            "doc_id", (F.round(raw, 4) + F.lit(0)).alias("bm25"), "_raw"
+            "doc_id", (F.round(raw, 4) + F.lit(0)).alias("bm25")
         )
-        .orderBy(F.col("_raw").desc(), F.col("doc_id").asc())
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(BM25_TOP_K)
-        .drop("_raw")
     )
 
 

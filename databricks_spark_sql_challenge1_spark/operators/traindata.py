@@ -884,7 +884,7 @@ WITH hw AS (
 )
 SELECT doc_id, lang, w AS weight, ROUND({_WRS_KEY_SQL}, 4) + 0 AS sample_key_e6
 FROM hw
-ORDER BY {_WRS_KEY_SQL} DESC, doc_id ASC
+ORDER BY sample_key_e6 DESC, doc_id ASC
 LIMIT {WRS_SAMPLE_K}
 """,
 )
@@ -920,17 +920,19 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("h"),
     )
     key = F.expr(_WRS_KEY_SQL)
+    # Sample MEMBERSHIP is decided on the ROUNDED key (ADVICE r9): ln()
+    # may differ by an ulp between DuckDB's libm and the JVM, and a raw-
+    # double order at the k boundary would then pick different row sets.
+    # ROUND(…,4) + doc_id tiebreak is drift-immune on both engines.
     return (
         hw.select(
             "doc_id",
             "lang",
             F.col("w").alias("weight"),
             (F.round(key, 4) + F.lit(0)).alias("sample_key_e6"),
-            key.alias("_raw"),
         )
-        .orderBy(F.col("_raw").desc(), F.col("doc_id").asc())
+        .orderBy(F.col("sample_key_e6").desc(), F.col("doc_id").asc())
         .limit(WRS_SAMPLE_K)
-        .drop("_raw")
     )
 
 

@@ -1,0 +1,105 @@
+"""Targeted oracle-parity check for NAMED queries across fixture dirs.
+
+Same Spark-vs-DuckDB compare as tools/parity_sweep.py, but takes query
+names, so a changed query can be re-proven at sf0.001/0.01/0.1 without
+sweeping the whole registry (the round-10 head-slot workflow).
+
+Usage:
+    python tools/parity_names.py name1 [name2 ...] [--sf dir1,dir2,...]
+
+Default SF dirs: /root/testdata/sf0.001, sf0.01, sf0.1.
+Exit code 1 on any mismatch/error.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+DEFAULT_SFS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sfs = DEFAULT_SFS
+    if "--sf" in args:
+        i = args.index("--sf")
+        sfs = args[i + 1].split(",")
+        args = args[:i] + args[i + 2:]
+    names = args
+
+    sys.path.insert(0, ".")
+    import duckdb
+
+    import __spark_entry__ as entry
+    from databricks_spark_sql_challenge1_spark.session import get_spark
+
+    spark = get_spark("parity-names")
+    q, o = entry.queries(), entry.oracle_sql()
+    bad = []
+    for sf_dir in sfs:
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        for name in names:
+            if name not in q:
+                print(f"ERROR {name}: not registered", flush=True)
+                bad.append((sf_dir, name))
+                continue
+            t0 = time.monotonic()
+            try:
+                srows = sorted(
+                    tuple(str(x) for x in r)
+                    for r in q[name](spark, sf_dir).collect()
+                )
+                t1 = time.monotonic()
+                if name not in o:
+                    print(
+                        f"ROWS {sf_dir} {name} spark={t1 - t0:.1f}s "
+                        f"rows={len(srows)} (rows-only, no oracle)",
+                        flush=True,
+                    )
+                    continue
+                drows = sorted(
+                    tuple(str(x) for x in r)
+                    for r in con.execute(o[name]).fetchall()
+                )
+                ok = srows == drows
+                print(
+                    f"DONE {sf_dir} {name} spark={t1 - t0:.1f}s "
+                    f"duck={time.monotonic() - t1:.1f}s rows={len(srows)} "
+                    f"match={ok}",
+                    flush=True,
+                )
+                if not ok:
+                    bad.append((sf_dir, name))
+                    shown = 0
+                    for a, b in zip(srows, drows):
+                        if a != b:
+                            print("  first diff:", a[:8], "vs", b[:8],
+                                  flush=True)
+                            shown += 1
+                            if shown >= 3:
+                                break
+                    if len(srows) != len(drows):
+                        print(f"  row counts: spark={len(srows)} "
+                              f"duck={len(drows)}", flush=True)
+            except Exception as exc:  # noqa: BLE001 — keep checking
+                print(f"ERROR {sf_dir} {name}: {str(exc)[:300]}", flush=True)
+                bad.append((sf_dir, name))
+        con.close()
+    print("NAMESDONE bad:", bad, flush=True)
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
