@@ -233,6 +233,17 @@ def approx_topk_products(spark: SparkSession, sf_dir: str) -> DataFrame:
 # approx_percentile at accuracy 10000 guarantees rank error <= n/10000;
 # 0.005 (0.5% of rank span) is 50x that guarantee yet still a genuine
 # property — a broken sketch lands far outside it.
+#
+# Minimum group size (ADVICE r9): approx_price_percentiles' interpolated
+# p±0.005 acceptance interval assumes each o_orderstatus group has roughly
+# >= 1/PCT_RANK_EPS (~200) rows — approx_percentile returns an ACTUAL
+# sample, so in a smaller group the interval between the p-eps and p+eps
+# interpolated quantiles can exclude every sample and flip ok_* false
+# against the oracle's hardcoded TRUE even with a healthy sketch. The
+# fixtures satisfy this at every SF (smallest status group: 493 rows —
+# 'P'/'F' at sf0.001). Queries over groups that can be small must instead use the
+# integer RANK-bound acceptance with the +1.5/n widening — see
+# customer_rfm_segments_approx.
 PCT_RANK_EPS = 0.005
 
 
@@ -547,6 +558,199 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("m_score"),
     ).orderBy(F.col("custkey").asc())
+
+
+# Tile-assignment agreement floor for the approx-RFM bounds oracle: the
+# sketch cutoff is an actual sample within PCT_RANK_EPS rank of the exact
+# interpolated cutoff, so only customers BETWEEN the two cutoff values can
+# flip tiles (~eps*n of them, plus one tie-group at the boundary). 0.9 is
+# far below any healthy sketch's agreement (measured: worst dim 0.9867 at
+# sf0.001, 1.0 at sf0.01, 0.9999 at sf0.1) yet far above a broken
+# sketch's (~0.25-0.5 for garbage cutoffs).
+RFM_AGREE_MIN = 0.9
+
+_RFM_DIMS = (
+    # (dim label, m-column, tile direction: True = ascending score
+    #  (smaller value -> tile 1), False = descending (larger -> tile 1))
+    ("frequency", "frequency", False),
+    ("monetary", "monetary_cents", False),
+    ("recency", "recency_days", True),
+)
+
+_RFM_PS = (0.25, 0.5, 0.75)
+
+
+def _rfm_approx_oracle() -> str:
+    selects = []
+    for dim, col, _asc in _RFM_DIMS:
+        qcols = ", ".join(
+            f"ROUND(quantile_cont({col}, {p}), 2) AS q{int(p * 100)}"
+            for p in _RFM_PS
+        )
+        selects.append(
+            f"""SELECT '{dim}' AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       {qcols},
+       TRUE AS ok_q25, TRUE AS ok_q50, TRUE AS ok_q75,
+       TRUE AS tile_agreement_ok
+FROM m"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH m AS (
+    SELECT o_custkey AS custkey,
+           CAST(datediff('day', MAX(o_orderdate),
+                         (SELECT MAX(o_orderdate) FROM orders)) AS BIGINT)
+               AS recency_days,
+           COUNT(*) AS frequency,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+    FROM orders GROUP BY o_custkey
+)
+{body}
+ORDER BY dim ASC
+"""
+
+
+@query("customer_rfm_segments_approx", oracle=_rfm_approx_oracle())
+def customer_rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB variant of ``customer_rfm_segments`` (VERDICT r9 #4): tile
+    CUTOFFS from a mergeable ``approx_percentile`` sketch, broadcast back
+    against the per-customer aggregate — NO ntile, NO global row sort
+    anywhere in the plan (pinned in tests/test_plans.py). Tile assignment
+    is three comparisons per dimension against the broadcast cutoffs, so
+    the whole query is two shuffle-free-after-aggregation passes over the
+    customer dimension however large it grows.
+
+    Bounds-check oracle (the ``approx_price_percentiles`` pattern): the
+    sketch cutoffs are engine-specific, so the hashable payload is the
+    EXACT interpolated quartiles per dimension (DuckDB ``quantile_cont``
+    reproduces them) plus per-cutoff ``ok_q*`` booleans asserting the
+    sketch's RANK guarantee in integers — #{d <= est} >= floor((p-E)n)
+    and #{d < est} <= ceil((p+E)n) with E = PCT_RANK_EPS + 1.5/n (the
+    +1.5/n keeps the bound meaningful at small n, ADVICE r9 on
+    approx_price_percentiles) — and a per-dimension ``tile_agreement_ok``
+    asserting >= RFM_AGREE_MIN of customers get the same tile from sketch
+    cutoffs as from exact cutoffs. A broken sketch flips booleans and
+    fails the driver hash; DuckDB asserts all TRUE.
+
+    Cross-engine exactness: every quantile runs over BIGINT columns
+    (monetary pre-rounded to CENTS per row, CLAUDE.md float policy), so
+    interpolated values carry only dyadic .25/.5/.75 fractions — bit-equal
+    on both engines, never on a ROUND half-boundary. ``monetary`` rows
+    therefore report cutoffs in cents.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("a"))
+    m = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "custkey",
+            F.datediff(F.col("a"), F.col("last_order"))
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    ps = ", ".join(str(p) for p in _RFM_PS)
+    stats_aggs = [F.count(F.lit(1)).alias("n")]
+    for dim, col, _asc in _RFM_DIMS:
+        stats_aggs.append(
+            F.expr(f"percentile({col}, array({ps}))").alias(f"ex_{dim}")
+        )
+        stats_aggs.append(
+            F.expr(f"approx_percentile({col}, array({ps}), 10000)").alias(
+                f"ap_{dim}"
+            )
+        )
+    stats = m.agg(*stats_aggs)
+
+    j = m.crossJoin(F.broadcast(stats))
+
+    def tile(col: str, cuts: str, asc: bool) -> F.Column:
+        # ascending score: tile = 1 + #(cutoffs below d);
+        # descending score: tile = 1 + #(cutoffs at-or-above d)
+        d = F.col(col)
+        t = F.lit(1)
+        for i in range(3):
+            c = F.col(cuts)[i]
+            t = t + ((d > c) if asc else (d <= c)).cast("int")
+        return t
+
+    second_aggs = [
+        F.first("n").alias("n"),
+        *[F.first(f"ex_{dim}").alias(f"ex_{dim}") for dim, _c, _a in _RFM_DIMS],
+    ]
+    for dim, col, asc in _RFM_DIMS:
+        for i, _p in enumerate(_RFM_PS):
+            est = F.col(f"ap_{dim}")[i]
+            second_aggs.append(
+                F.sum((F.col(col) <= est).cast("long")).alias(f"le_{dim}_{i}")
+            )
+            second_aggs.append(
+                F.sum((F.col(col) < est).cast("long")).alias(f"lt_{dim}_{i}")
+            )
+        agree = (
+            tile(col, f"ex_{dim}", asc) == tile(col, f"ap_{dim}", asc)
+        ).cast("double")
+        second_aggs.append(F.avg(agree).alias(f"agree_{dim}"))
+    wide = j.agg(*second_aggs)
+
+    n = F.col("n")
+    eps = F.lit(PCT_RANK_EPS) + F.lit(1.5) / n
+
+    def ok(dim: str, i: int) -> F.Column:
+        p = F.lit(_RFM_PS[i])
+        lo = F.floor((p - eps) * n)
+        hi = F.ceil((p + eps) * n)
+        return (F.col(f"le_{dim}_{i}") >= lo) & (F.col(f"lt_{dim}_{i}") <= hi)
+
+    # flatten the 1-row wide frame into one flat column per (dim, field),
+    # then unpivot to 3 rows with a single stack() generator — one lineage,
+    # one execution of the two aggregation passes, auditable plan
+    flat_cols = [n.cast("bigint").alias("n_customers")]
+    for dim, _col, _asc in _RFM_DIMS:
+        flat_cols += [
+            F.round(F.col(f"ex_{dim}")[0], 2).alias(f"q25_{dim}"),
+            F.round(F.col(f"ex_{dim}")[1], 2).alias(f"q50_{dim}"),
+            F.round(F.col(f"ex_{dim}")[2], 2).alias(f"q75_{dim}"),
+            ok(dim, 0).alias(f"ok0_{dim}"),
+            ok(dim, 1).alias(f"ok1_{dim}"),
+            ok(dim, 2).alias(f"ok2_{dim}"),
+            (F.col(f"agree_{dim}") >= RFM_AGREE_MIN).alias(f"agr_{dim}"),
+        ]
+    flat = wide.select(*flat_cols)
+    stack_args = ", ".join(
+        f"'{dim}', q25_{dim}, q50_{dim}, q75_{dim}, "
+        f"ok0_{dim}, ok1_{dim}, ok2_{dim}, agr_{dim}"
+        for dim, _c, _a in _RFM_DIMS
+    )
+    return flat.select(
+        F.expr(
+            f"stack({len(_RFM_DIMS)}, {stack_args}) AS "
+            "(dim, q25, q50, q75, ok_q25, ok_q50, ok_q75, tile_agreement_ok)"
+        ),
+        "n_customers",
+    ).select(
+        "dim",
+        "n_customers",
+        "q25",
+        "q50",
+        "q75",
+        "ok_q25",
+        "ok_q50",
+        "ok_q75",
+        "tile_agreement_ok",
+    ).orderBy(F.col("dim").asc())
 
 
 # Incremental view maintenance: the "snapshot" is the 90% historical slice
@@ -1069,9 +1273,13 @@ def topk_products_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMV_K = 64
 
 
-@query(
-    "distinct_orders_kmv",
-    oracle=f"""
+# Round-10 capacity policy: RETIRED from the registry — the status-grain
+# estimate this query emits is byte-identical to distinct_orders_kmv_rollup's
+# kmv_direct column (same keys, same hash, same (K-1)*2^32 div m_K integer
+# arithmetic), so the rollup query's driver row already hash-checks this
+# one's semantics. The callable and its oracle stay importable for the
+# accuracy-floor pin in tests/test_quality_ops.py.
+_DISTINCT_ORDERS_KMV_SQL = f"""
 WITH keys AS (
     SELECT DISTINCT o_orderstatus, o_orderkey FROM orders
 ),
@@ -1106,8 +1314,9 @@ SELECT s.o_orderstatus,
             END AS BIGINT) AS kmv_estimate
 FROM sk s JOIN exact x ON x.o_orderstatus = s.o_orderstatus
 ORDER BY s.o_orderstatus ASC
-""",
-)
+"""
+
+
 def distinct_orders_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct order count per status by K-minimum-values sketch, next to
     the exact count: keep the KMV_K (= 64) smallest 32-bit md5 hashes of the

@@ -247,6 +247,22 @@ def test_round7_operators_plan_shapes(spark):
         assert "CartesianProduct" not in plan, f"{q.__name__}:\n{plan}"
 
 
+def test_rfm_approx_no_global_sort(spark):
+    """customer_rfm_segments_approx is the documented 100 TB escape hatch
+    for the exact ntile family (VERDICT r9 #4): tile cutoffs come from a
+    broadcast 1-row percentile/sketch aggregate, so the plan must contain
+    NO window function and NO sort over the customer dimension — the only
+    Sort allowed is the 3-row presentation ORDER BY dim."""
+    from databricks_spark_sql_challenge1_spark.operators.analytics_ext import (
+        customer_rfm_segments_approx,
+    )
+
+    plan = simple_plan(customer_rfm_segments_approx(spark, SF_DIR))
+    assert "Window" not in plan, plan
+    sort_lines = [ln for ln in plan.splitlines() if "Sort [" in ln]
+    assert all("dim#" in ln for ln in sort_lines), sort_lines
+
+
 # --------------------------------------------------------------------------
 # Registry-wide plan-regression sweep (VERDICT r7 #4): every registered
 # query is plan-checked BY DEFAULT — no more per-round hand lists. The
@@ -274,6 +290,9 @@ BNLJ_ALLOWED = {
     "corpus_mixture_weights",
     "corpus_temperature_mixture",
     "customer_rfm_segments",
+    # r10 audit: 1-row anchor + 1-row percentile/sketch-cutoff aggregates
+    # spread back over the customer aggregate (the no-global-sort design)
+    "customer_rfm_segments_approx",
     "docs_bm25_topk",  # r9 audit: 1-row corpus-stats agg broadcast to the scoring scan
     "docs_dsir_weights",  # r9 audit: 1-row totals spread over the 64-row dist table
     "docs_lang_rebalance",
