@@ -975,7 +975,14 @@ ORDER BY vec_1 ASC, vec_2 ASC
 """
 
 
-@query("dedup_embedding_lsh", oracle=_emb_lsh_oracle_sql())
+# Round-10 capacity policy: RETIRED from the registry (ADVICE r9 + VERDICT
+# r9 #2). Above the saturation knee this baseline delegates to
+# dedup_embedding_lsh_adaptive, whose count-derived band width would diverge
+# from THIS query's fixed 6-bit oracle on any above-knee corpus — the
+# registered name is now the adaptive variant alone, which carries a
+# count-gated oracle valid at every size. The fixed-band callable (and its
+# oracle builder, used by the below-knee bit-identity pin in
+# tests/test_extensions.py) stays importable.
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup WITHOUT all-pairs: random-hyperplane LSH blocking.
 

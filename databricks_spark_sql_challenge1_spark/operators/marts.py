@@ -204,9 +204,13 @@ def abandonment_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- dashboard widget re-aggregations (Q2 CTE analogs, dbc:cmd3-5,8-10) ----
 
 
-@query(
-    "widget_month_totals",
-    oracle="""
+# Round-10 capacity policy: widget_month_totals / widget_day_peak are no
+# longer individually registered — their rows are hash-checked inside the
+# consolidated dashboards.dashboard_month_assembly / dashboard_day_assembly
+# oracles. The callables (and their former standalone oracles, kept below
+# for reference/tests) are unchanged.
+_WIDGET_MONTH_TOTALS_SQL = (
+    """
 WITH anchor AS (SELECT max(o_orderdate) AS t FROM orders),
 """
     + _VIEWS_SQL
@@ -229,8 +233,10 @@ SELECT CAST(SUM(total_abandoned_orders) AS BIGINT) AS total_abandoned_orders,
        ROUND(CAST(SUM(total_abandoned_items) AS DOUBLE), 2) AS total_abandoned_items,
        ROUND(CAST(SUM(total_value_items) AS DOUBLE), 2) AS total_value_items
 FROM mart
-""",
+"""
 )
+
+
 def widget_month_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dashboard widget analog (``dbc:cmd3-5``): WITH q AS (mart) → totals."""
     mart = abandonment_by_month(spark, sf_dir)
@@ -242,9 +248,8 @@ def widget_month_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "widget_day_peak",
-    oracle="""
+_WIDGET_DAY_PEAK_SQL = (
+    """
 WITH anchor AS (SELECT max(o_orderdate) AS t FROM orders),
 """
     + _VIEWS_SQL
@@ -265,8 +270,10 @@ SELECT date, total_abandoned_orders, total_value_orders
 FROM mart
 ORDER BY total_abandoned_orders DESC, date DESC
 LIMIT 10
-""",
+"""
 )
+
+
 def widget_day_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dashboard widget analog (``dbc:cmd8-10``): top-10 peak abandonment days."""
     mart = abandonment_by_day(spark, sf_dir)

@@ -9,21 +9,34 @@ from databricks_spark_sql_challenge1_spark.registry import (
     NEXT_WINDOW,
     ORACLES,
     QUERIES,
+    ROWS_ONLY_STAND_INS,
     ordered_oracles,
     ordered_queries,
 )
 
 DRIVER_WINDOW = 50
 
-# Round-9 must-verify: the changed/new-query head (similarity_topk's r8
-# oracle immunization per ADVICE r8, the NEW multimodal_flac_roundtrip
-# per VERDICT r8 #6, the approx_* pair's new bounds oracles per VERDICT
-# r8 #4) plus the complete r6-evidence cohort the age gate forces into
-# the window (VERDICT r8 #1). That is the whole 50-slot window, so
-# assert it verbatim against DRIVER_PRIORITY. (dedup_incremental's perf
-# fix per VERDICT r8 #2 rides its standing r8 row — slot triage in
-# registry.py's NEXT_WINDOW comment.)
-MUST_VERIFY = set(DRIVER_PRIORITY)
+# Round-10 must-verify: an EXPLICIT literal of this round's changed/new
+# names (ADVICE r9: deriving this set from DRIVER_PRIORITY made the
+# assertion tautological — it must be able to catch a changed query that
+# was accidentally left out of the window). Update this literal whenever
+# a query is added or its output/oracle changes.
+MUST_VERIFY = {
+    # changed r10: rounded top-k membership (ADVICE r9)
+    "docs_bm25_topk",
+    "docs_weighted_sample",
+    # new r10
+    "customer_rfm_segments_approx",
+    "dashboard_day_assembly",
+    "dashboard_month_assembly",
+    # late-r9 registrations with no driver row yet (VERDICT r9 #1/#3)
+    "orc_roundtrip_checksum",
+    "distinct_orders_kmv_rollup",
+    "docs_quality_classifier",
+    "dedup_ngram_containment",
+    "retrieval_hybrid_rrf",
+    "docs_dsir_weights",
+}
 
 
 def test_priority_names_are_registered_and_unique():
@@ -115,13 +128,26 @@ def test_no_evidence_older_than_two_rounds():
         for n in QUERIES
         if latest.get(n, max_round) <= max_round - 2 and n not in refresher
     )
-    # documented parking allowance: at most two rows-only queries may
-    # ride outside the rotation (registry.py window comment — r9 parks
-    # dedup_minhash_lsh, permanently certified by the oracle-exact
-    # dedup_minhash_portable, and streaming_incremental_dedup, certified
-    # by streaming_parity_incremental_dedup and committed to NEXT_WINDOW)
-    assert len(stale_unrefreshed) <= 2, stale_unrefreshed
+    # Rotation exemption (r10 capacity policy): ONLY rows-only queries
+    # whose semantics are hash-checked by a registered oracle-backed
+    # stand-in may ride outside the rotation (ROWS_ONLY_STAND_INS).
     for n in stale_unrefreshed:
         assert n not in ORACLES, (
             f"{n} is oracle-backed and stale but outside the window"
         )
+        assert n in ROWS_ONLY_STAND_INS, (
+            f"{n} is rows-only and stale but has no documented stand-in"
+        )
+
+
+def test_rows_only_stand_ins_are_sound():
+    """The rotation exemption for rows-only queries rests on the stand-in
+    map: it must cover exactly the rows-only names, and every stand-in
+    must be a REGISTERED ORACLE-BACKED query (so the stand-in itself is
+    subject to the normal 3-round age gate)."""
+    rows_only = set(QUERIES) - set(ORACLES)
+    assert rows_only == set(ROWS_ONLY_STAND_INS), (
+        rows_only ^ set(ROWS_ONLY_STAND_INS)
+    )
+    for name, twin in ROWS_ONLY_STAND_INS.items():
+        assert twin in ORACLES, f"stand-in for {name} not oracle-backed: {twin}"
