@@ -48,7 +48,7 @@ def query(name: str, oracle: str | None = None):
 # CAPACITY POLICY (round 10, VERDICT r9 #2) — the rotation math that keeps
 # every oracle-backed name re-verified within 3 rounds with NO age-exempt
 # oracle-backed class:
-#   * 137 oracle-backed names / 3-round cadence = ~46 refresh slots per
+#   * 139 oracle-backed names / 3-round cadence = ~46 refresh slots per
 #     round, leaving ~4 head slots for new/changed queries; additions are
 #     CAPPED at the freed headroom (this round: 10 widget registrations
 #     consolidated into 2 dashboard assemblies, and 2 superseded variants
