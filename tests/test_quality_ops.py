@@ -161,3 +161,25 @@ def test_kmv_estimate_accuracy(spark):
     for r in distinct_orders_kmv(spark, SF_DIR).collect():
         rel = abs(r["kmv_estimate"] - r["n_exact"]) / r["n_exact"]
         assert rel <= bound, (r, rel, bound)
+
+
+def test_retired_kmv_equals_rollup_direct(spark):
+    """The r10 retirement claim, test-enforced: distinct_orders_kmv's
+    estimate column is byte-identical to distinct_orders_kmv_rollup's
+    kmv_direct (same keys, same hash, same integer arithmetic), so the
+    rollup query's driver row hash-checks the retired query's
+    semantics."""
+    from databricks_spark_sql_challenge1_spark.operators.analytics_ext import (
+        distinct_orders_kmv,
+        distinct_orders_kmv_rollup,
+    )
+
+    kmv = {
+        r["o_orderstatus"]: (r["n_exact"], r["kmv_estimate"])
+        for r in distinct_orders_kmv(spark, SF_DIR).collect()
+    }
+    rollup = {
+        r["o_orderstatus"]: (r["n_exact"], r["kmv_direct"])
+        for r in distinct_orders_kmv_rollup(spark, SF_DIR).collect()
+    }
+    assert kmv == rollup
