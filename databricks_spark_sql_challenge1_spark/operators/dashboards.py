@@ -185,40 +185,55 @@ def dashboard_day_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Consolidates 5 former registry names (widget_day_value_items/_orders/
     _items/_value_orders + widget_day_peak) into one multi-row oracle —
-    identical per-widget values, one driver row (capacity policy, r10).
+    identical per-widget values, one driver row (capacity policy, r10;
+    the value equivalence is pinned in tests/test_dashboards.py).
 
-    Scale shape: the mart is a calendar-bounded aggregate (~90 rows at any
-    SF — the window is 3 months of DAYS, independent of fact size); the
-    unpivot is a generator over it and the peak leg is a
-    TakeOrderedAndProject(10) over the same 90 rows. The fact-table cost
-    is the mart's two pre-aggregations, paid once per assembly instead of
-    once per widget (5x at the old granularity).
+    Scale shape: the mart is a calendar-bounded aggregate (~90 rows at
+    any SF — the window is 3 months of DAYS, independent of fact size),
+    and it is computed ONCE: the peak widget's top-10 membership comes
+    from a row_number window over those ~90 rows (not a second mart
+    lineage — a union of mart-derived branches defeats exchange reuse
+    because each branch prunes different columns), so all six widgets
+    unpivot from a single generator pass and the fact-table cost is the
+    mart's two pre-aggregations, paid once per assembly instead of once
+    per widget (5x at the old granularity).
     """
+    from pyspark.sql import Window
+
     mart = marts.abandonment_by_day(spark, sf_dir)
-    base = mart.select(
-        F.col("date").cast("string").alias("bucket"),
-        F.expr(_stack_widgets(_DAY_WIDGET_METRICS)),
-    ).select("widget", "bucket", "metric_value")
-    peak = (
-        mart.orderBy(
-            F.col("total_abandoned_orders").desc(), F.col("date").desc()
+    # rank in its own projection: a window in the same select as the stack
+    # generator would be evaluated over the GENERATED rows (6 per day),
+    # ranking stack output instead of days
+    wide = mart.select(
+        "*",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.col("total_abandoned_orders").desc(), F.col("date").desc()
+            )
         )
-        .limit(10)
-        .select(
-            F.col("date").cast("string").alias("bucket"),
-            F.expr(
-                _stack_widgets(
-                    [
-                        ("widget_day_peak_orders", "total_abandoned_orders"),
-                        ("widget_day_peak_value", "total_value_orders"),
-                    ]
-                )
-            ),
+        .alias("_rk"),
+    )
+    long = wide.select(
+        "_rk",
+        F.col("date").cast("string").alias("bucket"),
+        F.expr(
+            _stack_widgets(
+                _DAY_WIDGET_METRICS
+                + [
+                    ("widget_day_peak_orders", "total_abandoned_orders"),
+                    ("widget_day_peak_value", "total_value_orders"),
+                ]
+            )
+        ),
+    )
+    return (
+        long.where(
+            (~F.col("widget").startswith("widget_day_peak"))
+            | (F.col("_rk") <= 10)
         )
         .select("widget", "bucket", "metric_value")
-    )
-    return base.unionByName(peak).orderBy(
-        F.col("widget").asc(), F.col("bucket").asc()
+        .orderBy(F.col("widget").asc(), F.col("bucket").asc())
     )
 
 
@@ -256,47 +271,56 @@ def dashboard_month_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     Consolidates 5 former registry names (widget_month_value_items/
     _orders/_items/_value_orders + widget_month_totals) into one
     multi-row oracle — identical per-widget values, one driver row
-    (capacity policy, r10).
+    (capacity policy, r10; value equivalence pinned in
+    tests/test_dashboards.py).
 
     Scale shape: identical to the day assembly — the mart is 12 rows by
-    construction at any SF; the totals leg is a 1-row aggregate of those
-    12 unpivoted to 4 rows. Fact-table cost paid once per assembly.
+    construction at any SF and computed ONCE: the grand totals come from
+    unbounded windows over those 12 rows (emitted on the rank-1 row
+    only), so the widget rows and the totals rows unpivot from a single
+    generator pass. Fact-table cost paid once per assembly.
     """
+    from pyspark.sql import Window
+
     mart = marts.abandonment_by_month(spark, sf_dir)
-    base = mart.select(
-        F.col("year_month").alias("bucket"),
-        F.expr(_stack_widgets(_MONTH_WIDGET_METRICS)),
-    ).select("widget", "bucket", "metric_value")
-    totals = (
-        mart.agg(
-            F.sum("total_abandoned_orders")
-            .cast("bigint")
-            .cast("double")
-            .alias("total_abandoned_orders"),
-            F.round(F.sum("total_value_orders"), 2).alias("total_value_orders"),
-            F.round(F.sum("total_abandoned_items"), 2).alias(
-                "total_abandoned_items"
-            ),
-            F.round(F.sum("total_value_items"), 2).alias("total_value_items"),
-        )
-        .select(
-            F.expr(
-                "stack(4, "
-                "'total_abandoned_orders', total_abandoned_orders, "
-                "'total_value_orders', total_value_orders, "
-                "'total_abandoned_items', total_abandoned_items, "
-                "'total_value_items', total_value_items"
-                ") AS (bucket, metric_value)"
-            )
-        )
-        .select(
-            F.lit("widget_month_totals").alias("widget"),
-            "bucket",
-            "metric_value",
-        )
+    w_all = Window.orderBy(F.col("year_month").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    return base.unionByName(totals).orderBy(
-        F.col("widget").asc(), F.col("bucket").asc()
+    tot_cols = [
+        F.sum("total_abandoned_orders")
+        .over(w_all)
+        .cast("bigint")
+        .cast("double")
+        .alias("t_orders"),
+        F.round(F.sum("total_value_orders").over(w_all), 2).alias("t_vorders"),
+        F.round(F.sum("total_abandoned_items").over(w_all), 2).alias("t_items"),
+        F.round(F.sum("total_value_items").over(w_all), 2).alias("t_vitems"),
+        F.row_number()
+        .over(Window.orderBy(F.col("year_month").asc()))
+        .alias("_rk"),
+    ]
+    wide = mart.select("*", *tot_cols)
+    long = wide.select(
+        "_rk",
+        F.expr(
+            f"stack({len(_MONTH_WIDGET_METRICS) + 4}, "
+            + ", ".join(
+                f"'{w}', year_month, CAST({m} AS DOUBLE)"
+                for w, m in _MONTH_WIDGET_METRICS
+            )
+            + ", 'widget_month_totals', 'total_abandoned_orders', t_orders"
+            ", 'widget_month_totals', 'total_value_orders', t_vorders"
+            ", 'widget_month_totals', 'total_abandoned_items', t_items"
+            ", 'widget_month_totals', 'total_value_items', t_vitems"
+            ") AS (widget, bucket, metric_value)"
+        ),
+    )
+    return (
+        long.where(
+            (F.col("widget") != "widget_month_totals") | (F.col("_rk") == 1)
+        )
+        .select("widget", "bucket", "metric_value")
+        .orderBy(F.col("widget").asc(), F.col("bucket").asc())
     )
 
 
