@@ -183,3 +183,79 @@ def test_retired_kmv_equals_rollup_direct(spark):
         for r in distinct_orders_kmv_rollup(spark, SF_DIR).collect()
     }
     assert kmv == rollup
+
+
+def test_rfm_approx_bounds_oracle_is_falsifiable(spark):
+    """The approx-RFM bounds oracle only has teeth if a BROKEN sketch
+    flips its booleans. Recompute the query's own acceptance arithmetic
+    with deliberately-garbage cutoffs (each dimension's min, i.e. a
+    sketch stuck at p=0) and assert the rank bounds AND the
+    tile-agreement floor both reject them — while the healthy query
+    passes everything."""
+    from databricks_spark_sql_challenge1_spark.operators.analytics_ext import (
+        PCT_RANK_EPS,
+        RFM_AGREE_MIN,
+        _RFM_DIMS,
+        _RFM_PS,
+        customer_rfm_segments_approx,
+    )
+
+    healthy = customer_rfm_segments_approx(spark, SF_DIR).collect()
+    assert len(healthy) == 3
+    for r in healthy:
+        assert r["ok_q25"] and r["ok_q50"] and r["ok_q75"], r
+        assert r["tile_agreement_ok"], r
+
+    # rebuild the per-customer frame the query aggregates
+    orders = load_table(spark, SF_DIR, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("a"))
+    m = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "custkey",
+            F.datediff(F.col("a"), F.col("last_order"))
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    ).collect()
+    n = len(m)
+    eps = PCT_RANK_EPS + 1.5 / n
+
+    import math
+
+    for dim, col, asc in _RFM_DIMS:
+        vals = sorted(r[col] for r in m)
+        exact = [
+            vals[math.floor(p * (n - 1))]
+            + (p * (n - 1) - math.floor(p * (n - 1)))
+            * (vals[min(math.floor(p * (n - 1)) + 1, n - 1)] - vals[math.floor(p * (n - 1))])
+            for p in _RFM_PS
+        ]
+        garbage = [vals[0]] * 3  # a sketch stuck at the minimum
+
+        # rank-bound acceptance must reject the garbage q75 cutoff
+        p = _RFM_PS[2]
+        le = sum(1 for v in vals if v <= garbage[2])
+        lo = math.floor((p - eps) * n)
+        assert le < lo, (dim, le, lo)
+
+        # tile agreement between exact and garbage cutoffs must crater
+        def tile(v, cuts):
+            if asc:
+                return 1 + sum(v > c for c in cuts)
+            return 1 + sum(v <= c for c in cuts)
+
+        agree = sum(
+            tile(r[col], exact) == tile(r[col], garbage) for r in m
+        ) / n
+        assert agree < RFM_AGREE_MIN, (dim, agree)
