@@ -247,11 +247,14 @@ SELECT 'widget_month_totals' AS widget, mname AS bucket, metric_value
 FROM (
     SELECT CAST(CAST(SUM(total_abandoned_orders) AS BIGINT) AS DOUBLE)
                AS total_abandoned_orders,
-           ROUND(CAST(SUM(total_value_orders) AS DOUBLE), 2)
+           CAST(SUM(CAST(ROUND(total_value_orders * 100) AS BIGINT))
+                AS BIGINT) / 100.0
                AS total_value_orders,
-           ROUND(CAST(SUM(total_abandoned_items) AS DOUBLE), 2)
+           CAST(SUM(CAST(ROUND(total_abandoned_items * 100) AS BIGINT))
+                AS BIGINT) / 100.0
                AS total_abandoned_items,
-           ROUND(CAST(SUM(total_value_items) AS DOUBLE), 2)
+           CAST(SUM(CAST(ROUND(total_value_items * 100) AS BIGINT))
+                AS BIGINT) / 100.0
                AS total_value_items
     FROM q
 ) UNPIVOT (metric_value FOR mname IN (
@@ -286,15 +289,26 @@ def dashboard_month_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_all = Window.orderBy(F.col("year_month").asc()).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
+    # ADVICE r10: the mart's monetary metrics are already on a 2-decimal
+    # grid; carry them as integer CENTS through the grand-total SUM (exact,
+    # summation-order independent) and divide only at emission, so a
+    # last-ulp .xx5-boundary difference in Spark-vs-DuckDB summation order
+    # can never flip a cent (the r7 gapfill hazard class at n=12).
+    def _cents_total(col: str):
+        return (
+            F.sum(F.round(F.col(col) * 100).cast("bigint")).over(w_all)
+            / 100.0
+        )
+
     tot_cols = [
         F.sum("total_abandoned_orders")
         .over(w_all)
         .cast("bigint")
         .cast("double")
         .alias("t_orders"),
-        F.round(F.sum("total_value_orders").over(w_all), 2).alias("t_vorders"),
-        F.round(F.sum("total_abandoned_items").over(w_all), 2).alias("t_items"),
-        F.round(F.sum("total_value_items").over(w_all), 2).alias("t_vitems"),
+        _cents_total("total_value_orders").alias("t_vorders"),
+        _cents_total("total_abandoned_items").alias("t_items"),
+        _cents_total("total_value_items").alias("t_vitems"),
         F.row_number()
         .over(Window.orderBy(F.col("year_month").asc()))
         .alias("_rk"),

@@ -2426,8 +2426,21 @@ def multimodal_mp3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = {k.name: [] for k in MP3_STATS_SCHEMA.fields}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                # ADVICE r10: every codec witness's oracle derives PCM from
+                # per-CHARACTER codepoints (ord(text[i])) while the kernels
+                # encode utf-8 BYTES; the two agree only for pure-ASCII
+                # fixtures (FIXTURES.md §ascii-convention). Assert it once
+                # here so a fixture change fails loudly instead of as a
+                # driver hash mismatch spread across five witnesses.
+                if len(data) != len(text):
+                    raise ValueError(
+                        f"doc {doc_id}: non-ASCII text violates the codec-"
+                        "witness byte==codepoint oracle convention "
+                        "(FIXTURES.md)"
+                    )
                 try:
-                    stats = mp3_decode_stats(mp3_encode(text.encode("utf-8")))
+                    stats = mp3_decode_stats(mp3_encode(data))
                 except ValueError as exc:
                     raise ValueError(f"doc {doc_id}: {exc}") from exc
                 rows["doc_id"].append(doc_id)

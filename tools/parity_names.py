@@ -57,27 +57,50 @@ def main() -> None:
                 continue
             t0 = time.monotonic()
             try:
-                srows = sorted(
+                sseq = [
                     tuple(str(x) for x in r)
                     for r in q[name](spark, sf_dir).collect()
-                )
+                ]
                 t1 = time.monotonic()
                 if name not in o:
                     print(
                         f"ROWS {sf_dir} {name} spark={t1 - t0:.1f}s "
-                        f"rows={len(srows)} (rows-only, no oracle)",
+                        f"rows={len(sseq)} (rows-only, no oracle)",
                         flush=True,
                     )
                     continue
-                drows = sorted(
+                dseq = [
                     tuple(str(x) for x in r)
                     for r in con.execute(o[name]).fetchall()
-                )
+                ]
+                srows, drows = sorted(sseq), sorted(dseq)
                 ok = srows == drows
+                # ADVICE r10: a sorted-multiset compare hides Spark-vs-
+                # oracle ORDER BY divergence; report ordering-only
+                # mismatches distinctly and FAIL on them when the oracle
+                # declares an ORDER BY (then the two sides disagreeing on
+                # order means the declared order is not total — the
+                # CLAUDE.md hazard). Queries with no declared order are
+                # compared as multisets only, matching the driver's
+                # sorted hash.
+                order_only = (
+                    ok and sseq != dseq and "order by" in o[name].lower()
+                )
+                if order_only:
+                    bad.append((sf_dir, name, "ORDER-ONLY"))
+                    for i, (a, b) in enumerate(zip(sseq, dseq)):
+                        if a != b:
+                            print(
+                                f"ORDERDIFF {sf_dir} {name} first at row "
+                                f"{i}: {a[:8]} vs {b[:8]}",
+                                flush=True,
+                            )
+                            break
                 print(
                     f"DONE {sf_dir} {name} spark={t1 - t0:.1f}s "
                     f"duck={time.monotonic() - t1:.1f}s rows={len(srows)} "
-                    f"match={ok}",
+                    f"match={ok}"
+                    + (" ORDER-ONLY-MISMATCH" if order_only else ""),
                     flush=True,
                 )
                 if not ok:
