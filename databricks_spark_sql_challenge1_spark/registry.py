@@ -62,110 +62,29 @@ def query(name: str, oracle: str | None = None):
 #     rotation already produces. tests/test_registry_order.py enforces the
 #     stand-in invariant.
 #
-# Round-10 window, in priority order:
-#   0. changed this round (2): docs_bm25_topk / docs_weighted_sample
-#      (ADVICE r9: top-k membership now decided on the ROUNDED score so
-#      libm-vs-JVM ln() ulp drift cannot flip the selected row set).
-#   1. new this round (3): customer_rfm_segments_approx (VERDICT r9 #4 —
-#      the no-global-sort ntile escape hatch, bounds-style oracle) and the
-#      two consolidated dashboard assemblies.
-#   2. the 6 late-r9 registrations with no driver row yet (VERDICT r9 #1/#3:
-#      the only shipped operators with zero driver evidence — all six are
-#      3-SF local-parity green): orc_roundtrip_checksum,
-#      distinct_orders_kmv_rollup, docs_quality_classifier,
-#      dedup_ngram_containment, retrieval_hybrid_rrf, docs_dsir_weights.
-#   3. the complete r7-evidence oracle-backed cohort (39): every
-#      oracle-backed query whose latest CORRECTNESS row is round 7 — after
-#      this round's run no oracle-backed name has evidence older than two
-#      rounds (the 6 rows-only streaming names that shared the r7 window
-#      are rotation-exempt under the stand-in policy above).
+# Round-11 window, in priority order (spends the r10-committed NEXT_WINDOW
+# exactly as pinned — VERDICT r10 #1):
+#   0. changed this round (1): dashboard_month_assembly (ADVICE r10:
+#      grand totals re-expressed as integer-cents sums on both sides).
+#   1. the round-10 registration with no driver row yet (the ONLY
+#      oracle-backed name with zero driver evidence): multimodal_mp3_frames.
+#   2. the complete r8-evidence oracle-backed cohort (38 live names —
+#      the other 12 r8 driver rows were consolidated widgets, retired
+#      variants, or the rows-only streaming name) — after this
+#      round's run no oracle-backed name has evidence older than two
+#      rounds.
+#   3. pulled-forward r9-cohort names filling the window to 50: the two
+#      bench watch items (order_export_denorm, copurchase_components —
+#      VERDICT r10 #2, so their isolated re-measures pair with fresh
+#      driver rows) and cheap stable heads; these leave the r12 cohort
+#      correspondingly smaller. New r11 registrations displace fill names
+#      (head-first) as they land.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # 0: changed this round (rounded top-k membership, ADVICE r9)
-    "docs_bm25_topk",
-    "docs_weighted_sample",
-    # 1: new this round
-    "customer_rfm_segments_approx",
-    "dashboard_day_assembly",
+    # 0: changed this round (cents-exact grand totals, ADVICE r10)
     "dashboard_month_assembly",
-    # 2: late-r9 registrations, never driver-checked
-    "orc_roundtrip_checksum",
-    "distinct_orders_kmv_rollup",
-    "docs_quality_classifier",
-    "dedup_ngram_containment",
-    "retrieval_hybrid_rrf",
-    "docs_dsir_weights",
-    # 3: the complete r7-evidence oracle-backed cohort (39)
-    "corpus_mixture_weights",
-    "corpus_privacy_pipeline",
-    "cube_order_summary",
-    "customer_value_deciles",
-    "dedup_cluster_components",
-    "dedup_semantic_ivf",
-    "dedup_simhash_adaptive",
-    "dedup_simhash_pairs",
-    "docs_contamination_bloom",
-    "docs_perplexity_buckets",
-    "docs_pii_redact",
-    "docs_quality_tiers",
-    "embedding_quantize_int8",
-    "embedding_random_projection",
-    "events_asof_join",
-    "events_funnel_conversion",
-    "events_hourly_anomaly",
-    "events_json_extract",
-    "events_json_schema",
-    "events_range_join",
-    "events_retention_cohorts",
-    "events_rolling_7d_value",
-    "events_session_30m",
-    "events_sliding_1h_30m",
-    "events_time_rollup",
-    "events_tumbling_1h",
-    "events_type_transitions",
-    "jsonl_roundtrip_checksum",
-    "multimodal_bmp_parse",
-    "multimodal_frame_stats",
-    "multimodal_image_thumbnail",
-    "multimodal_png_roundtrip",
-    "multimodal_wav_parse",
-    "orders_dq_audit",
-    "orders_unpivot_metrics",
-    "similarity_ivf",
-    "similarity_ivfpq",
-    "similarity_pq",
-    "topk_products_cms",
-    # --- window boundary: 50 names above (tests/test_registry_order.py) ---
-)
-
-# Rows-only queries are rotation-exempt: each name's semantics are
-# hash-checked every rotation by the oracle-backed stand-in on the right
-# (the parity twins replay the SAME stateful pipeline against the batch
-# oracle; dedup_minhash_portable is the oracle-exact re-implementation of
-# the spark.ml MinHashLSH demo). tests/test_registry_order.py asserts every
-# rows-only name is listed here and every stand-in is registered WITH an
-# oracle, so the exemption can never silently widen.
-ROWS_ONLY_STAND_INS: dict[str, str] = {
-    "dedup_minhash_lsh": "dedup_minhash_portable",
-    "streaming_click_attribution": "streaming_parity_click_attribution",
-    "streaming_dedup_events": "streaming_parity_dedup",
-    "streaming_gap_monitor": "streaming_parity_gap_monitor",
-    "streaming_incremental_dedup": "streaming_parity_incremental_dedup",
-    "streaming_nation_activity": "streaming_parity_nation_activity",
-    "streaming_session_30m": "streaming_parity_session_30m",
-    "streaming_tumbling_1h": "streaming_parity_tumbling_1h",
-    "streaming_user_state": "streaming_parity_user_state",
-}
-
-# Committed round-11 window (the rotation the NEXT round starts from; the
-# phase-aware age gate uses this once CORRECTNESS_r10.json lands): the
-# round-10 registration that missed the spent r10 window (the MP3
-# frame-layer witness, VERDICT r9 #6 — 3-SF local parity green,
-# QUERIES.md) first, then the complete r8-evidence oracle-backed cohort —
-# 39 names, leaving 11 head slots for round-11 new/changed queries (the
-# capacity policy's headroom; candidate: a TWS protobuf variant if the
-# dependency appears).
-NEXT_WINDOW: tuple[str, ...] = (
+    # 1: new r10, never driver-checked (VERDICT r10 #1)
     "multimodal_mp3_frames",
+    # 2: the complete r8-evidence oracle-backed cohort (38)
     "calendar_dim",
     "corpus_dedup_pipeline",
     "dedup_embedding_cosine",
@@ -204,6 +123,85 @@ NEXT_WINDOW: tuple[str, ...] = (
     "text_quality_stats",
     "text_simhash",
     "text_token_stats",
+    # 3: pulled-forward r9-cohort fill (watch items first)
+    "order_export_denorm",
+    "copurchase_components",
+    "valid_orders",
+    "clean_orders",
+    "count_distinct_orders",
+    "orders_no_price",
+    "abandonment_by_day",
+    "abandonment_by_month",
+    "lang_stats",
+    "launch_month_orders",
+    # --- window boundary: 50 names above (tests/test_registry_order.py) ---
+)
+
+# Rows-only queries are rotation-exempt: each name's semantics are
+# hash-checked every rotation by the oracle-backed stand-in on the right
+# (the parity twins replay the SAME stateful pipeline against the batch
+# oracle; dedup_minhash_portable is the oracle-exact re-implementation of
+# the spark.ml MinHashLSH demo). tests/test_registry_order.py asserts every
+# rows-only name is listed here and every stand-in is registered WITH an
+# oracle, so the exemption can never silently widen.
+ROWS_ONLY_STAND_INS: dict[str, str] = {
+    "dedup_minhash_lsh": "dedup_minhash_portable",
+    "streaming_click_attribution": "streaming_parity_click_attribution",
+    "streaming_dedup_events": "streaming_parity_dedup",
+    "streaming_gap_monitor": "streaming_parity_gap_monitor",
+    "streaming_incremental_dedup": "streaming_parity_incremental_dedup",
+    "streaming_nation_activity": "streaming_parity_nation_activity",
+    "streaming_session_30m": "streaming_parity_session_30m",
+    "streaming_tumbling_1h": "streaming_parity_tumbling_1h",
+    "streaming_user_state": "streaming_parity_user_state",
+}
+
+# Committed round-12 window (the rotation the NEXT round starts from; the
+# phase-aware age gate uses this once CORRECTNESS_r11.json lands): the
+# complete r9-evidence oracle-backed cohort MINUS the 10 names this round's
+# window pulled forward — 40 names, leaving 10 head slots for round-12
+# new/changed queries (the capacity policy's headroom).
+NEXT_WINDOW: tuple[str, ...] = (
+    "abandonment_mom_increase",
+    "abandonment_yoy_increase",
+    "approx_price_percentiles",
+    "approx_topk_products",
+    "copurchase_lift",
+    "copurchase_pagerank",
+    "copurchase_triangles",
+    "corpus_filter_pipeline",
+    "corpus_temperature_mixture",
+    "corpus_vocabulary",
+    "customer_rfm_segments",
+    "dedup_embedding_clusters",
+    "dedup_embedding_lsh_adaptive",
+    "doc_fingerprint",
+    "doc_rolling_fingerprint",
+    "docs_chunk_windows",
+    "docs_contamination",
+    "docs_lang_rebalance",
+    "docs_repetition_stats",
+    "docs_split_assign",
+    "docs_stratified_sample",
+    "events_json_nested",
+    "lang_id_heuristic",
+    "launch_cohort_analysis",
+    "multimodal_audio_pcm_stats",
+    "multimodal_features",
+    "multimodal_flac_roundtrip",
+    "nations_by_customer",
+    "nations_by_expr_key",
+    "nations_by_supplier",
+    "partkey_skew_histogram",
+    "similarity_pq_rerank",
+    "similarity_topk",
+    "text_entropy",
+    "text_tfidf_top_terms",
+    "tfidf_doc_neighbors",
+    "token_budget_pack",
+    "top_abandoned_pairs",
+    "top_abandoned_products",
+    "top_abandoned_products_salted",
 )
 
 

@@ -22,20 +22,11 @@ DRIVER_WINDOW = 50
 # was accidentally left out of the window). Update this literal whenever
 # a query is added or its output/oracle changes.
 MUST_VERIFY = {
-    # changed r10: rounded top-k membership (ADVICE r9)
-    "docs_bm25_topk",
-    "docs_weighted_sample",
-    # new r10
-    "customer_rfm_segments_approx",
-    "dashboard_day_assembly",
+    # changed r11: cents-exact grand totals (ADVICE r10)
     "dashboard_month_assembly",
-    # late-r9 registrations with no driver row yet (VERDICT r9 #1/#3)
-    "orc_roundtrip_checksum",
-    "distinct_orders_kmv_rollup",
-    "docs_quality_classifier",
-    "dedup_ngram_containment",
-    "retrieval_hybrid_rrf",
-    "docs_dsir_weights",
+    # new r10 with no driver row yet (VERDICT r10 #1 — the only
+    # oracle-backed name with zero driver evidence)
+    "multimodal_mp3_frames",
 }
 
 
