@@ -2453,3 +2453,398 @@ def multimodal_mp3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(_roundtrip, MP3_STATS_SCHEMA)
         .orderBy(F.col("doc_id").asc())
     )
+
+
+# --------------------------------------------------------------------------
+# AVI / Motion-JPEG, from scratch — the VIDEO-CONTAINER family (VERDICT r10
+# #4a: the remaining lossy-media line after PNG/GIF/JPEG/WAV/BMP/FLAC/MP3).
+# Each document's bytes become a sequence of fixed-size 32x8 grayscale
+# frames, every frame independently encoded with the repo's own baseline
+# JPEG (``jpeg_encode_gray``) and packed into a spec-layout RIFF/AVI:
+# RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf)) LIST('movi'
+# '00dc'...) 'idx1'). The walker re-parses every layer — RIFF size
+# accounting, avih/strh/strf field cross-checks, movi chunk walk with
+# word-alignment padding, idx1 offset/size verification against the actual
+# chunk positions — and fully JPEG-decodes every frame. Reference notebook
+# has no codecs at all; this extends the multimodal surface (SURVEY §2.10).
+# --------------------------------------------------------------------------
+
+AVI_FRAME_W = 32  # frame width — same raster convention as the JPEG witness
+AVI_FRAME_H = 8  # one MCU row per frame: every frame is exactly 4 blocks
+AVI_FRAME_PAYLOAD = AVI_FRAME_W * AVI_FRAME_H  # 256 payload bytes per frame
+AVI_FPS = 25  # dwRate/dwScale; dwMicroSecPerFrame = 1_000_000 // AVI_FPS
+AVI_SUBSET_MOD = 8  # witness subset: doc_id % 8 == 5 (within JPEG's %4==1)
+
+
+def _fourcc(s: str) -> bytes:
+    return s.encode("ascii")
+
+
+def avi_encode_mjpeg(payload: bytes) -> bytes:
+    """Pack payload bytes into an MJPEG-in-AVI container: ceil(n/256)
+    frames (at least one) of 32x8 grayscale pixels, the LAST frame
+    zero-padded so every frame has the declared dimensions, each frame a
+    standalone baseline JPEG in a word-aligned '00dc' movi chunk, plus a
+    complete idx1 index whose offsets are relative to the 'movi' fourcc
+    (the standard convention)."""
+    import struct
+
+    n = len(payload)
+    n_frames = max(1, (n + AVI_FRAME_PAYLOAD - 1) // AVI_FRAME_PAYLOAD)
+    padded = payload + b"\x00" * (n_frames * AVI_FRAME_PAYLOAD - n)
+    jpegs = [
+        jpeg_encode_gray(
+            padded[f * AVI_FRAME_PAYLOAD : (f + 1) * AVI_FRAME_PAYLOAD]
+        )
+        for f in range(n_frames)
+    ]
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // AVI_FPS,  # dwMicroSecPerFrame
+        0,  # dwMaxBytesPerSec (informational)
+        0,  # dwPaddingGranularity
+        0x10,  # dwFlags: AVIF_HASINDEX
+        n_frames,  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        0,  # dwSuggestedBufferSize
+        AVI_FRAME_W,
+        AVI_FRAME_H,
+        0, 0, 0, 0,  # dwReserved
+    )
+    strh = (
+        _fourcc("vids")
+        + _fourcc("MJPG")
+        + struct.pack(
+            "<IHHIIIIIIII",
+            0,  # dwFlags
+            0, 0,  # wPriority, wLanguage
+            0,  # dwInitialFrames
+            1,  # dwScale
+            AVI_FPS,  # dwRate
+            0,  # dwStart
+            n_frames,  # dwLength (frames)
+            0,  # dwSuggestedBufferSize
+            0xFFFFFFFF,  # dwQuality (default)
+            0,  # dwSampleSize (0 = variable-size samples)
+        )
+        + struct.pack("<4h", 0, 0, AVI_FRAME_W, AVI_FRAME_H)  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40,  # biSize
+        AVI_FRAME_W,
+        AVI_FRAME_H,
+        1,  # biPlanes
+        24,  # biBitCount (MJPG convention)
+        _fourcc("MJPG"),  # biCompression
+        0,  # biSizeImage (may be 0 for compressed)
+        0, 0, 0, 0,  # resolution / clr
+    )
+
+    def chunk(ckid: str, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return _fourcc(ckid) + struct.pack("<I", len(data)) + data + pad
+
+    def list_chunk(ltype: str, data: bytes) -> bytes:
+        return (
+            _fourcc("LIST")
+            + struct.pack("<I", 4 + len(data))
+            + _fourcc(ltype)
+            + data
+        )
+
+    strl = list_chunk("strl", chunk("strh", strh) + chunk("strf", strf))
+    hdrl = list_chunk("hdrl", chunk("avih", avih) + strl)
+
+    movi_body = b""
+    idx_entries = []
+    for jb in jpegs:
+        # idx1 offset convention: relative to the 'movi' fourcc position
+        idx_entries.append((4 + len(movi_body), len(jb)))
+        movi_body += chunk("00dc", jb)
+    movi = list_chunk("movi", movi_body)
+    idx1 = chunk(
+        "idx1",
+        b"".join(
+            _fourcc("00dc") + struct.pack("<III", 0x10, off, size)
+            for off, size in idx_entries
+        ),
+    )
+    body = _fourcc("AVI ") + hdrl + movi + idx1
+    return _fourcc("RIFF") + struct.pack("<I", len(body)) + body
+
+
+def avi_decode_frames(blob: bytes):
+    """Full RIFF/AVI walker: validates the RIFF envelope, header-list
+    fields, movi chunk layout (word alignment included) and the idx1
+    index's offsets/sizes against the actual chunk positions, then
+    baseline-JPEG-decodes every '00dc' frame. Returns (n_frames,
+    [(pixels, qblocks)]). Any structural defect raises ValueError."""
+    import struct
+
+    try:
+        return _avi_decode_inner(blob)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, OverflowError, struct.error) as exc:
+        raise ValueError(f"corrupt AVI: {type(exc).__name__}") from exc
+
+
+def _avi_decode_inner(blob: bytes):
+    import struct
+
+    b = bytes(blob)
+    if b[:4] != b"RIFF":
+        raise ValueError("bad RIFF magic")
+    riff_size = struct.unpack_from("<I", b, 4)[0]
+    if riff_size != len(b) - 8:
+        raise ValueError("RIFF size mismatch")
+    if b[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+
+    def walk(pos: int, end: int):
+        while pos + 8 <= end:
+            ckid = b[pos : pos + 4]
+            size = struct.unpack_from("<I", b, pos + 4)[0]
+            data_start = pos + 8
+            if data_start + size > end:
+                raise ValueError(f"chunk {ckid!r} overruns parent")
+            yield ckid, pos, data_start, size
+            pos = data_start + size + (size % 2)  # word alignment
+
+    chunks = list(walk(12, 8 + riff_size))
+    kinds = [c[0] for c in chunks]
+    if kinds[:1] != [b"LIST"] or b[chunks[0][2] : chunks[0][2] + 4] != b"hdrl":
+        raise ValueError("missing hdrl list")
+    hdrl_id, hdrl_pos, hdrl_start, hdrl_size = chunks[0]
+
+    hchunks = list(walk(hdrl_start + 4, hdrl_start + hdrl_size))
+    if hchunks[0][0] != b"avih":
+        raise ValueError("missing avih")
+    avih = struct.unpack_from("<IIIIIIIIII", b, hchunks[0][2])
+    (usec, _mbps, _pad, flags, total_frames, _init, streams, _buf, w, h) = avih
+    if usec != 1_000_000 // AVI_FPS:
+        raise ValueError("avih frame interval mismatch")
+    if not flags & 0x10:
+        raise ValueError("AVIF_HASINDEX not set")
+    if streams != 1:
+        raise ValueError("expected exactly one stream")
+    if (w, h) != (AVI_FRAME_W, AVI_FRAME_H):
+        raise ValueError("avih dimensions mismatch")
+
+    if hchunks[1][0] != b"LIST" or b[hchunks[1][2] : hchunks[1][2] + 4] != b"strl":
+        raise ValueError("missing strl list")
+    schunks = list(walk(hchunks[1][2] + 4, hchunks[1][2] + hchunks[1][3]))
+    if schunks[0][0] != b"strh":
+        raise ValueError("missing strh")
+    sh = b[schunks[0][2] : schunks[0][2] + schunks[0][3]]
+    if sh[:4] != b"vids" or sh[4:8] != b"MJPG":
+        raise ValueError("strh type/handler mismatch")
+    scale, rate, _start, length = struct.unpack_from("<IIII", sh, 20)
+    if (scale, rate) != (1, AVI_FPS):
+        raise ValueError("strh rate mismatch")
+    if length != total_frames:
+        raise ValueError("strh length != avih total frames")
+    if schunks[1][0] != b"strf":
+        raise ValueError("missing strf")
+    sf = b[schunks[1][2] : schunks[1][2] + schunks[1][3]]
+    bi_size, bi_w, bi_h = struct.unpack_from("<Iii", sf, 0)
+    if bi_size != 40 or (bi_w, bi_h) != (AVI_FRAME_W, AVI_FRAME_H):
+        raise ValueError("strf header mismatch")
+    if sf[16:20] != b"MJPG":
+        raise ValueError("strf compression mismatch")
+
+    movi = next(
+        (c for c in chunks if c[0] == b"LIST" and b[c[2] : c[2] + 4] == b"movi"),
+        None,
+    )
+    if movi is None:
+        raise ValueError("missing movi list")
+    _, movi_pos, movi_start, movi_size = movi
+    frames = []
+    positions = []
+    for ckid, pos, dstart, size in walk(movi_start + 4, movi_start + movi_size):
+        if ckid != b"00dc":
+            raise ValueError(f"unexpected movi chunk {ckid!r}")
+        # idx1 offsets are relative to the 'movi' fourcc position
+        positions.append((pos - movi_start, size))
+        px, qb = jpeg_decode_gray(b[dstart : dstart + size])
+        if px.shape != (AVI_FRAME_H, AVI_FRAME_W):
+            raise ValueError(f"frame shape {px.shape}")
+        frames.append((px, qb))
+    if len(frames) != total_frames:
+        raise ValueError("movi frame count != declared total")
+
+    idx = next((c for c in chunks if c[0] == b"idx1"), None)
+    if idx is None:
+        raise ValueError("missing idx1")
+    _, _, idx_start, idx_size = idx
+    if idx_size != 16 * total_frames:
+        raise ValueError("idx1 size mismatch")
+    for i in range(total_frames):
+        ckid = b[idx_start + 16 * i : idx_start + 16 * i + 4]
+        iflags, ioff, isize = struct.unpack_from("<III", b, idx_start + 16 * i + 4)
+        if ckid != b"00dc" or iflags != 0x10:
+            raise ValueError(f"idx1 entry {i} ckid/flags mismatch")
+        if (ioff, isize) != positions[i]:
+            raise ValueError(f"idx1 entry {i} offset/size mismatch")
+    return total_frames, frames
+
+
+AVI_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("frame_w", LongType()),
+        StructField("frame_h", LongType()),
+        StructField("n_blocks", LongType()),
+        StructField("dc_sum", LongType()),
+        StructField("idx_ok", BooleanType()),
+        StructField("err_le_bound", BooleanType()),
+    ]
+)
+
+
+@query(
+    "multimodal_avi_frames",
+    oracle=f"""
+WITH c AS (
+    SELECT doc_id, length(text) AS n,
+           list_transform(generate_series(1, length(text)),
+                          i -> ord(text[i])) AS px
+    FROM documents WHERE doc_id % {AVI_SUBSET_MOD} = 5
+),
+dims AS (
+    SELECT doc_id, px,
+           GREATEST((n + {AVI_FRAME_PAYLOAD - 1}) // {AVI_FRAME_PAYLOAD}, 1)
+               AS n_frames
+    FROM c
+),
+sums AS (
+    SELECT doc_id, n_frames,
+           list_sum(list_transform(generate_series(0, 63),
+               k -> COALESCE(px[(b // 4) * {AVI_FRAME_PAYLOAD}
+                                + (k // 8) * {AVI_FRAME_W}
+                                + (b % 4) * 8 + (k % 8) + 1], 0)))
+           - 8192 AS d
+    FROM dims, unnest(generate_series(0, n_frames * 4 - 1)) AS u(b)
+),
+blocks AS (
+    -- floor division on a possibly-negative numerator (repo identity)
+    SELECT doc_id, n_frames,
+           (d - ((d % {8 * JPEG_QDC} + {8 * JPEG_QDC}) % {8 * JPEG_QDC}))
+               // {8 * JPEG_QDC} AS dcq
+    FROM sums
+)
+SELECT doc_id,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST({AVI_FRAME_W} AS BIGINT) AS frame_w,
+       CAST({AVI_FRAME_H} AS BIGINT) AS frame_h,
+       CAST(n_frames * 4 AS BIGINT) AS n_blocks,
+       CAST(SUM(dcq) AS BIGINT) AS dc_sum,
+       TRUE AS idx_ok,
+       TRUE AS err_le_bound
+FROM blocks
+GROUP BY doc_id, n_frames
+ORDER BY doc_id ASC
+""",
+)
+def multimodal_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MJPEG-in-AVI round trip [Q-avi]: pack each document's bytes into
+    ceil(n/{AVI_FRAME_PAYLOAD}) fixed-size 32x8 frames, JPEG-encode each
+    with the repo's own T.81 baseline encoder, wrap them in a spec-layout
+    RIFF/AVI container (avih/strh/strf headers, word-aligned '00dc' movi
+    chunks, full idx1 index), then walk the container back validating
+    every structural layer and fully JPEG-decoding every frame.
+
+    Evidence layers (the JPEG witness's split, lifted to video):
+    - the CONTAINER layer is bit-exact: RIFF/LIST size accounting, header
+      field cross-checks (avih total frames == strh length == movi chunk
+      count == idx1 entries), and idx1 offset/size verification against
+      the actual walked chunk positions — any wrong byte in the packer or
+      walker raises (red driver row);
+    - the per-frame ENTROPY layer is lossless: each decoded frame's
+      quantized coefficient blocks must equal the encoder's bit-exactly
+      (asserted here against the original payload);
+    - dc_sum replays the frame tiling + DC quantization with pure integer
+      arithmetic in the oracle — a defect in the frame split, the
+      zero-padding of the last frame, or the DC path flips the hash;
+    - per-frame reconstruction error asserted <= {JPEG_MAX_ABS_ERR},
+      surfaced as the hash-checked ``err_le_bound``.
+
+    Scale shape: doc_id % {AVI_SUBSET_MOD} == 5 subset (disjoint residue
+    within the codec-witness partition scheme), one repartition to spread
+    the CPU-bound sequential kernel across cores, one Arrow-batched
+    mapInPandas — identical to the other codec witnesses; at real corpus
+    scale the repartition is a no-op over many input splits.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % AVI_SUBSET_MOD == 5)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in AVI_STATS_SCHEMA.fields}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = text.encode("utf-8")
+                try:
+                    blob = avi_encode_mjpeg(payload)
+                    n_frames, frames = avi_decode_frames(blob)
+                    expect_frames = max(
+                        1,
+                        (len(payload) + AVI_FRAME_PAYLOAD - 1)
+                        // AVI_FRAME_PAYLOAD,
+                    )
+                    if n_frames != expect_frames:
+                        raise ValueError("frame count mismatch")
+                    padded = payload + b"\x00" * (
+                        n_frames * AVI_FRAME_PAYLOAD - len(payload)
+                    )
+                    dc_sum = 0
+                    max_err = 0
+                    for f, (px, qb) in enumerate(frames):
+                        raster = np.frombuffer(
+                            padded[
+                                f * AVI_FRAME_PAYLOAD : (f + 1)
+                                * AVI_FRAME_PAYLOAD
+                            ],
+                            np.uint8,
+                        ).reshape(AVI_FRAME_H, AVI_FRAME_W)
+                        enc_q = _jpeg_quantize_blocks(raster)
+                        if not np.array_equal(enc_q, qb):
+                            raise ValueError(
+                                f"frame {f} entropy-layer mismatch"
+                            )
+                        dc_sum += int(enc_q[:, 0, 0].sum())
+                        max_err = max(
+                            max_err,
+                            int(
+                                np.abs(
+                                    px.astype(np.int64)
+                                    - raster.astype(np.int64)
+                                ).max()
+                            ),
+                        )
+                    if max_err > JPEG_MAX_ABS_ERR:
+                        raise ValueError(f"reconstruction error {max_err}")
+                except ValueError as exc:
+                    raise ValueError(f"doc {doc_id}: {exc}") from exc
+                rows["doc_id"].append(doc_id)
+                rows["n_frames"].append(n_frames)
+                rows["frame_w"].append(AVI_FRAME_W)
+                rows["frame_h"].append(AVI_FRAME_H)
+                rows["n_blocks"].append(n_frames * 4)
+                rows["dc_sum"].append(dc_sum)
+                rows["idx_ok"].append(True)
+                rows["err_le_bound"].append(max_err <= JPEG_MAX_ABS_ERR)
+            yield pd.DataFrame(rows)
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(_roundtrip, AVI_STATS_SCHEMA)
+        .orderBy(F.col("doc_id").asc())
+    )

@@ -533,3 +533,76 @@ def test_mp3_roundtrip_is_exact_on_random_payloads():
         assert stats["peak"] == max(abs(v) for v in x)
         assert stats["sample_sum"] == sum(x)
         assert stats["crc_ok"] and stats["md5_ok"]
+
+
+def test_avi_decode_corruption_always_valueerror():
+    """Same fuzz contract as the other codec witnesses, lifted to the
+    container level: every truncation of a valid MJPEG-AVI and random
+    byte corruptions must raise ValueError or decode; a surviving
+    corruption must be one the RIFF size accounting / header
+    cross-checks / idx1 verification / JPEG entropy layer genuinely
+    cannot see (e.g. a don't-care header byte like dwMaxBytesPerSec)."""
+    import random
+
+    import pytest
+
+    from databricks_spark_sql_challenge1_spark.operators.multimodal import (
+        avi_decode_frames,
+        avi_encode_mjpeg,
+    )
+
+    blob = bytes(avi_encode_mjpeg(b"avi corruption fuzz payload " * 30))
+    for cut in range(len(blob)):
+        with pytest.raises(ValueError):
+            avi_decode_frames(blob[:cut])
+    rng = random.Random(37)
+    for _ in range(600):
+        b = bytearray(blob)
+        for _ in range(rng.randint(1, 3)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            avi_decode_frames(bytes(b))
+        except ValueError:
+            pass
+
+
+def test_avi_roundtrip_reproduces_frames_exactly_at_entropy_layer():
+    """Property: for arbitrary payloads across frame boundaries (the
+    256-byte frame payload), the container walk returns the declared
+    frame count and every frame's quantized coefficient blocks equal a
+    direct re-encode of the zero-padded frame raster — the lossless
+    entropy layer of the lossy stack, same split as the JPEG witness."""
+    import random
+
+    import numpy as np
+
+    from databricks_spark_sql_challenge1_spark.operators.multimodal import (
+        AVI_FRAME_H,
+        AVI_FRAME_PAYLOAD,
+        AVI_FRAME_W,
+        JPEG_MAX_ABS_ERR,
+        _jpeg_quantize_blocks,
+        avi_decode_frames,
+        avi_encode_mjpeg,
+    )
+
+    rng = random.Random(41)
+    lengths = [0, 1, AVI_FRAME_PAYLOAD - 1, AVI_FRAME_PAYLOAD,
+               AVI_FRAME_PAYLOAD + 1, 3 * AVI_FRAME_PAYLOAD, 2000]
+    for n in lengths:
+        raw = bytes(rng.randrange(256) for _ in range(n))
+        n_frames, frames = avi_decode_frames(avi_encode_mjpeg(raw))
+        assert n_frames == max(
+            1, (n + AVI_FRAME_PAYLOAD - 1) // AVI_FRAME_PAYLOAD
+        )
+        padded = raw + b"\x00" * (n_frames * AVI_FRAME_PAYLOAD - n)
+        for f, (px, qb) in enumerate(frames):
+            raster = np.frombuffer(
+                padded[f * AVI_FRAME_PAYLOAD : (f + 1) * AVI_FRAME_PAYLOAD],
+                np.uint8,
+            ).reshape(AVI_FRAME_H, AVI_FRAME_W)
+            assert np.array_equal(_jpeg_quantize_blocks(raster), qb)
+            err = int(
+                np.abs(px.astype(np.int64) - raster.astype(np.int64)).max()
+            )
+            assert err <= JPEG_MAX_ABS_ERR

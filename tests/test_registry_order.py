@@ -22,6 +22,8 @@ DRIVER_WINDOW = 50
 # was accidentally left out of the window). Update this literal whenever
 # a query is added or its output/oracle changes.
 MUST_VERIFY = {
+    # new r11: MJPEG-in-AVI video-container witness (VERDICT r10 #4a)
+    "multimodal_avi_frames",
     # changed r11: cents-exact grand totals (ADVICE r10)
     "dashboard_month_assembly",
     # new r10 with no driver row yet (VERDICT r10 #1 — the only
