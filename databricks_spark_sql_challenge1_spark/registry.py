@@ -80,9 +80,10 @@ def query(name: str, oracle: str | None = None):
 #      correspondingly smaller. New r11 registrations displace fill names
 #      (head-first) as they land.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # 0: new this round (VERDICT r10 #4a: the video-container codec
-    # witness) and changed this round (cents-exact grand totals)
+    # 0: new this round (VERDICT r10 #4a video-container witness, #4b
+    # text-side rerank) and changed this round (cents-exact grand totals)
     "multimodal_avi_frames",
+    "retrieval_rrf_rerank",
     "dashboard_month_assembly",
     # 1: new r10, never driver-checked (VERDICT r10 #1)
     "multimodal_mp3_frames",
@@ -134,7 +135,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "orders_no_price",
     "abandonment_by_day",
     "abandonment_by_month",
-    "lang_stats",
     # --- window boundary: 50 names above (tests/test_registry_order.py) ---
 )
 

@@ -643,3 +643,28 @@ def test_dsir_weights_lean_toward_target_lang(spark):
     rest = [r["weight_e6"] for r in rows if r["lang"] != DSIR_TARGET_LANG]
     assert target and rest
     assert sum(target) / len(target) > 0 > sum(rest) / len(rest)
+
+
+def test_rrf_rerank_is_a_rescoring_permutation_of_the_shortlist(spark):
+    """The rerank never changes MEMBERSHIP — stage 2 re-orders exactly the
+    stage-1 RRF top-k — and the emitted blend recomputes from the emitted
+    features (modulo output ROUND), with bm25_norm hitting 1.0 on the
+    shortlist's lexical maximum."""
+    from databricks_spark_sql_challenge1_spark.operators.retrieval import (
+        RERANK_ALPHA,
+    )
+    from databricks_spark_sql_challenge1_spark.registry import QUERIES
+
+    short = QUERIES["retrieval_hybrid_rrf"](spark, SF_DIR).collect()
+    rer = QUERIES["retrieval_rrf_rerank"](spark, SF_DIR).collect()
+    assert {r["doc_id"] for r in rer} == {r["doc_id"] for r in short}
+    assert sorted(r["final_rank"] for r in rer) == list(
+        range(1, len(rer) + 1)
+    )
+    assert max(r["bm25_norm"] for r in rer) == 1.0
+    for r in rer:
+        # the query blends the UNROUNDED normalization (both engines,
+        # identically); recomputing from the ROUNDED output column can
+        # differ by up to (1-alpha)*5e-7 + the output-round half-ulp
+        expect = RERANK_ALPHA * r["cos_sim"] + (1 - RERANK_ALPHA) * r["bm25_norm"]
+        assert abs(r["rerank_score"] - expect) < 1e-6, r

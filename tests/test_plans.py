@@ -303,6 +303,9 @@ BNLJ_ALLOWED = {
     # fixed-K probes and sqrt(N) centroids, deliberately nested-loop)
     "embedding_kmeans_refine",
     "retrieval_hybrid_rrf",  # r9 audit: 1-row BM25-stats spread + 1-row dense probe
+    # r11 audit: stage 1 is retrieval_hybrid_rrf's audited shape; stage 2
+    # adds only 1-row qv probe spreads over <= K-row frames
+    "retrieval_rrf_rerank",
     "similarity_ivf",
     "similarity_ivfpq",
     "similarity_topk",

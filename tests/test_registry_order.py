@@ -23,7 +23,9 @@ DRIVER_WINDOW = 50
 # a query is added or its output/oracle changes.
 MUST_VERIFY = {
     # new r11: MJPEG-in-AVI video-container witness (VERDICT r10 #4a)
+    # and RRF-shortlist exact rerank (VERDICT r10 #4b)
     "multimodal_avi_frames",
+    "retrieval_rrf_rerank",
     # changed r11: cents-exact grand totals (ADVICE r10)
     "dashboard_month_assembly",
     # new r10 with no driver row yet (VERDICT r10 #1 — the only
