@@ -1167,3 +1167,154 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("doc_id").asc())
     )
+
+
+# Incremental contamination admission (VERDICT r10 #4c): the per-batch
+# shape of decontamination — ``dedup_incremental``'s O(batch) admission
+# economics applied to the benchmark-overlap check. A daily ingest batch
+# probes the PRECOMPUTED benchmark Bloom bitmap (stage 1, broadcast ~8 KB,
+# no false negatives) and only the bloom-POSITIVE (doc, shingle)
+# candidates — true overlaps plus the deterministic FP handful — reach the
+# exact shingle equi-join (stage 2), which removes the FPs and restores
+# exact set semantics. Cost: O(batch shingles) bitmap probes + an exact
+# join whose left side is the candidate set, never the corpus; at 100 TB
+# the bench shingle index is a bucketed table the candidates join against.
+CONTAM_BATCH_RESIDUE = 1  # "today's batch" = doc_id % BENCH_MOD == 1
+
+
+@query(
+    "docs_contamination_incremental",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+batch AS (SELECT * FROM sh WHERE doc_id % {BENCH_MOD} = {CONTAM_BATCH_RESIDUE}),
+bprobes AS (
+    SELECT CAST(CAST('0x' || substr(md5(shingle), 1 + i * 8, 8) AS UBIGINT)
+                % {BLOOM_BITS} AS BIGINT) AS p
+    FROM bench, unnest(generate_series(0, {BLOOM_K - 1})) AS t(i)
+),
+bitmap AS (
+    SELECT p // {BLOOM_WORD} AS word,
+           bit_or(CAST(1 AS BIGINT) << CAST(p % {BLOOM_WORD} AS INTEGER)) AS bits
+    FROM bprobes GROUP BY p // {BLOOM_WORD}
+),
+cprobes AS (
+    SELECT doc_id, shingle, i,
+           CAST(CAST('0x' || substr(md5(shingle), 1 + i * 8, 8) AS UBIGINT)
+                % {BLOOM_BITS} AS BIGINT) AS p
+    FROM batch, unnest(generate_series(0, {BLOOM_K - 1})) AS t(i)
+),
+cand AS (
+    SELECT c.doc_id, c.shingle
+    FROM cprobes c JOIN bitmap b ON b.word = c.p // {BLOOM_WORD}
+    WHERE ((b.bits >> CAST(c.p % {BLOOM_WORD} AS INTEGER)) & 1) = 1
+    GROUP BY c.doc_id, c.shingle
+    HAVING COUNT(*) = {BLOOM_K}
+),
+exact AS (
+    SELECT c.doc_id, COUNT(*) AS x
+    FROM cand c JOIN bench b ON b.shingle = c.shingle
+    GROUP BY c.doc_id
+),
+ncand AS (SELECT doc_id, COUNT(*) AS k FROM cand GROUP BY doc_id),
+tot AS (SELECT doc_id, COUNT(*) AS n FROM batch GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(t.n AS BIGINT) AS n_shingles,
+       CAST(COALESCE(k.k, 0) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(e.x, 0) AS BIGINT) AS n_exact,
+       CAST(COALESCE(k.k, 0) - COALESCE(e.x, 0) AS BIGINT) AS fp_filtered,
+       ROUND(CAST(COALESCE(e.x, 0) AS DOUBLE) / t.n, 4) AS contamination,
+       CAST(COALESCE(e.x, 0) AS DOUBLE) / t.n >= {CONTAMINATION_THRESHOLD}
+           AS is_contaminated
+FROM tot t
+LEFT JOIN ncand k ON k.doc_id = t.doc_id
+LEFT JOIN exact e ON e.doc_id = t.doc_id
+ORDER BY t.doc_id ASC
+""",
+)
+def docs_contamination_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (per-batch) benchmark decontamination [Q-contam-inc]:
+    the ingest batch (doc_id % {BENCH_MOD} == {CONTAM_BATCH_RESIDUE})
+    probes the broadcast benchmark Bloom bitmap first, then ONLY the
+    bloom-positive (doc, shingle) candidates are confirmed by the exact
+    shingle equi-join — Bloom's no-false-negative guarantee means the
+    confirmed set IS the exact overlap (pinned against
+    ``docs_contamination`` in tests/test_extensions.py), while the FP
+    handful the exact join removes is surfaced per doc (``fp_filtered``).
+
+    Composes ``docs_contamination_bloom``'s portable md5-slice bitmap
+    (identical bits on both engines, deterministic FPs) with
+    ``dedup_incremental``'s batch-admission economics: stage 1 touches
+    only the batch's shingles against an 8 KB broadcast, stage 2's join
+    left side is the candidate set (overlap + FPs), never the corpus —
+    at 100 TB the benchmark shingle index is a bucketed table the tiny
+    candidate relation joins against, and each daily batch pays
+    O(batch), not O(corpus).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles_spark(docs)
+    bench = (
+        sh.where(F.col("doc_id") % BENCH_MOD == 0).select("shingle").distinct()
+    )
+    batch = sh.where(F.col("doc_id") % BENCH_MOD == CONTAM_BATCH_RESIDUE)
+
+    def probes(df, keep):
+        slices = F.array(
+            *[
+                (
+                    F.conv(
+                        F.substring(F.md5("shingle"), 1 + i * 8, 8), 16, 10
+                    ).cast("bigint")
+                    % BLOOM_BITS
+                ).alias(f"p{i}")
+                for i in range(BLOOM_K)
+            ]
+        )
+        return df.select(
+            *keep, F.posexplode(slices).alias("i", "p")
+        ).select(
+            *keep,
+            "i",
+            F.expr(f"p div {BLOOM_WORD}").alias("word"),
+            F.expr(f"CAST(p % {BLOOM_WORD} AS INT)").alias("bit"),
+        )
+
+    bitmap = (
+        probes(bench, [])
+        .groupBy("word")
+        .agg(
+            F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("bits")
+        )
+    )
+    cand = (
+        probes(batch, ["doc_id", "shingle"])
+        .join(F.broadcast(bitmap), "word")
+        .where(F.expr("(bits >> bit) & 1 = 1"))
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("k_hit"))
+        .where(F.col("k_hit") == BLOOM_K)
+    )
+    exact = (
+        cand.join(bench, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    ncand = cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("k"))
+    tot = batch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x = F.coalesce(F.col("x"), F.lit(0))
+    k = F.coalesce(F.col("k"), F.lit(0))
+    frac = x.cast("double") / F.col("n")
+    return (
+        tot.join(ncand, "doc_id", "left")
+        .join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_shingles"),
+            k.cast("bigint").alias("n_candidates"),
+            x.cast("bigint").alias("n_exact"),
+            (k - x).cast("bigint").alias("fp_filtered"),
+            F.round(frac, 4).alias("contamination"),
+            (frac >= CONTAMINATION_THRESHOLD).alias("is_contaminated"),
+        )
+        .orderBy(F.col("doc_id").asc())
+    )

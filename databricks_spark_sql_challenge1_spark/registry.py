@@ -81,9 +81,11 @@ def query(name: str, oracle: str | None = None):
 #      (head-first) as they land.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # 0: new this round (VERDICT r10 #4a video-container witness, #4b
-    # text-side rerank) and changed this round (cents-exact grand totals)
+    # text-side rerank, #4c incremental contamination) and changed this
+    # round (cents-exact grand totals)
     "multimodal_avi_frames",
     "retrieval_rrf_rerank",
+    "docs_contamination_incremental",
     "dashboard_month_assembly",
     # 1: new r10, never driver-checked (VERDICT r10 #1)
     "multimodal_mp3_frames",
@@ -134,7 +136,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "count_distinct_orders",
     "orders_no_price",
     "abandonment_by_day",
-    "abandonment_by_month",
     # --- window boundary: 50 names above (tests/test_registry_order.py) ---
 )
 

@@ -668,3 +668,37 @@ def test_rrf_rerank_is_a_rescoring_permutation_of_the_shortlist(spark):
         # differ by up to (1-alpha)*5e-7 + the output-round half-ulp
         expect = RERANK_ALPHA * r["cos_sim"] + (1 - RERANK_ALPHA) * r["bm25_norm"]
         assert abs(r["rerank_score"] - expect) < 1e-6, r
+
+
+def test_incremental_contamination_equals_exact_check_on_the_batch(spark):
+    """Bloom has no false negatives, so after the exact-confirm stage the
+    incremental result must agree with ``docs_contamination`` (the
+    set-based check) on every batch doc — same n_exact/contamination/
+    flag — while n_candidates >= n_exact bounds the FP handful the
+    confirm stage removed."""
+    from databricks_spark_sql_challenge1_spark.operators.traindata import (
+        BENCH_MOD,
+        CONTAM_BATCH_RESIDUE,
+    )
+    from databricks_spark_sql_challenge1_spark.registry import QUERIES
+
+    inc = {
+        r["doc_id"]: r
+        for r in QUERIES["docs_contamination_incremental"](
+            spark, SF_DIR
+        ).collect()
+    }
+    full = {
+        r["doc_id"]: r
+        for r in QUERIES["docs_contamination"](spark, SF_DIR).collect()
+        if r["doc_id"] % BENCH_MOD == CONTAM_BATCH_RESIDUE
+    }
+    assert inc and set(inc) == set(full)
+    for doc_id, r in inc.items():
+        f = full[doc_id]
+        assert r["n_shingles"] == f["n_shingles"], doc_id
+        assert r["n_exact"] == f["n_overlap"], doc_id
+        assert r["contamination"] == f["contamination"], doc_id
+        assert r["is_contaminated"] == f["is_contaminated"], doc_id
+        assert r["n_candidates"] >= r["n_exact"] >= 0, doc_id
+        assert r["fp_filtered"] == r["n_candidates"] - r["n_exact"], doc_id

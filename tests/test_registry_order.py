@@ -22,10 +22,11 @@ DRIVER_WINDOW = 50
 # was accidentally left out of the window). Update this literal whenever
 # a query is added or its output/oracle changes.
 MUST_VERIFY = {
-    # new r11: MJPEG-in-AVI video-container witness (VERDICT r10 #4a)
-    # and RRF-shortlist exact rerank (VERDICT r10 #4b)
+    # new r11 (VERDICT r10 #4): MJPEG-in-AVI video-container witness,
+    # RRF-shortlist exact rerank, incremental Bloom->exact contamination
     "multimodal_avi_frames",
     "retrieval_rrf_rerank",
+    "docs_contamination_incremental",
     # changed r11: cents-exact grand totals (ADVICE r10)
     "dashboard_month_assembly",
     # new r10 with no driver row yet (VERDICT r10 #1 — the only
