@@ -81,11 +81,13 @@ def query(name: str, oracle: str | None = None):
 #      (head-first) as they land.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # 0: new this round (VERDICT r10 #4a video-container witness, #4b
-    # text-side rerank, #4c incremental contamination) and changed this
-    # round (cents-exact grand totals)
+    # text-side rerank, #4c incremental contamination, plus the H.264
+    # NAL-layer witness closing the codec line — 4 additions, at the
+    # capacity cap) and changed this round (cents-exact grand totals)
     "multimodal_avi_frames",
     "retrieval_rrf_rerank",
     "docs_contamination_incremental",
+    "multimodal_h264_nal",
     "dashboard_month_assembly",
     # 1: new r10, never driver-checked (VERDICT r10 #1)
     "multimodal_mp3_frames",
@@ -135,7 +137,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "clean_orders",
     "count_distinct_orders",
     "orders_no_price",
-    "abandonment_by_day",
     # --- window boundary: 50 names above (tests/test_registry_order.py) ---
 )
 
@@ -160,10 +161,13 @@ ROWS_ONLY_STAND_INS: dict[str, str] = {
 
 # Committed round-12 window (the rotation the NEXT round starts from; the
 # phase-aware age gate uses this once CORRECTNESS_r11.json lands): the
-# complete r9-evidence oracle-backed cohort MINUS the 10 names this round's
-# window pulled forward — 40 names, leaving 10 head slots for round-12
+# complete r9-evidence oracle-backed cohort MINUS the names this round's
+# window pulled forward (the 4 fills displaced by r11 additions rejoin
+# here) — 44 names, leaving 6 head slots for round-12
 # new/changed queries (the capacity policy's headroom).
 NEXT_WINDOW: tuple[str, ...] = (
+    "abandonment_by_day",
+    "abandonment_by_month",
     "abandonment_mom_increase",
     "abandonment_yoy_increase",
     "approx_price_percentiles",
@@ -187,7 +191,9 @@ NEXT_WINDOW: tuple[str, ...] = (
     "docs_stratified_sample",
     "events_json_nested",
     "lang_id_heuristic",
+    "lang_stats",
     "launch_cohort_analysis",
+    "launch_month_orders",
     "multimodal_audio_pcm_stats",
     "multimodal_features",
     "multimodal_flac_roundtrip",

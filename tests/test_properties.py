@@ -606,3 +606,81 @@ def test_avi_roundtrip_reproduces_frames_exactly_at_entropy_layer():
                 np.abs(px.astype(np.int64) - raster.astype(np.int64)).max()
             )
             assert err <= JPEG_MAX_ABS_ERR
+
+
+def test_h264_decode_corruption_always_valueerror():
+    """Fuzz contract for the NAL-layer witness: every truncation and
+    random byte corruptions must raise ValueError or decode; survivors
+    must be ones the start-code/header/Exp-Golomb/TLV/emulation layers
+    genuinely cannot see."""
+    import random
+
+    import pytest
+
+    from databricks_spark_sql_challenge1_spark.operators.multimodal import (
+        h264_decode_stats,
+        h264_encode_annexb,
+    )
+
+    blob = bytes(h264_encode_annexb(b"h264 fuzz \x00\x00\x01\x02 " * 40))
+    for cut in range(len(blob)):
+        with pytest.raises(ValueError):
+            h264_decode_stats(blob[:cut])
+    rng = random.Random(47)
+    for _ in range(600):
+        b = bytearray(blob)
+        for _ in range(rng.randint(1, 3)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            h264_decode_stats(bytes(b))
+        except ValueError:
+            pass
+
+
+def test_h264_roundtrip_lossless_and_exercises_every_layer():
+    """Property: payloads across SEI-chunk boundaries and with dense
+    0x00-run content (forcing emulation-prevention splices) round-trip
+    losslessly; the Exp-Golomb coders invert each other over a signed
+    range; emulation prevention inverts exactly on adversarial inputs."""
+    import hashlib
+    import random
+
+    from databricks_spark_sql_challenge1_spark.operators.multimodal import (
+        H264_SEI_CHUNK,
+        _h264_emulation_prevent,
+        _h264_emulation_remove,
+        _H264BitReader,
+        _H264BitWriter,
+        h264_decode_stats,
+        h264_encode_annexb,
+    )
+
+    rng = random.Random(53)
+    lengths = [0, 1, H264_SEI_CHUNK - 1, H264_SEI_CHUNK,
+               H264_SEI_CHUNK + 1, 3 * H264_SEI_CHUNK, 2000]
+    for n in lengths:
+        raw = bytes(rng.choice([0, 0, 0, 1, 2, 3, rng.randrange(256)])
+                    for _ in range(n))
+        stats = h264_decode_stats(h264_encode_annexb(raw))
+        assert stats["n_bytes"] == n
+        assert stats["n_sei"] == max(1, (n + H264_SEI_CHUNK - 1) // H264_SEI_CHUNK)
+        assert stats["md5"] == hashlib.md5(raw).hexdigest()
+        assert stats["payload_sum"] == sum(raw)
+
+    # Exp-Golomb ue/se invert over a range including the signed mapping
+    w = _H264BitWriter()
+    vals = list(range(0, 40))
+    svals = list(range(-20, 21))
+    for v in vals:
+        w.ue(v)
+    for v in svals:
+        w.se(v)
+    r = _H264BitReader(w.trailing())
+    assert [r.ue() for _ in vals] == vals
+    assert [r.se() for _ in svals] == svals
+    r.trailing()
+
+    # emulation prevention inverts on adversarial zero runs
+    for _ in range(200):
+        raw = bytes(rng.choice([0, 0, 0, 1, 2, 3]) for _ in range(rng.randrange(64)))
+        assert _h264_emulation_remove(_h264_emulation_prevent(raw)) == raw

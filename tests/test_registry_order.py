@@ -27,6 +27,7 @@ MUST_VERIFY = {
     "multimodal_avi_frames",
     "retrieval_rrf_rerank",
     "docs_contamination_incremental",
+    "multimodal_h264_nal",
     # changed r11: cents-exact grand totals (ADVICE r10)
     "dashboard_month_assembly",
     # new r10 with no driver row yet (VERDICT r10 #1 — the only
