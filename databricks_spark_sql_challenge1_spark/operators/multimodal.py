@@ -438,6 +438,24 @@ def multimodal_image_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_thumbnail_stats(media).orderBy(F.col("doc_id").asc())
 
 
+def _witness_text_bytes(doc_id, text: str) -> bytes:
+    """utf-8 bytes of a witness document's text, asserting the fixture's
+    byte==codepoint (pure-ASCII) convention. Every codec witness's oracle
+    derives its values from per-CHARACTER codepoints (``ord(text[i])``,
+    ``length(text)``) while the kernels consume utf-8 BYTES; the two agree
+    only for pure-ASCII fixtures (FIXTURES.md §ascii-convention, ADVICE
+    r10). Centralized here so a fixture regeneration fails loudly inside
+    EVERY witness's doc subset — not just MP3's — instead of surfacing as
+    a silent driver hash mismatch."""
+    data = text.encode("utf-8")
+    if len(data) != len(text):
+        raise ValueError(
+            f"doc {doc_id}: non-ASCII text violates the codec-witness "
+            "byte==codepoint oracle convention (FIXTURES.md)"
+        )
+    return data
+
+
 # --- real container formats: WAV (RIFF) and BMP, pure numpy ----------------
 #
 # VERDICT r6 "Next round" #5: the honest multimodal stub is COMPRESSED
@@ -475,7 +493,7 @@ def attach_wav_media(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             out = {"doc_id": [], "media_bytes": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                raw = text.encode("utf-8")
+                raw = _witness_text_bytes(doc_id, text)
                 x = (np.frombuffer(raw, np.uint8).astype(np.int16) - 128) * 256
                 data = x.astype("<i2").tobytes()
                 hdr = struct.pack(
@@ -606,7 +624,7 @@ def attach_bmp_media(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             out = {"doc_id": [], "media_bytes": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                raw = np.frombuffer(text.encode("utf-8"), np.uint8)
+                raw = np.frombuffer(_witness_text_bytes(doc_id, text), np.uint8)
                 n = len(raw)
                 w = int(np.floor(np.sqrt(n)))
                 h = n // w if w else 0
@@ -792,7 +810,9 @@ def attach_png_media(docs: DataFrame) -> DataFrame:
             out = {"doc_id": [], "media_bytes": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 out["doc_id"].append(doc_id)
-                out["media_bytes"].append(png_encode_gray(text.encode("utf-8")))
+                out["media_bytes"].append(
+                    png_encode_gray(_witness_text_bytes(doc_id, text))
+                )
             yield pd.DataFrame(out)
 
     return docs.select("doc_id", "text").mapInPandas(
@@ -1195,7 +1215,9 @@ def multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = {"doc_id": [], "media_bytes": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 out["doc_id"].append(doc_id)
-                out["media_bytes"].append(gif_encode_gray(text.encode("utf-8")))
+                out["media_bytes"].append(
+                    gif_encode_gray(_witness_text_bytes(doc_id, text))
+                )
             yield pd.DataFrame(out)
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1721,7 +1743,7 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = {k.name: [] for k in JPEG_STATS_SCHEMA.fields}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                payload = text.encode("utf-8")
+                payload = _witness_text_bytes(doc_id, text)
                 try:
                     blob = jpeg_encode_gray(payload)
                     px, qb = jpeg_decode_gray(blob)
@@ -2180,7 +2202,9 @@ def multimodal_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = {k.name: [] for k in FLAC_STATS_SCHEMA.fields}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 try:
-                    stats = flac_decode_stats(flac_encode(text.encode("utf-8")))
+                    stats = flac_decode_stats(
+                        flac_encode(_witness_text_bytes(doc_id, text))
+                    )
                 except ValueError as exc:
                     raise ValueError(f"doc {doc_id}: {exc}") from exc
                 rows["doc_id"].append(doc_id)
@@ -2426,19 +2450,7 @@ def multimodal_mp3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = {k.name: [] for k in MP3_STATS_SCHEMA.fields}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                data = text.encode("utf-8")
-                # ADVICE r10: every codec witness's oracle derives PCM from
-                # per-CHARACTER codepoints (ord(text[i])) while the kernels
-                # encode utf-8 BYTES; the two agree only for pure-ASCII
-                # fixtures (FIXTURES.md §ascii-convention). Assert it once
-                # here so a fixture change fails loudly instead of as a
-                # driver hash mismatch spread across five witnesses.
-                if len(data) != len(text):
-                    raise ValueError(
-                        f"doc {doc_id}: non-ASCII text violates the codec-"
-                        "witness byte==codepoint oracle convention "
-                        "(FIXTURES.md)"
-                    )
+                data = _witness_text_bytes(doc_id, text)
                 try:
                     stats = mp3_decode_stats(mp3_encode(data))
                 except ValueError as exc:
@@ -2790,7 +2802,7 @@ def multimodal_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = {k.name: [] for k in AVI_STATS_SCHEMA.fields}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                payload = text.encode("utf-8")
+                payload = _witness_text_bytes(doc_id, text)
                 try:
                     blob = avi_encode_mjpeg(payload)
                     n_frames, frames = avi_decode_frames(blob)
@@ -3259,7 +3271,7 @@ def multimodal_h264_nal(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = {k.name: [] for k in H264_STATS_SCHEMA.fields}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                payload = text.encode("utf-8")
+                payload = _witness_text_bytes(doc_id, text)
                 try:
                     stats = h264_decode_stats(h264_encode_annexb(payload))
                     if stats["n_bytes"] != len(payload):

@@ -118,12 +118,12 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared BM25 scoring frame: (doc_id, _raw score) for the fixed query
-    terms — the lexical leg of both ``docs_bm25_topk`` and
-    ``retrieval_hybrid_rrf``."""
-    docs = load_table(spark, sf_dir, "documents")
-    dd = docs.select(
+def _bm25_doc_feats(docs: DataFrame) -> DataFrame:
+    """Per-document BM25 features (doc_id, dl, tf_<term>...) as scan-stage
+    expressions over whatever ``docs`` frame is passed — the full corpus
+    for the stats/scoring passes, or a K-row shortlist probe for
+    ``retrieval_rrf_rerank``'s stage 2."""
+    return docs.select(
         "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
     ).select(
         "doc_id",
@@ -133,7 +133,12 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in BM25_QUERY_TERMS
         ],
     )
-    st = dd.agg(
+
+
+def _bm25_stats(dd: DataFrame) -> DataFrame:
+    """Corpus-constant BM25 statistics (1 row: n_docs, avgdl, df_<term>...)
+    aggregated from the full-corpus feature frame."""
+    return dd.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
         *[
@@ -141,7 +146,14 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in BM25_QUERY_TERMS
         ],
     )
-    return dd.crossJoin(F.broadcast(st)).select(
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared BM25 scoring frame: (doc_id, _raw score) for the fixed query
+    terms — the lexical leg of both ``docs_bm25_topk`` and
+    ``retrieval_hybrid_rrf``."""
+    dd = _bm25_doc_feats(load_table(spark, sf_dir, "documents"))
+    return dd.crossJoin(F.broadcast(_bm25_stats(dd))).select(
         "doc_id", F.expr(_BM25_SCORE_SQL).alias("_raw")
     )
 
@@ -301,8 +313,8 @@ short AS (
     SELECT COALESCE(l.doc_id, d.vec_id) AS doc_id, l.lr, d.dr
     FROM lexn l FULL JOIN denn d ON d.vec_id = l.doc_id
     ORDER BY COALESCE(1.0 / ({RRF_K} + l.lr), 0.0)
-             + COALESCE(1.0 / ({RRF_K} + d.dr), 0.0) DESC,
-             COALESCE(l.doc_id, d.vec_id) ASC
+             + COALESCE(1.0 / ({RRF_K} + d.dr), 0.0) DESC NULLS LAST,
+             COALESCE(l.doc_id, d.vec_id) ASC NULLS FIRST
     LIMIT {RRF_TOP_K}
 )"""
 
@@ -373,8 +385,11 @@ def retrieval_rrf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one new narrow stage over the audited stage-1 plan —
     a {RRF_TOP_K}-row frame joined to embeddings/bm25 (broadcast the
-    K rows, not the corpus), two windows over K rows. No new
-    corpus-scale shuffle anywhere.
+    K rows, not the corpus), two windows over K rows. Stage 2's only
+    full-corpus work is the BM25 statistics aggregate (one narrow scan,
+    1-row broadcast) — needed because a dense-leg shortlist doc's BM25
+    score isn't in the lexical top-N frame; per-doc tokenize+score runs
+    on just the K key-matched rows. No new corpus-scale shuffle anywhere.
     """
     from databricks_spark_sql_challenge1_spark.functions.vectors import cosine
     from databricks_spark_sql_challenge1_spark.operators.similarity import _emb
@@ -389,14 +404,24 @@ def retrieval_rrf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = e.where(F.col("vec_id") == RRF_PROBE_VEC_ID).select(
         F.col("emb").alias("qemb")
     )
-    bm = _bm25_scored(spark, sf_dir)
     # Scale-shaped K-row lookups: the corpus-sized feature sources are
     # probed with the BROADCAST shortlist keys (one scan each, tiny build
     # side), and only the <= K matched rows flow into the small-frame
-    # left join — never a broadcast of the corpus side.
+    # left join — never a broadcast of the corpus side. The BM25 score of
+    # a shortlist doc that entered via the DENSE leg isn't in the lexical
+    # top-N frame, so stage 2 must re-derive it — but only the
+    # corpus-CONSTANT statistics (one narrow agg scan, 1-row broadcast)
+    # need full-corpus work; per-doc tokenize+score runs on just the K
+    # key-matched rows, not a second corpus-wide scoring pass.
     keys = F.broadcast(short.select("doc_id"))
     emb_hits = e.withColumnRenamed("vec_id", "doc_id").join(keys, "doc_id")
-    bm_hits = bm.join(keys, "doc_id")
+    docs = load_table(spark, sf_dir, "documents")
+    st = _bm25_stats(_bm25_doc_feats(docs))
+    bm_hits = (
+        _bm25_doc_feats(docs.join(keys, "doc_id"))
+        .crossJoin(F.broadcast(st))
+        .select("doc_id", F.expr(_BM25_SCORE_SQL).alias("_raw"))
+    )
     feats = (
         short.join(F.broadcast(emb_hits), "doc_id", "left")
         .join(F.broadcast(qv))

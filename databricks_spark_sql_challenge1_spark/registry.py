@@ -161,10 +161,13 @@ ROWS_ONLY_STAND_INS: dict[str, str] = {
 
 # Committed round-12 window (the rotation the NEXT round starts from; the
 # phase-aware age gate uses this once CORRECTNESS_r11.json lands): the
-# complete r9-evidence oracle-backed cohort MINUS the names this round's
-# window pulled forward (the 4 fills displaced by r11 additions rejoin
-# here) — 44 names, leaving 6 head slots for round-12
-# new/changed queries (the capacity policy's headroom).
+# complete latest-r9-evidence oracle-backed cohort (50 names) MINUS the
+# 6 names this round's window pulled forward (order_export_denorm,
+# copurchase_components, valid_orders, clean_orders,
+# count_distinct_orders, orders_no_price — they get fresh r11 evidence,
+# so they rotate on the r14 cadence, not here) — 44 names, leaving 6
+# head slots for round-12 new/changed queries (the capacity policy's
+# headroom).
 NEXT_WINDOW: tuple[str, ...] = (
     "abandonment_by_day",
     "abandonment_by_month",

@@ -26,6 +26,24 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def has_top_level_order_by(sql: str) -> bool:
+    """True iff the oracle declares a TOP-LEVEL output ORDER BY — an
+    ``ORDER BY`` at paren depth 0 (SQL only allows one there, and only
+    terminally, modulo LIMIT). A bare substring test also matches ORDER BY
+    inside ``OVER (...)`` windows or CTE subqueries, which say nothing
+    about output order and would turn benign engine row-order divergence
+    into a spurious ORDER-ONLY failure."""
+    low, depth = sql.lower(), 0
+    for i, ch in enumerate(low):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and low.startswith("order by", i):
+            return True
+    return False
+
+
 def main() -> None:
     args = sys.argv[1:]
     sfs = DEFAULT_SFS
@@ -78,13 +96,14 @@ def main() -> None:
                 # ADVICE r10: a sorted-multiset compare hides Spark-vs-
                 # oracle ORDER BY divergence; report ordering-only
                 # mismatches distinctly and FAIL on them when the oracle
-                # declares an ORDER BY (then the two sides disagreeing on
-                # order means the declared order is not total — the
-                # CLAUDE.md hazard). Queries with no declared order are
-                # compared as multisets only, matching the driver's
-                # sorted hash.
+                # declares a TOP-LEVEL ORDER BY (then the two sides
+                # disagreeing on order means the declared order is not
+                # total — the CLAUDE.md hazard). Queries with no declared
+                # output order (including ones whose only ORDER BY sits
+                # inside a window/CTE) are compared as multisets only,
+                # matching the driver's sorted hash.
                 order_only = (
-                    ok and sseq != dseq and "order by" in o[name].lower()
+                    ok and sseq != dseq and has_top_level_order_by(o[name])
                 )
                 if order_only:
                     bad.append((sf_dir, name, "ORDER-ONLY"))
