@@ -77,6 +77,21 @@ def test_real_codec_gate(spark):
         extract_media_features(media, use_real_codec=True)
 
 
+def test_witness_text_bytes_guard():
+    """The shared codec-witness byte==codepoint guard (ADVICE r10,
+    centralized r11): ASCII passes through as its bytes; any non-ASCII
+    text raises with the doc id, so a fixture regeneration fails loudly
+    in whichever witness kernel hits it instead of as a silent driver
+    hash mismatch."""
+    from databricks_spark_sql_challenge1_spark.operators.multimodal import (
+        _witness_text_bytes,
+    )
+
+    assert _witness_text_bytes(7, "plain ascii") == b"plain ascii"
+    with pytest.raises(ValueError, match="doc 7.*non-ASCII"):
+        _witness_text_bytes(7, "café")
+
+
 def test_documents_text_is_ascii():
     """Pin the fixture assumption the multimodal oracles rely on (ADVICE
     r6): the PCM / thumbnail oracles equate DuckDB's per-character
