@@ -37,15 +37,63 @@ def test_cte_plus_terminal_order_by():
     )
 
 
+def test_skips_string_literals_and_comments():
+    # ADVICE r11: literals/comments must not corrupt the depth scan or
+    # produce a phantom ORDER BY match.
+    assert not has_top_level_order_by("SELECT ' order by x' AS s FROM t")
+    assert not has_top_level_order_by("SELECT * FROM t -- order by a\n")
+    # unbalanced paren inside a literal must not hide a real ORDER BY ...
+    assert has_top_level_order_by("SELECT '(' AS s FROM t ORDER BY s")
+    assert has_top_level_order_by("SELECT ')' AS s FROM t ORDER BY s")
+    # ... nor inside a comment
+    assert has_top_level_order_by(
+        "SELECT x -- weird (\nFROM t ORDER BY x"
+    )
+    # '' escape stays inside the literal
+    assert not has_top_level_order_by(
+        "SELECT 'it''s ( order by' AS s FROM t"
+    )
+    assert has_top_level_order_by(
+        "SELECT 'it''s )' AS s FROM t ORDER BY s"
+    )
+
+
+def _reference_classifier(sql: str) -> bool:
+    """Independent literal/comment-aware reference: strip quoted literals
+    ('' escapes included) and -- comments with regexes, then depth-scan."""
+    import re
+
+    stripped = re.sub(r"'(?:[^']|'')*'", "''", sql)
+    stripped = re.sub(r"--[^\n]*", "", stripped)
+    depth = 0
+    for i, ch in enumerate(stripped.lower()):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and stripped.lower().startswith("order by", i):
+            return True
+    return False
+
+
 def test_every_registered_oracle_classification_is_stable():
-    # Today no registered oracle has ORDER BY solely inside a
-    # subexpression; if one appears, this test documents that the parity
-    # tool will treat it as unordered (multiset compare) by design.
+    # Both directions (ADVICE r11): the tool's classifier must agree with
+    # the independent literal/comment-aware reference parser on EVERY
+    # registered oracle — a disagreement either suppresses the
+    # order-sensitive compare (missed detection) or raises a spurious
+    # ORDER-ONLY failure (false positive).
     import databricks_spark_sql_challenge1_spark.operators  # noqa: F401
     from __spark_entry__ import oracle_sql
 
     oracles = oracle_sql()
     assert len(oracles) > 100
+    disagree = [
+        n
+        for n, s in oracles.items()
+        if has_top_level_order_by(s) != _reference_classifier(s)
+    ]
+    assert disagree == []
+    # and today every oracle that mentions ORDER BY declares it top-level
     flips = [
         n
         for n, s in oracles.items()

@@ -32,15 +32,34 @@ def has_top_level_order_by(sql: str) -> bool:
     terminally, modulo LIMIT). A bare substring test also matches ORDER BY
     inside ``OVER (...)`` windows or CTE subqueries, which say nothing
     about output order and would turn benign engine row-order divergence
-    into a spurious ORDER-ONLY failure."""
-    low, depth = sql.lower(), 0
-    for i, ch in enumerate(low):
-        if ch == "(":
+    into a spurious ORDER-ONLY failure.
+
+    Depth scanning skips single-quoted string literals (with ``''``
+    escapes) and ``--`` line comments (ADVICE r11): an unbalanced paren
+    or the words "order by" inside either would otherwise corrupt the
+    depth count / match and misclassify the oracle."""
+    low, depth, i, n = sql.lower(), 0, 0, len(sql)
+    while i < n:
+        ch = low[i]
+        if ch == "'":  # string literal: scan to its closing quote
+            i += 1
+            while i < n:
+                if low[i] == "'":
+                    if i + 1 < n and low[i + 1] == "'":  # '' escape
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif ch == "-" and low.startswith("--", i):  # line comment
+            nl = low.find("\n", i)
+            i = n if nl < 0 else nl
+        elif ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
         elif depth == 0 and low.startswith("order by", i):
             return True
+        i += 1
     return False
 
 
