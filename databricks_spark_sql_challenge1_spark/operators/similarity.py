@@ -1335,3 +1335,92 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(RP_OUT_DIMS)
     ]
     return emb.select("vec_id", *cols).orderBy(F.col("vec_id").asc())
+
+
+# --- ANN accuracy audit -----------------------------------------------------
+
+
+def _recall_audit_oracle() -> str:
+    """Composed from the REGISTERED oracles of the exact baseline and the
+    IVF-PQ plan, so any future change to either base query propagates to
+    both sides of the audit automatically (same lockstep trick as the
+    generated k-means oracle above)."""
+    from databricks_spark_sql_challenge1_spark.registry import ORACLES
+
+    return f"""
+WITH exact AS (SELECT query_id, neighbor_id FROM ({ORACLES["similarity_topk"]})),
+approx AS (SELECT query_id, neighbor_id FROM ({ORACLES["similarity_ivfpq"]})),
+hit AS (
+    SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS hits
+    FROM exact e JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+),
+ek AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS exact_k
+       FROM exact GROUP BY query_id),
+ak AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS approx_k
+       FROM approx GROUP BY query_id)
+SELECT ek.query_id,
+       ek.exact_k,
+       COALESCE(ak.approx_k, 0) AS approx_k,
+       COALESCE(hit.hits, 0) AS hits,
+       ROUND(CAST(COALESCE(hit.hits, 0) AS DOUBLE) / ek.exact_k, 4) AS recall
+FROM ek
+LEFT JOIN ak ON ak.query_id = ek.query_id
+LEFT JOIN hit ON hit.query_id = ek.query_id
+ORDER BY ek.query_id ASC
+"""
+
+
+@query("similarity_recall_audit", oracle=_recall_audit_oracle())
+def similarity_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the production ANN plan against the exact baseline,
+    as driver-verified integers: per query, how many of
+    ``similarity_topk``'s exact cosine top-{TOP_K} does ``similarity_ivfpq``
+    (cosine cell routing at {IVFPQ_PROBES} probes + PQ/ADC scoring)
+    retrieve? Turns the documented IVF/PQ accuracy trade-off (low absolute
+    recall on this near-uniform random fixture — see similarity_ivfpq's
+    docstring) into a pinned, hash-checked number instead of prose.
+
+    Both legs are the REGISTERED queries called verbatim, and the oracle
+    composes their registered SQL as CTEs, so the audit can never drift
+    from what the driver separately verifies. Cost: the two legs' own
+    plans plus three joins over Q-row frames (Q = {N_QUERIES}) — the
+    audit overhead is negligible at any corpus scale; at 10^9 vectors the
+    exact leg is the expensive half, which is exactly what a production
+    recall audit pays (run on a sampled query set, as here).
+    """
+    exact = similarity_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = similarity_ivfpq(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+    )
+    ek = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_k")
+    )
+    ak = approx.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("approx_k")
+    )
+    return (
+        ek.join(ak, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "exact_k",
+            F.coalesce("approx_k", F.lit(0).cast("bigint")).alias("approx_k"),
+            F.coalesce("hits", F.lit(0).cast("bigint")).alias("hits"),
+            F.round(
+                F.coalesce("hits", F.lit(0).cast("bigint")).cast("double")
+                / F.col("exact_k"),
+                4,
+            ).alias("recall"),
+        )
+        .orderBy(F.col("query_id").asc())
+    )
+
+
+similarity_recall_audit.__doc__ = similarity_recall_audit.__doc__.format(
+    TOP_K=TOP_K, IVFPQ_PROBES=IVFPQ_PROBES, N_QUERIES=N_QUERIES
+)

@@ -1245,3 +1245,224 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(prob, 6).alias("quality_prob"),
         (prob >= F.lit(QUALITY_CLF_THRESHOLD)).alias("keep_doc"),
     ).orderBy(F.col("doc_id").asc())
+
+
+# --- BPE-merge vocabulary witness (VERDICT r11 #4b) -------------------------
+# Fixed-round byte-pair-encoding merge training over the corpus word-
+# frequency model — the tokenizer-fitting step next to corpus_vocabulary.
+# Classic BPE (Sennrich et al. 2016, ACL — public algorithm): represent
+# each word as a symbol sequence (initially characters), then repeatedly
+# (1) count adjacent symbol pairs weighted by word frequency (overlapping
+# adjacencies count, as in the reference implementation's get_stats),
+# (2) merge the most frequent pair everywhere, greedy leftmost
+# non-overlapping within each word.
+#
+# Determinism across engines: the argmax pair tiebreaks on
+# (pair_freq DESC, left_sym ASC, right_sym ASC); greedy leftmost
+# non-overlapping merging is expressed exactly with gaps-and-islands
+# windows — positions where the pair matches form runs (consecutive
+# matched positions overlap), and within each run the merge happens at the
+# 1st, 3rd, 5th, ... matched position, which is precisely what a
+# left-to-right scan does. Both engines run the identical relational
+# program; the DuckDB oracle unrolls the same BPE_ROUNDS as a generated
+# CTE chain (the embedding_kmeans_refine trick), so changing the constant
+# changes both engines together.
+BPE_ROUNDS = 10
+BPE_TOP_WORDS = 40  # merge-model vocabulary: top words by (freq, word)
+
+
+def _bpe_oracle_sql(rounds: int = BPE_ROUNDS) -> str:
+    # Every CTE is MATERIALIZED: DuckDB inlines plain CTEs at each
+    # reference, and this chain references each round's CTEs 2-3 times —
+    # un-materialized, the expansion (and the parquet re-scan count) grows
+    # exponentially in rounds (measured: EMFILE at 10 rounds).
+    ctes = [
+        f"""words AS MATERIALIZED (
+    SELECT word, freq FROM (
+        SELECT term AS word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+              FROM documents)
+        GROUP BY term
+    )
+    ORDER BY freq DESC, word ASC
+    LIMIT {BPE_TOP_WORDS}
+)""",
+        """syms0 AS MATERIALIZED (
+    SELECT word, freq, CAST(i AS BIGINT) AS pos, substr(word, i, 1) AS sym
+    FROM words, unnest(generate_series(1, CAST(length(word) AS INTEGER)))
+         AS t(i)
+)""",
+    ]
+    for r in range(rounds):
+        ctes.append(f"""adj{r} AS MATERIALIZED (
+    SELECT word, freq, pos, sym,
+           lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+    FROM syms{r}
+)""")
+        ctes.append(f"""best{r} AS MATERIALIZED (
+    SELECT sym AS lsym, nxt AS rsym, CAST(SUM(freq) AS BIGINT) AS pair_freq
+    FROM adj{r} WHERE nxt IS NOT NULL
+    GROUP BY sym, nxt
+    ORDER BY pair_freq DESC, lsym ASC, rsym ASC
+    LIMIT 1
+)""")
+        ctes.append(f"""grp{r} AS MATERIALIZED (
+    SELECT a.word, a.freq, a.pos, a.sym, a.nxt,
+           CASE WHEN a.sym = b.lsym AND a.nxt = b.rsym THEN 1 ELSE 0 END
+               AS is_match,
+           CASE WHEN a.sym = b.lsym AND a.nxt = b.rsym
+                THEN a.pos - row_number() OVER (
+                    PARTITION BY a.word,
+                        CASE WHEN a.sym = b.lsym AND a.nxt = b.rsym
+                             THEN 1 ELSE 0 END
+                    ORDER BY a.pos)
+           END AS grp
+    FROM adj{r} a LEFT JOIN best{r} b ON TRUE
+)""")
+        ctes.append(f"""mrg{r} AS MATERIALIZED (
+    SELECT word, pos, 1 AS do_merge
+    FROM (
+        SELECT word, pos,
+               row_number() OVER (PARTITION BY word, grp ORDER BY pos) AS rn
+        FROM grp{r} WHERE is_match = 1
+    ) WHERE rn % 2 = 1
+)""")
+        ctes.append(f"""syms{r + 1} AS MATERIALIZED (
+    SELECT g.word, g.freq,
+           row_number() OVER (PARTITION BY g.word ORDER BY g.pos) AS pos,
+           CASE WHEN m.do_merge = 1 THEN g.sym || g.nxt ELSE g.sym END AS sym
+    FROM grp{r} g
+    LEFT JOIN mrg{r} m ON m.word = g.word AND m.pos = g.pos
+    LEFT JOIN mrg{r} d ON d.word = g.word AND d.pos = g.pos - 1
+    WHERE d.do_merge IS NULL
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({r + 1} AS BIGINT) AS merge_round, lsym AS left_sym, "
+        f"rsym AS right_sym, lsym || rsym AS merged, pair_freq FROM best{r}"
+        for r in range(rounds)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n" + f"""SELECT merge_round, left_sym, right_sym, merged, pair_freq
+FROM ({union})
+ORDER BY merge_round ASC
+"""
+    )
+
+
+@query("corpus_bpe_merges", oracle=_bpe_oracle_sql())
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic BPE tokenizer training witness: BPE_ROUNDS byte-pair
+    merges over the corpus word-frequency model, returning the merge table
+    (merge_round, left_sym, right_sym, merged, pair_freq) — the artifact a
+    BPE tokenizer ships. pair_freq is an exact BIGINT corpus count, so the
+    whole merge trajectory is hash-checkable.
+
+    Scale shape (how real BPE trainers run at 100 TB): the ONLY
+    corpus-scale step is the word-frequency groupBy (one shuffle with
+    map-side partial counts); the merge loop then operates on the compact
+    top-BPE_TOP_WORDS word-freq model (bounded rows = V x max word length),
+    so per-round cost is independent of corpus size. Each round is pair
+    counting (tiny groupBy) whose 1-row argmax is pulled to the driver and
+    spliced back as literals (the catalog.last_order_datetime /
+    label-propagation convergence-scalar pattern — O(rounds) driver
+    traffic total), then the windowed greedy merge; the model is
+    localCheckpoint-ed per round so plan depth stays constant in rounds
+    (the embedding_kmeans_refine pattern)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("word").asc())
+        .limit(BPE_TOP_WORDS)
+    )
+    syms = (
+        words.select(
+            "word",
+            "freq",
+            F.explode(F.sequence(F.lit(1), F.length("word"))).alias("pos"),
+        )
+        .withColumn("sym", F.expr("substring(word, pos, 1)"))
+        .select("word", "freq", F.col("pos").cast("bigint").alias("pos"), "sym")
+        .localCheckpoint()
+    )
+    merges: list[tuple] = []
+    for r in range(BPE_ROUNDS):
+        wnd = Window.partitionBy("word").orderBy("pos")
+        adj = syms.withColumn("nxt", F.lead("sym").over(wnd))
+        best = (
+            adj.where(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("freq").cast("bigint").alias("pair_freq"))
+            .orderBy(
+                F.col("pair_freq").desc(), F.col("sym").asc(), F.col("nxt").asc()
+            )
+            .limit(1)
+            .collect()
+        )
+        if not best:  # model saturated: every word is a single symbol
+            break
+        lsym, rsym, pair_freq = best[0]
+        merges.append((r + 1, lsym, rsym, lsym + rsym, pair_freq))
+        if r == BPE_ROUNDS - 1:
+            break  # the post-merge model is never consumed
+        is_match = (F.col("sym") == F.lit(lsym)) & (F.col("nxt") == F.lit(rsym))
+        grp = adj.withColumn("is_match", F.when(is_match, 1).otherwise(0))
+        grp = grp.withColumn(
+            "grp",
+            F.when(
+                F.col("is_match") == 1,
+                F.col("pos")
+                - F.row_number().over(
+                    Window.partitionBy("word", "is_match").orderBy("pos")
+                ),
+            ),
+        )
+        mrg = (
+            grp.where(F.col("is_match") == 1)
+            .withColumn(
+                "rn",
+                F.row_number().over(Window.partitionBy("word", "grp").orderBy("pos")),
+            )
+            .where(F.col("rn") % 2 == 1)
+            .select("word", "pos", F.lit(1).alias("do_merge"))
+        )
+        g = grp.select("word", "freq", "pos", "sym", "nxt").alias("g")
+        m = mrg.alias("m")
+        d = mrg.alias("d")
+        syms = (
+            g.join(
+                m,
+                (F.col("g.word") == F.col("m.word"))
+                & (F.col("g.pos") == F.col("m.pos")),
+                "left",
+            )
+            .join(
+                d,
+                (F.col("g.word") == F.col("d.word"))
+                & (F.col("g.pos") - 1 == F.col("d.pos")),
+                "left",
+            )
+            .where(F.col("d.do_merge").isNull())
+            .select(
+                F.col("g.word").alias("word"),
+                F.col("g.freq").alias("freq"),
+                F.row_number()
+                .over(Window.partitionBy("g.word").orderBy("g.pos"))
+                .cast("bigint")
+                .alias("pos"),
+                F.when(
+                    F.col("m.do_merge") == 1, F.concat("g.sym", "g.nxt")
+                )
+                .otherwise(F.col("g.sym"))
+                .alias("sym"),
+            )
+            .localCheckpoint()
+        )
+    return spark.createDataFrame(
+        merges,
+        "merge_round long, left_sym string, right_sym string, "
+        "merged string, pair_freq long",
+    ).orderBy(F.col("merge_round").asc())

@@ -62,113 +62,23 @@ def query(name: str, oracle: str | None = None):
 #     rotation already produces. tests/test_registry_order.py enforces the
 #     stand-in invariant.
 #
-# Round-11 window, in priority order (spends the r10-committed NEXT_WINDOW
-# exactly as pinned — VERDICT r10 #1):
-#   0. changed this round (1): dashboard_month_assembly (ADVICE r10:
-#      grand totals re-expressed as integer-cents sums on both sides).
-#   1. the round-10 registration with no driver row yet (the ONLY
-#      oracle-backed name with zero driver evidence): multimodal_mp3_frames.
-#   2. the complete r8-evidence oracle-backed cohort (38 live names —
-#      the other 12 r8 driver rows were consolidated widgets, retired
-#      variants, or the rows-only streaming name) — after this
-#      round's run no oracle-backed name has evidence older than two
-#      rounds.
-#   3. pulled-forward r9-cohort names filling the window to 50: the two
-#      bench watch items (order_export_denorm, copurchase_components —
-#      VERDICT r10 #2, so their isolated re-measures pair with fresh
-#      driver rows) and cheap stable heads; these leave the r12 cohort
-#      correspondingly smaller. New r11 registrations displace fill names
-#      (head-first) as they land.
+# Round-12 window, in priority order (spends the r11-committed NEXT_WINDOW
+# exactly as pinned — VERDICT r11 #1):
+#   0. new/changed this round (registered as they land; each displaces a
+#      fill name head-first, keeping the window at 50).
+#   1. the complete latest-r9-evidence oracle-backed cohort (44 names —
+#      the committed r11 NEXT_WINDOW, verbatim) — after this round's run
+#      no oracle-backed name has evidence older than two rounds.
+#   2. pulled-forward r10-cohort fill (the 6 cheapest stable names from
+#      the r13 rotation cohort, <=0.4 s each in the r11 sweep); these
+#      leave the r13 cohort correspondingly smaller.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # 0: new this round (VERDICT r10 #4a video-container witness, #4b
-    # text-side rerank, #4c incremental contamination, plus the H.264
-    # NAL-layer witness closing the codec line — 4 additions, at the
-    # capacity cap) and changed this round (cents-exact grand totals)
-    "multimodal_avi_frames",
-    "retrieval_rrf_rerank",
-    "docs_contamination_incremental",
-    "multimodal_h264_nal",
-    "dashboard_month_assembly",
-    # 1: new r10, never driver-checked (VERDICT r10 #1)
-    "multimodal_mp3_frames",
-    # 2: the complete r8-evidence oracle-backed cohort (38)
-    "calendar_dim",
-    "corpus_dedup_pipeline",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_fingerprint",
-    "dedup_incremental",
-    "dedup_keep_best",
-    "dedup_minhash_portable",
-    "dedup_ngram_jaccard",
-    "dedup_semantic_sqrtk",
-    "dedup_simhash_wide_pairs",
-    "docs_substring_dedup",
-    "embedding_centroids",
-    "embedding_dim_stats",
-    "embedding_kmeans_refine",
-    "embedding_norm_stats",
-    "events_gapfill_interp",
-    "events_gapfill_stats",
-    "launch_year_orders",
-    "monthly_order_trend_lag",
-    "multimodal_gif_roundtrip",
-    "multimodal_jpeg_roundtrip",
-    "orders_incremental_merge",
-    "pivot_status_by_priority",
-    "price_percentiles",
-    "rollup_order_values",
-    "set_ops_customers",
-    "streaming_parity_click_attribution",
-    "streaming_parity_dedup",
-    "streaming_parity_gap_monitor",
-    "streaming_parity_incremental_dedup",
-    "streaming_parity_nation_activity",
-    "streaming_parity_session_30m",
-    "streaming_parity_tumbling_1h",
-    "streaming_parity_user_state",
-    "text_quality_stats",
-    "text_simhash",
-    "text_token_stats",
-    # 3: pulled-forward r9-cohort fill (watch items first)
-    "order_export_denorm",
-    "copurchase_components",
-    "valid_orders",
-    "clean_orders",
-    "count_distinct_orders",
-    "orders_no_price",
-    # --- window boundary: 50 names above (tests/test_registry_order.py) ---
-)
-
-# Rows-only queries are rotation-exempt: each name's semantics are
-# hash-checked every rotation by the oracle-backed stand-in on the right
-# (the parity twins replay the SAME stateful pipeline against the batch
-# oracle; dedup_minhash_portable is the oracle-exact re-implementation of
-# the spark.ml MinHashLSH demo). tests/test_registry_order.py asserts every
-# rows-only name is listed here and every stand-in is registered WITH an
-# oracle, so the exemption can never silently widen.
-ROWS_ONLY_STAND_INS: dict[str, str] = {
-    "dedup_minhash_lsh": "dedup_minhash_portable",
-    "streaming_click_attribution": "streaming_parity_click_attribution",
-    "streaming_dedup_events": "streaming_parity_dedup",
-    "streaming_gap_monitor": "streaming_parity_gap_monitor",
-    "streaming_incremental_dedup": "streaming_parity_incremental_dedup",
-    "streaming_nation_activity": "streaming_parity_nation_activity",
-    "streaming_session_30m": "streaming_parity_session_30m",
-    "streaming_tumbling_1h": "streaming_parity_tumbling_1h",
-    "streaming_user_state": "streaming_parity_user_state",
-}
-
-# Committed round-12 window (the rotation the NEXT round starts from; the
-# phase-aware age gate uses this once CORRECTNESS_r11.json lands): the
-# complete latest-r9-evidence oracle-backed cohort (50 names) MINUS the
-# 6 names this round's window pulled forward (order_export_denorm,
-# copurchase_components, valid_orders, clean_orders,
-# count_distinct_orders, orders_no_price — they get fresh r11 evidence,
-# so they rotate on the r14 cadence, not here) — 44 names, leaving 6
-# head slots for round-12 new/changed queries (the capacity policy's
-# headroom).
-NEXT_WINDOW: tuple[str, ...] = (
+    # 0: new this round (VERDICT r11 #4a ANN recall audit, #4b BPE-merge
+    # vocabulary witness, #4c watermark-lateness accounting parity)
+    "similarity_recall_audit",
+    "corpus_bpe_merges",
+    "streaming_parity_lateness",
+    # 1: the committed r12 cohort (registry.NEXT_WINDOW as of r11, 44)
     "abandonment_by_day",
     "abandonment_by_month",
     "abandonment_mom_increase",
@@ -213,6 +123,91 @@ NEXT_WINDOW: tuple[str, ...] = (
     "top_abandoned_pairs",
     "top_abandoned_products",
     "top_abandoned_products_salted",
+    # 2: pulled-forward r10-cohort fill (cheap stable names; each lands a
+    # fresh row now and rotates off the r13 cohort)
+    "docs_weighted_sample",
+    "dedup_cluster_components",
+    "orders_unpivot_metrics",
+    # --- window boundary: 50 names above (tests/test_registry_order.py) ---
+)
+
+# Rows-only queries are rotation-exempt: each name's semantics are
+# hash-checked every rotation by the oracle-backed stand-in on the right
+# (the parity twins replay the SAME stateful pipeline against the batch
+# oracle; dedup_minhash_portable is the oracle-exact re-implementation of
+# the spark.ml MinHashLSH demo). tests/test_registry_order.py asserts every
+# rows-only name is listed here and every stand-in is registered WITH an
+# oracle, so the exemption can never silently widen.
+ROWS_ONLY_STAND_INS: dict[str, str] = {
+    "dedup_minhash_lsh": "dedup_minhash_portable",
+    "streaming_click_attribution": "streaming_parity_click_attribution",
+    "streaming_dedup_events": "streaming_parity_dedup",
+    "streaming_gap_monitor": "streaming_parity_gap_monitor",
+    "streaming_incremental_dedup": "streaming_parity_incremental_dedup",
+    "streaming_nation_activity": "streaming_parity_nation_activity",
+    "streaming_session_30m": "streaming_parity_session_30m",
+    "streaming_tumbling_1h": "streaming_parity_tumbling_1h",
+    "streaming_user_state": "streaming_parity_user_state",
+}
+
+# Committed round-13 window (the rotation the NEXT round starts from; the
+# phase-aware age gate uses this once CORRECTNESS_r12.json lands): the
+# complete latest-r10-evidence oracle-backed cohort (49 names) MINUS the
+# 3 names this round's window pulled forward (docs_weighted_sample,
+# dedup_cluster_components, orders_unpivot_metrics — they get fresh r12
+# evidence, so they rotate on the r15 cadence, not here) — 46 names,
+# leaving 4 head slots for round-13 new/changed queries (the capacity
+# policy's headroom). The 6 r9-cohort names r11 pulled forward
+# (order_export_denorm, copurchase_components, valid_orders,
+# clean_orders, count_distinct_orders, orders_no_price) and the r11/r12
+# registrations rotate on the r14 cadence.
+NEXT_WINDOW: tuple[str, ...] = (
+    "corpus_mixture_weights",
+    "corpus_privacy_pipeline",
+    "cube_order_summary",
+    "customer_rfm_segments_approx",
+    "customer_value_deciles",
+    "dashboard_day_assembly",
+    "dedup_ngram_containment",
+    "dedup_semantic_ivf",
+    "dedup_simhash_adaptive",
+    "dedup_simhash_pairs",
+    "distinct_orders_kmv_rollup",
+    "docs_bm25_topk",
+    "docs_contamination_bloom",
+    "docs_dsir_weights",
+    "docs_perplexity_buckets",
+    "docs_pii_redact",
+    "docs_quality_classifier",
+    "docs_quality_tiers",
+    "embedding_quantize_int8",
+    "embedding_random_projection",
+    "events_asof_join",
+    "events_funnel_conversion",
+    "events_hourly_anomaly",
+    "events_json_extract",
+    "events_json_schema",
+    "events_range_join",
+    "events_retention_cohorts",
+    "events_rolling_7d_value",
+    "events_session_30m",
+    "events_sliding_1h_30m",
+    "events_time_rollup",
+    "events_tumbling_1h",
+    "events_type_transitions",
+    "jsonl_roundtrip_checksum",
+    "multimodal_bmp_parse",
+    "multimodal_frame_stats",
+    "multimodal_image_thumbnail",
+    "multimodal_png_roundtrip",
+    "multimodal_wav_parse",
+    "orc_roundtrip_checksum",
+    "orders_dq_audit",
+    "retrieval_hybrid_rrf",
+    "similarity_ivf",
+    "similarity_ivfpq",
+    "similarity_pq",
+    "topk_products_cms",
 )
 
 

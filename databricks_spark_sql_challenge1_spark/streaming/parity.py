@@ -33,7 +33,10 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from databricks_spark_sql_challenge1_spark.catalog import load_table
+from databricks_spark_sql_challenge1_spark.catalog import (
+    ensure_session_confs,
+    load_table,
+)
 from databricks_spark_sql_challenge1_spark.registry import query
 from databricks_spark_sql_challenge1_spark.streaming.events_stream import (
     _drain_to_memory,
@@ -444,4 +447,192 @@ def streaming_parity_incremental_dedup(
 
 streaming_parity_incremental_dedup.__doc__ = (
     streaming_parity_incremental_dedup.__doc__.format(h=3)
+)
+
+
+# --- watermark lateness accounting (VERDICT r11 #4c) ------------------------
+# The parity twins above drain the whole fixture in one micro-batch, so the
+# watermark never advances mid-stream and the late-data drop path is never
+# exercised — the batch twins only IMPLY the late semantics. This query
+# manufactures a deterministic two-micro-batch arrival order (straggler
+# rows arrive AFTER everything else), so the watermark computed at the end
+# of micro-batch 1 actually drops stragglers for closed windows in
+# micro-batch 2, and the drained per-window counts pin Spark's late-data
+# rule exactly: a late row survives iff its window END is above the
+# watermark (max event time of batch 1 minus the delay).
+LATE_MOD = 7  # stragglers = event_id % LATE_MOD == LATE_RESIDUE (~14%)
+LATE_RESIDUE = 3
+LATE_WATERMARK = "1 hour"
+
+
+@query(
+    "streaming_parity_lateness",
+    oracle=f"""
+WITH wm AS (
+    SELECT max(ts) - INTERVAL '{LATE_WATERMARK}' AS wm
+    FROM events WHERE event_id % {LATE_MOD} <> {LATE_RESIDUE}
+),
+e AS (
+    SELECT date_trunc('hour', ts) AS window_start,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents,
+           (event_id % {LATE_MOD} = {LATE_RESIDUE}) AS is_late
+    FROM events
+),
+surv AS (
+    SELECT e.* FROM e, wm
+    WHERE NOT is_late OR window_start + INTERVAL '1 hour' > wm.wm
+),
+s AS (
+    SELECT window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_surv,
+           CAST(SUM(CASE WHEN is_late THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_ontime,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM surv GROUP BY window_start
+),
+tot AS (
+    SELECT date_trunc('hour', ts) AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM events GROUP BY 1
+)
+SELECT s.window_start,
+       s.n_ontime,
+       s.n_surv - s.n_ontime AS n_late_kept,
+       tot.n_total - s.n_surv AS n_dropped,
+       s.sum_cents
+FROM s JOIN tot ON tot.window_start = s.window_start
+ORDER BY s.window_start ASC
+""",
+)
+def streaming_parity_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark lateness accounting, hash-checked: events are re-staged as
+    THREE parquet files — on-time rows, an EMPTY spacer file, then the
+    stragglers (event_id % {LATE_MOD} == {LATE_RESIDUE}) — and streamed
+    with maxFilesPerTrigger=1 under availableNow, so Spark processes
+    exactly three micro-batches in mtime order. The spacer batch exists
+    because Spark's late-event filter runs one batch BEHIND eviction
+    (measured here: in batch N the filter uses the watermark derived from
+    batches <= N-2 — the eventTimeWatermarkForLateEvents half of the
+    post-3.4 two-watermark model — so with only two files the stragglers
+    would be filtered against the initial 1970 watermark and nothing would
+    ever drop). With the spacer, the straggler batch filters against
+    exactly max(on-time ts) - delay: each straggler is DROPPED iff its
+    1-hour window has closed (window end <= watermark) and ACCEPTED
+    otherwise — update output mode, because complete mode disables
+    watermark handling entirely. The drained per-window survivor counts
+    joined to the batch totals yield (n_ontime, n_late_kept, n_dropped,
+    sum_cents) per window; the oracle recomputes the identical rule
+    declaratively, so a green hash row pins the drop/accept boundary, not
+    just the happy path. Value sums ride as integer cents (computed before
+    the stream, per CLAUDE.md) so cross-micro-batch accumulation is exact.
+
+    Scale shape: the staging split is one pass over the source (in
+    production the two "files" are what arrival order already gives you —
+    no staging step exists); the stream itself is the standard watermarked
+    tumbling aggregate with O(open windows) state, and the accounting join
+    is window-grain (720 rows/month), broadcast-tiny at any corpus scale.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    ensure_session_confs(spark)
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    scratch_base = os.path.join(repo_root, "spark-warehouse")
+    os.makedirs(scratch_base, exist_ok=True)
+    scratch = tempfile.mkdtemp(prefix="lateness_", dir=scratch_base)
+    try:
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "ts",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            (F.col("event_id") % LATE_MOD == LATE_RESIDUE).alias("is_late"),
+        )
+        stream_dir = os.path.join(scratch, "stream")
+        os.makedirs(stream_dir)
+        phases = [
+            events.where(~F.col("is_late")),
+            events.where(F.lit(False)),  # empty spacer batch (see docstring)
+            events.where(F.col("is_late")),
+        ]
+        for i, frame in enumerate(phases):
+            phase_dir = os.path.join(scratch, f"phase{i}")
+            frame.select("ts", "cents").coalesce(1).write.parquet(phase_dir)
+            (part,) = glob.glob(os.path.join(phase_dir, "part-*.parquet"))
+            dst = os.path.join(stream_dir, f"batch{i}.parquet")
+            shutil.move(part, dst)
+            # distinct mtimes pin the file-source processing order
+            # (oldest-first is the source's default)
+            os.utime(dst, (_time.time() - 180 + 60 * i,) * 2)
+        stream = (
+            spark.readStream.schema("ts timestamp, cents bigint")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stream_dir)
+        )
+        agg = (
+            stream.withWatermark("ts", LATE_WATERMARK)
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(
+                F.count(F.lit(1)).alias("n_surv"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .select(
+                F.col("window.start").alias("window_start"),
+                "n_surv",
+                "sum_cents",
+            )
+        )
+        name = f"stream_out_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        from pyspark.sql.window import Window
+
+        # update mode re-emits a window when batch 2 adds accepted late
+        # rows; the final emission (max n_surv — counts only grow) is the
+        # settled state. Materialized before the scratch dir is removed.
+        w = Window.partitionBy("window_start").orderBy(F.col("n_surv").desc())
+        drained = (
+            spark.table(name)
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .drop("rk")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    batch = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("window_start"),
+        (F.col("event_id") % LATE_MOD == LATE_RESIDUE).alias("is_late"),
+    )
+    tot = batch.groupBy("window_start").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(F.when(F.col("is_late"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_ontime"),
+    )
+    return (
+        drained.join(tot, "window_start")
+        .select(
+            "window_start",
+            "n_ontime",
+            (F.col("n_surv") - F.col("n_ontime")).cast("bigint").alias("n_late_kept"),
+            (F.col("n_total") - F.col("n_surv")).cast("bigint").alias("n_dropped"),
+            F.col("sum_cents").cast("bigint").alias("sum_cents"),
+        )
+        .orderBy(F.col("window_start").asc())
+    )
+
+
+streaming_parity_lateness.__doc__ = streaming_parity_lateness.__doc__.format(
+    LATE_MOD=LATE_MOD, LATE_RESIDUE=LATE_RESIDUE
 )

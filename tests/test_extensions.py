@@ -702,3 +702,87 @@ def test_incremental_contamination_equals_exact_check_on_the_batch(spark):
         assert r["is_contaminated"] == f["is_contaminated"], doc_id
         assert r["n_candidates"] >= r["n_exact"] >= 0, doc_id
         assert r["fp_filtered"] == r["n_candidates"] - r["n_exact"], doc_id
+
+
+# --- round-12 additions -----------------------------------------------------
+
+
+def test_bpe_merges_equal_reference_trainer(spark):
+    """The distributed BPE merge table must equal a from-scratch
+    sequential reference trainer (classic Sennrich get_stats/merge loop
+    over the word-frequency dict) — the union-find-style independent
+    oracle, stronger than the DuckDB replay because it shares no
+    relational machinery with the implementation."""
+    from databricks_spark_sql_challenge1_spark.operators.textstats import (
+        BPE_ROUNDS,
+        BPE_TOP_WORDS,
+        corpus_bpe_merges,
+    )
+    from tests.conftest import SF_DIR
+
+    got = [tuple(r) for r in corpus_bpe_merges(spark, SF_DIR).collect()]
+
+    from collections import Counter
+
+    from databricks_spark_sql_challenge1_spark.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("text").collect()
+    freq = Counter(w for (t,) in docs for w in t.strip().split())
+    top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP_WORDS]
+    model = {tuple(word): f for word, f in top}
+
+    expect = []
+    for rnd in range(1, BPE_ROUNDS + 1):
+        pairs: Counter = Counter()
+        for syms, f in model.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        (l, r), pf = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expect.append((rnd, l, r, l + r, pf))
+        new_model = {}
+        for syms, f in model.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2  # greedy leftmost non-overlapping
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_model[tuple(out)] = f
+        model = new_model
+    assert got == expect
+
+
+def test_recall_audit_consistent_with_its_legs(spark):
+    from databricks_spark_sql_challenge1_spark.operators.similarity import (
+        TOP_K,
+        similarity_ivfpq,
+        similarity_recall_audit,
+        similarity_topk,
+    )
+    from tests.conftest import SF_DIR
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity_topk(spark, SF_DIR).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity_ivfpq(spark, SF_DIR).collect()
+    }
+    audit = similarity_recall_audit(spark, SF_DIR).collect()
+    assert len(audit) == len({q for q, _ in exact})
+    for row in audit:
+        want = len(
+            {(q, n) for q, n in exact if q == row.query_id}
+            & {(q, n) for q, n in approx if q == row.query_id}
+        )
+        assert row.hits == want
+        assert row.exact_k == TOP_K
+        assert 0 <= row.hits <= min(row.exact_k, row.approx_k)
+        assert abs(row.recall - round(row.hits / row.exact_k, 4)) < 1e-12

@@ -309,6 +309,9 @@ BNLJ_ALLOWED = {
     "similarity_ivf",
     "similarity_ivfpq",
     "similarity_topk",
+    # r12 audit: the recall audit is the composition of the two audited
+    # legs above (its own joins are Q-row equi-joins on query_id)
+    "similarity_recall_audit",
 }
 
 # Streaming queries run a real stream to a memory sink; their returned

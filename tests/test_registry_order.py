@@ -22,17 +22,12 @@ DRIVER_WINDOW = 50
 # was accidentally left out of the window). Update this literal whenever
 # a query is added or its output/oracle changes.
 MUST_VERIFY = {
-    # new r11 (VERDICT r10 #4): MJPEG-in-AVI video-container witness,
-    # RRF-shortlist exact rerank, incremental Bloom->exact contamination
-    "multimodal_avi_frames",
-    "retrieval_rrf_rerank",
-    "docs_contamination_incremental",
-    "multimodal_h264_nal",
-    # changed r11: cents-exact grand totals (ADVICE r10)
-    "dashboard_month_assembly",
-    # new r10 with no driver row yet (VERDICT r10 #1 — the only
-    # oracle-backed name with zero driver evidence)
-    "multimodal_mp3_frames",
+    # new r12 (VERDICT r11 #4): ANN recall@k audit of IVF-PQ vs the exact
+    # top-k, deterministic BPE-merge vocabulary witness, watermark
+    # lateness-accounting parity under the drain harness
+    "similarity_recall_audit",
+    "corpus_bpe_merges",
+    "streaming_parity_lateness",
 }
 
 

@@ -313,3 +313,45 @@ def test_streaming_gap_monitor_equals_batch_lag(spark):
         ).collect()
     )
     assert srows == brows
+
+
+def test_lateness_accounting_identities(spark):
+    """streaming_parity_lateness's per-window accounting must tie out
+    against the batch table: ontime + late_kept + dropped == total per
+    window, on-time rows are never dropped, and the manufactured arrival
+    order actually exercises the drop path (n_dropped > 0 somewhere)."""
+    from pyspark.sql import functions as F
+
+    from databricks_spark_sql_challenge1_spark.catalog import load_table
+    from databricks_spark_sql_challenge1_spark.streaming.parity import (
+        LATE_MOD,
+        LATE_RESIDUE,
+        streaming_parity_lateness,
+    )
+    from tests.conftest import SF_DIR
+
+    out = {r.window_start: r for r in streaming_parity_lateness(spark, SF_DIR).collect()}
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(
+                F.when(F.col("event_id") % LATE_MOD == LATE_RESIDUE, 0).otherwise(1)
+            ).alias("n_ontime"),
+        )
+        .collect()
+    )
+    assert sum(r.n_dropped for r in out.values()) > 0
+    seen_windows = 0
+    for b in batch:
+        r = out.get(b.window_start)
+        if r is None:
+            # window absent from the drain: every row was a dropped straggler
+            assert b.n_ontime == 0
+            continue
+        seen_windows += 1
+        assert r.n_ontime == b.n_ontime, b.window_start
+        assert r.n_ontime + r.n_late_kept + r.n_dropped == b.n_total, b.window_start
+        assert r.n_late_kept >= 0 and r.n_dropped >= 0
+    assert seen_windows == len(out)
