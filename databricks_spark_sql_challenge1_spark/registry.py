@@ -62,106 +62,18 @@ def query(name: str, oracle: str | None = None):
 #     rotation already produces. tests/test_registry_order.py enforces the
 #     stand-in invariant.
 #
-# Round-12 window, in priority order (spends the r11-committed NEXT_WINDOW
-# exactly as pinned — VERDICT r11 #1):
+# Round-13 window, in priority order (spends the r12-committed NEXT_WINDOW
+# exactly as pinned):
 #   0. new/changed this round (registered as they land; each displaces a
 #      fill name head-first, keeping the window at 50).
-#   1. the complete latest-r9-evidence oracle-backed cohort (44 names —
-#      the committed r11 NEXT_WINDOW, verbatim) — after this round's run
+#   1. the complete latest-r10-evidence oracle-backed cohort (46 names —
+#      the committed r12 NEXT_WINDOW, verbatim) — after this round's run
 #      no oracle-backed name has evidence older than two rounds.
-#   2. pulled-forward r10-cohort fill (the 6 cheapest stable names from
-#      the r13 rotation cohort, <=0.4 s each in the r11 sweep); these
-#      leave the r13 cohort correspondingly smaller.
+#   2. pulled-forward r11-cohort fill (the 4 cheapest stable names from
+#      the r14 rotation cohort, <=0.45 s each in the r12 driver sweep);
+#      these leave the r14 cohort correspondingly smaller.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # 0: new this round (VERDICT r11 #4a ANN recall audit, #4b BPE-merge
-    # vocabulary witness, #4c watermark-lateness accounting parity)
-    "similarity_recall_audit",
-    "corpus_bpe_merges",
-    "streaming_parity_lateness",
-    # 1: the committed r12 cohort (registry.NEXT_WINDOW as of r11, 44)
-    "abandonment_by_day",
-    "abandonment_by_month",
-    "abandonment_mom_increase",
-    "abandonment_yoy_increase",
-    "approx_price_percentiles",
-    "approx_topk_products",
-    "copurchase_lift",
-    "copurchase_pagerank",
-    "copurchase_triangles",
-    "corpus_filter_pipeline",
-    "corpus_temperature_mixture",
-    "corpus_vocabulary",
-    "customer_rfm_segments",
-    "dedup_embedding_clusters",
-    "dedup_embedding_lsh_adaptive",
-    "doc_fingerprint",
-    "doc_rolling_fingerprint",
-    "docs_chunk_windows",
-    "docs_contamination",
-    "docs_lang_rebalance",
-    "docs_repetition_stats",
-    "docs_split_assign",
-    "docs_stratified_sample",
-    "events_json_nested",
-    "lang_id_heuristic",
-    "lang_stats",
-    "launch_cohort_analysis",
-    "launch_month_orders",
-    "multimodal_audio_pcm_stats",
-    "multimodal_features",
-    "multimodal_flac_roundtrip",
-    "nations_by_customer",
-    "nations_by_expr_key",
-    "nations_by_supplier",
-    "partkey_skew_histogram",
-    "similarity_pq_rerank",
-    "similarity_topk",
-    "text_entropy",
-    "text_tfidf_top_terms",
-    "tfidf_doc_neighbors",
-    "token_budget_pack",
-    "top_abandoned_pairs",
-    "top_abandoned_products",
-    "top_abandoned_products_salted",
-    # 2: pulled-forward r10-cohort fill (cheap stable names; each lands a
-    # fresh row now and rotates off the r13 cohort)
-    "docs_weighted_sample",
-    "dedup_cluster_components",
-    "orders_unpivot_metrics",
-    # --- window boundary: 50 names above (tests/test_registry_order.py) ---
-)
-
-# Rows-only queries are rotation-exempt: each name's semantics are
-# hash-checked every rotation by the oracle-backed stand-in on the right
-# (the parity twins replay the SAME stateful pipeline against the batch
-# oracle; dedup_minhash_portable is the oracle-exact re-implementation of
-# the spark.ml MinHashLSH demo). tests/test_registry_order.py asserts every
-# rows-only name is listed here and every stand-in is registered WITH an
-# oracle, so the exemption can never silently widen.
-ROWS_ONLY_STAND_INS: dict[str, str] = {
-    "dedup_minhash_lsh": "dedup_minhash_portable",
-    "streaming_click_attribution": "streaming_parity_click_attribution",
-    "streaming_dedup_events": "streaming_parity_dedup",
-    "streaming_gap_monitor": "streaming_parity_gap_monitor",
-    "streaming_incremental_dedup": "streaming_parity_incremental_dedup",
-    "streaming_nation_activity": "streaming_parity_nation_activity",
-    "streaming_session_30m": "streaming_parity_session_30m",
-    "streaming_tumbling_1h": "streaming_parity_tumbling_1h",
-    "streaming_user_state": "streaming_parity_user_state",
-}
-
-# Committed round-13 window (the rotation the NEXT round starts from; the
-# phase-aware age gate uses this once CORRECTNESS_r12.json lands): the
-# complete latest-r10-evidence oracle-backed cohort (49 names) MINUS the
-# 3 names this round's window pulled forward (docs_weighted_sample,
-# dedup_cluster_components, orders_unpivot_metrics — they get fresh r12
-# evidence, so they rotate on the r15 cadence, not here) — 46 names,
-# leaving 4 head slots for round-13 new/changed queries (the capacity
-# policy's headroom). The 6 r9-cohort names r11 pulled forward
-# (order_export_denorm, copurchase_components, valid_orders,
-# clean_orders, count_distinct_orders, orders_no_price) and the r11/r12
-# registrations rotate on the r14 cadence.
-NEXT_WINDOW: tuple[str, ...] = (
+    # 1: the committed r13 cohort (registry.NEXT_WINDOW as of r12, 46)
     "corpus_mixture_weights",
     "corpus_privacy_pipeline",
     "cube_order_summary",
@@ -208,6 +120,92 @@ NEXT_WINDOW: tuple[str, ...] = (
     "similarity_ivfpq",
     "similarity_pq",
     "topk_products_cms",
+    # 2: pulled-forward r11-cohort fill (cheap stable names; each lands a
+    # fresh row now and rotates off the r14 cohort; displaced head-first
+    # by new r13 registrations as they land)
+    "calendar_dim",
+    "orders_no_price",
+    "pivot_status_by_priority",
+    "monthly_order_trend_lag",
+    # --- window boundary: 50 names above (tests/test_registry_order.py) ---
+)
+
+# Rows-only queries are rotation-exempt: each name's semantics are
+# hash-checked every rotation by the oracle-backed stand-in on the right
+# (the parity twins replay the SAME stateful pipeline against the batch
+# oracle; dedup_minhash_portable is the oracle-exact re-implementation of
+# the spark.ml MinHashLSH demo). tests/test_registry_order.py asserts every
+# rows-only name is listed here and every stand-in is registered WITH an
+# oracle, so the exemption can never silently widen.
+ROWS_ONLY_STAND_INS: dict[str, str] = {
+    "dedup_minhash_lsh": "dedup_minhash_portable",
+    "streaming_click_attribution": "streaming_parity_click_attribution",
+    "streaming_dedup_events": "streaming_parity_dedup",
+    "streaming_gap_monitor": "streaming_parity_gap_monitor",
+    "streaming_incremental_dedup": "streaming_parity_incremental_dedup",
+    "streaming_nation_activity": "streaming_parity_nation_activity",
+    "streaming_session_30m": "streaming_parity_session_30m",
+    "streaming_tumbling_1h": "streaming_parity_tumbling_1h",
+    "streaming_user_state": "streaming_parity_user_state",
+}
+
+# Committed round-14 window (the rotation the NEXT round starts from; the
+# phase-aware age gate uses this once CORRECTNESS_r13.json lands): the
+# complete latest-r11-evidence oracle-backed cohort (50 names) MINUS the
+# 4 names this round's window pulled forward (calendar_dim,
+# orders_no_price, pivot_status_by_priority, monthly_order_trend_lag —
+# they get fresh r13 evidence, so they rotate on the r16 cadence, not
+# here) — 46 names, leaving 4 head slots for round-14 new/changed
+# queries (the capacity policy's headroom). The 3 r12 registrations
+# (similarity_recall_audit, corpus_bpe_merges, streaming_parity_lateness)
+# and the r12 window's 3 pulled-forward fills rotate on the r15 cadence.
+NEXT_WINDOW: tuple[str, ...] = (
+    "clean_orders",
+    "copurchase_components",
+    "corpus_dedup_pipeline",
+    "count_distinct_orders",
+    "dashboard_month_assembly",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_incremental",
+    "dedup_keep_best",
+    "dedup_minhash_portable",
+    "dedup_ngram_jaccard",
+    "dedup_semantic_sqrtk",
+    "dedup_simhash_wide_pairs",
+    "docs_contamination_incremental",
+    "docs_substring_dedup",
+    "embedding_centroids",
+    "embedding_dim_stats",
+    "embedding_kmeans_refine",
+    "embedding_norm_stats",
+    "events_gapfill_interp",
+    "events_gapfill_stats",
+    "launch_year_orders",
+    "multimodal_avi_frames",
+    "multimodal_gif_roundtrip",
+    "multimodal_h264_nal",
+    "multimodal_jpeg_roundtrip",
+    "multimodal_mp3_frames",
+    "order_export_denorm",
+    "orders_incremental_merge",
+    "price_percentiles",
+    "retrieval_rrf_rerank",
+    "rollup_order_values",
+    "set_ops_customers",
+    "streaming_parity_click_attribution",
+    "streaming_parity_dedup",
+    "streaming_parity_gap_monitor",
+    "streaming_parity_incremental_dedup",
+    "streaming_parity_nation_activity",
+    "streaming_parity_session_30m",
+    "streaming_parity_tumbling_1h",
+    "streaming_parity_user_state",
+    "text_quality_stats",
+    "text_simhash",
+    "text_token_stats",
+    "valid_orders",
 )
 
 

@@ -21,14 +21,7 @@ DRIVER_WINDOW = 50
 # assertion tautological — it must be able to catch a changed query that
 # was accidentally left out of the window). Update this literal whenever
 # a query is added or its output/oracle changes.
-MUST_VERIFY = {
-    # new r12 (VERDICT r11 #4): ANN recall@k audit of IVF-PQ vs the exact
-    # top-k, deterministic BPE-merge vocabulary witness, watermark
-    # lateness-accounting parity under the drain harness
-    "similarity_recall_audit",
-    "corpus_bpe_merges",
-    "streaming_parity_lateness",
-}
+MUST_VERIFY: set[str] = set()  # r13: populated as new/changed queries land
 
 
 def test_priority_names_are_registered_and_unique():
