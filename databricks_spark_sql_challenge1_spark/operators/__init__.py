@@ -10,6 +10,7 @@ from databricks_spark_sql_challenge1_spark.operators import (  # noqa: F401
     export_denorm,
     json_ops,
     launch,
+    layout,
     marts,
     multimodal,
     retrieval,

@@ -1,0 +1,206 @@
+"""Data-layout effectiveness audit: Z-order clustering vs insertion order.
+
+At 100 TB the dominant cost of every selective query is the scan, and the
+scan's cost is decided before the query runs — by how rows were laid out
+into files and what the per-file zone maps (min/max statistics) can prune.
+This module measures that decision: it lays the SAME rows out two ways —
+multi-dimensionally clustered by a Z-order (Morton) key vs the writer's
+insertion order — builds per-file zone maps, and counts how many files and
+rows each layout actually scans for three canonical predicate shapes.
+
+The reference notebook's tables are written unclustered (its managed-table
+saves, ``py:64-76``); this audit is the extension measurement a 100 TB
+deployment runs before choosing a layout. The expected (and measured)
+result is the classic trade: insertion order ~ time order prunes the
+time-slab query well and the customer-slab query not at all; Z-order
+prunes BOTH dimensions to near-optimal file counts at a small cost on the
+pure time slab. Exactly the argument for Z-ordering multi-tenant fact
+tables.
+
+Scale posture: the production writer is ``repartitionByRange(N_FILES,
+z).sortWithinPartitions(z)`` — one range shuffle by sampled z-quantiles,
+embarrassingly parallel thereafter. The audit uses ``ntile`` over a total
+order instead, which is the deterministic equal-rows equivalent of that
+range partitioning (sample-based splits are not oracle-reproducible); the
+zone-map pruning arithmetic — the thing being measured — is identical.
+Everything is exact integer arithmetic, so the whole audit is
+driver-hashable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from databricks_spark_sql_challenge1_spark.catalog import load_table
+from databricks_spark_sql_challenge1_spark.registry import query
+
+Z_BITS = 7  # each dimension quantized to 0..127
+N_FILES = 64  # files per layout (audit granularity)
+
+# Rectangular probe predicates over the two clustered dimensions
+# (x = customer bucket, y = order-month index): name, x0, x1, y0, y1.
+PREDICATES: tuple[tuple[str, int, int, int, int], ...] = (
+    ("point_both_dims", 10, 19, 60, 65),
+    ("time_slab", 0, 127, 100, 107),
+    ("customer_slab", 42, 45, 0, 127),
+)
+
+
+def _bit_interleave(xcol: str, ycol: str, intdiv: str) -> str:
+    """Morton interleave of two Z_BITS-wide non-negative ints as a plain
+    arithmetic SQL expression: bit i of x lands at position 2i, bit i of y
+    at 2i+1. ``intdiv`` is the engine's integer-division operator (Spark
+    ``div``, DuckDB ``//`` — identical on non-negatives, CLAUDE.md rule).
+    """
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"((({xcol} {intdiv} {1 << i}) % 2) * {4 ** i})")
+        terms.append(f"((({ycol} {intdiv} {1 << i}) % 2) * {2 * 4 ** i})")
+    return " + ".join(terms)
+
+
+# x: customer bucket (hash-free modulo keeps it oracle-exact); y: month
+# index from the fixture's first order year. Both land in [0, 127].
+_X_SQL = "o_custkey % 128"
+_Y_SQL = "((year(o_orderdate) - 1992) * 12 + (month(o_orderdate) - 1)) % 128"
+
+
+def _oracle_sql() -> str:
+    z = _bit_interleave("x", "y", "//")
+    preds_values = ", ".join(
+        f"('{name}', {x0}, {x1}, {y0}, {y1})"
+        for name, x0, x1, y0, y1 in PREDICATES
+    )
+    return f"""
+WITH base AS (
+    SELECT o_orderkey,
+           CAST({_X_SQL} AS BIGINT) AS x,
+           CAST({_Y_SQL} AS BIGINT) AS y
+    FROM orders
+),
+keyed AS (SELECT *, {z} AS z FROM base),
+placed AS (
+    SELECT x, y,
+           ntile({N_FILES}) OVER (ORDER BY z, o_orderkey) AS file_z,
+           ntile({N_FILES}) OVER (ORDER BY o_orderkey) AS file_lin
+    FROM keyed
+),
+files AS (
+    SELECT layout, file_id,
+           min(x) AS min_x, max(x) AS max_x,
+           min(y) AS min_y, max(y) AS max_y,
+           COUNT(*) AS n_rows
+    FROM (
+        SELECT 'zorder' AS layout, file_z AS file_id, x, y FROM placed
+        UNION ALL
+        SELECT 'linear' AS layout, file_lin AS file_id, x, y FROM placed
+    )
+    GROUP BY layout, file_id
+),
+preds(predicate, x0, x1, y0, y1) AS (VALUES {preds_values}),
+scanned AS (
+    SELECT f.layout, p.predicate,
+           COUNT(*) AS files_scanned,
+           SUM(f.n_rows) AS rows_scanned
+    FROM files f JOIN preds p
+      ON f.max_x >= p.x0 AND f.min_x <= p.x1
+     AND f.max_y >= p.y0 AND f.min_y <= p.y1
+    GROUP BY f.layout, p.predicate
+),
+matches AS (
+    SELECT p.predicate, COUNT(*) AS match_rows
+    FROM base b JOIN preds p
+      ON b.x BETWEEN p.x0 AND p.x1 AND b.y BETWEEN p.y0 AND p.y1
+    GROUP BY p.predicate
+)
+SELECT s.layout, s.predicate,
+       CAST(s.files_scanned AS BIGINT) AS files_scanned,
+       CAST(s.rows_scanned AS BIGINT) AS rows_scanned,
+       CAST(m.match_rows AS BIGINT) AS match_rows
+FROM scanned s JOIN matches m ON m.predicate = s.predicate
+ORDER BY s.layout ASC, s.predicate ASC
+"""
+
+
+@query("zorder_file_skipping", oracle=_oracle_sql())
+def zorder_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file-skipping audit: for each layout (Z-order vs insertion
+    order) and each probe predicate, how many of the N_FILES files survive
+    min/max pruning and how many rows they hold — vs the true match count.
+
+    One scan of orders computes (x, y, z); both layouts' file assignments
+    come from two window ranks over the same frame (no second scan); zone
+    maps are one groupBy over 2·N_FILES groups; pruning joins the 128-row
+    zone-map table against the broadcast 3-row predicate table. The only
+    corpus-scale steps are the base scan and the two total-order ranks
+    (production: repartitionByRange — see module docstring).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.expr(_X_SQL).cast("bigint").alias("x"),
+        F.expr(_Y_SQL).cast("bigint").alias("y"),
+    )
+    keyed = base.withColumn("z", F.expr(_bit_interleave("x", "y", "div")))
+    placed = keyed.select(
+        "x",
+        "y",
+        F.ntile(N_FILES).over(Window.orderBy("z", "o_orderkey")).alias("file_z"),
+        F.ntile(N_FILES).over(Window.orderBy("o_orderkey")).alias("file_lin"),
+    )
+    files = (
+        placed.select(
+            F.expr(
+                "stack(2, 'zorder', file_z, 'linear', file_lin) "
+                "AS (layout, file_id)"
+            ),
+            "x",
+            "y",
+        )
+        .groupBy("layout", "file_id")
+        .agg(
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    preds = spark.createDataFrame(
+        list(PREDICATES), "predicate string, x0 long, x1 long, y0 long, y1 long"
+    )
+    scanned = (
+        files.join(
+            F.broadcast(preds),
+            (F.col("max_x") >= F.col("x0"))
+            & (F.col("min_x") <= F.col("x1"))
+            & (F.col("max_y") >= F.col("y0"))
+            & (F.col("min_y") <= F.col("y1")),
+        )
+        .groupBy("layout", "predicate")
+        .agg(
+            F.count(F.lit(1)).alias("files_scanned"),
+            F.sum("n_rows").alias("rows_scanned"),
+        )
+    )
+    matches = (
+        base.join(
+            F.broadcast(preds),
+            F.col("x").between(F.col("x0"), F.col("x1"))
+            & F.col("y").between(F.col("y0"), F.col("y1")),
+        )
+        .groupBy("predicate")
+        .agg(F.count(F.lit(1)).alias("match_rows"))
+    )
+    return (
+        scanned.join(F.broadcast(matches), "predicate")
+        .select(
+            "layout",
+            "predicate",
+            F.col("files_scanned").cast("bigint").alias("files_scanned"),
+            F.col("rows_scanned").cast("bigint").alias("rows_scanned"),
+            F.col("match_rows").cast("bigint").alias("match_rows"),
+        )
+        .orderBy(F.col("layout").asc(), F.col("predicate").asc())
+    )

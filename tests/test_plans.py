@@ -312,6 +312,10 @@ BNLJ_ALLOWED = {
     # r12 audit: the recall audit is the composition of the two audited
     # legs above (its own joins are Q-row equi-joins on query_id)
     "similarity_recall_audit",
+    # r13 audit: zone-map pruning joins the 2*N_FILES-row file-stats table
+    # and the orders scan against the broadcast 3-row predicate table
+    # (rectangle-overlap inequalities — nested loop over 3 rows by design)
+    "zorder_file_skipping",
 }
 
 # Streaming queries run a real stream to a memory sink; their returned
