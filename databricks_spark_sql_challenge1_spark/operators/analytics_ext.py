@@ -826,6 +826,140 @@ def orders_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- SCD Type-2 dimension history ------------------------------------------
+
+# Monthly-spend tier thresholds in exact cents (CLAUDE.md cents rule: go
+# integer at the finest grain so no float summation can flip a boundary).
+SCD2_HIGH_CENTS = 25_000_000  # >= $250k/month
+SCD2_MID_CENTS = 12_000_000  # >= $120k/month
+# Deterministic customer slice keeps the interval table driver-sized while
+# exercising every code path (the INCREMENTAL_MOD / IVM_BATCH_MOD style).
+SCD2_CUST_MOD = 20
+
+_SCD2_TIER_SQL = (
+    f"CASE WHEN spend_cents >= {SCD2_HIGH_CENTS} THEN 'high' "
+    f"WHEN spend_cents >= {SCD2_MID_CENTS} THEN 'mid' ELSE 'low' END"
+)
+
+
+@query(
+    "scd2_customer_history",
+    oracle=f"""
+WITH monthly AS (
+    SELECT o_custkey AS c_custkey,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS spend_cents
+    FROM orders
+    WHERE o_custkey % {SCD2_CUST_MOD} = 0
+    GROUP BY 1, 2
+),
+tiered AS (SELECT *, {_SCD2_TIER_SQL} AS tier FROM monthly),
+flagged AS (
+    SELECT *,
+           CASE WHEN lag(tier) OVER w IS NULL
+                  OR lag(tier) OVER w <> tier THEN 1 ELSE 0 END AS chg
+    FROM tiered
+    WINDOW w AS (PARTITION BY c_custkey ORDER BY m)
+),
+versioned AS (
+    SELECT *,
+           SUM(chg) OVER (PARTITION BY c_custkey ORDER BY m
+                          ROWS UNBOUNDED PRECEDING) AS version
+    FROM flagged
+),
+islands AS (
+    SELECT c_custkey, CAST(version AS BIGINT) AS version, tier,
+           MIN(m) AS valid_from,
+           CAST(COUNT(*) AS BIGINT) AS n_months,
+           CAST(SUM(spend_cents) AS BIGINT) AS island_spend_cents
+    FROM versioned
+    GROUP BY c_custkey, version, tier
+)
+SELECT c_custkey, version, tier, valid_from,
+       lead(valid_from) OVER (PARTITION BY c_custkey ORDER BY version)
+           AS valid_to,
+       n_months, island_spend_cents,
+       lead(valid_from) OVER (PARTITION BY c_custkey ORDER BY version)
+           IS NULL AS is_current
+FROM islands
+ORDER BY c_custkey ASC, version ASC
+""",
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (Type 2) history build: collapse each
+    customer's observed monthly spend-tier snapshots into validity
+    intervals [valid_from, valid_to) with exactly one open (is_current)
+    version per customer — the MERGE-style dimension maintenance a
+    lakehouse runs on every CDC batch, here as the deterministic batch
+    backfill over orders.
+
+    Gaps-and-islands on exact integer cents: lag() flags tier changes in
+    observation order (a month with no orders is no observation — validity
+    runs until the next observed change, standard SCD2 snapshot
+    semantics), a running SUM turns flags into version numbers, one
+    groupBy per (customer, version) emits the interval, and lead() closes
+    each interval with its successor's start.
+
+    Scale shape: one shuffle for the monthly aggregate (map-side partial
+    sums), then every window and the island groupBy partition BY CUSTOMER
+    — per-partition state is a customer's month count (bounded), never
+    corpus-scale, so the build parallelizes to arbitrarily many customers.
+    Incremental maintenance is the `orders_incremental_merge` pattern:
+    a day's batch touches only its customers' open versions (close the
+    current row, append the new one), never the history."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.where(F.col("o_custkey") % SCD2_CUST_MOD == 0)
+        .groupBy(
+            F.col("o_custkey").alias("c_custkey"),
+            F.trunc("o_orderdate", "month").alias("m"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("spend_cents")
+        )
+    )
+    tiered = monthly.withColumn("tier", F.expr(_SCD2_TIER_SQL))
+    w = Window.partitionBy("c_custkey").orderBy("m")
+    flagged = tiered.withColumn(
+        "chg",
+        F.when(
+            F.lag("tier").over(w).isNull()
+            | (F.lag("tier").over(w) != F.col("tier")),
+            1,
+        ).otherwise(0),
+    )
+    versioned = flagged.withColumn(
+        "version",
+        F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    islands = versioned.groupBy(
+        "c_custkey", F.col("version").cast("bigint").alias("version"), "tier"
+    ).agg(
+        F.min("m").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_months"),
+        F.sum("spend_cents").cast("bigint").alias("island_spend_cents"),
+    )
+    wv = Window.partitionBy("c_custkey").orderBy("version")
+    return (
+        islands.select(
+            "c_custkey",
+            "version",
+            "tier",
+            "valid_from",
+            F.lead("valid_from").over(wv).alias("valid_to"),
+            "n_months",
+            "island_spend_cents",
+            F.lead("valid_from").over(wv).isNull().alias("is_current"),
+        )
+        .orderBy(F.col("c_custkey").asc(), F.col("version").asc())
+    )
+
+
 # --- join-key skew profile -------------------------------------------------
 
 
