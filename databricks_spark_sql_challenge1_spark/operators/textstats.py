@@ -1282,6 +1282,7 @@ def _bpe_oracle_sql(rounds: int = BPE_ROUNDS) -> str:
         SELECT term AS word, CAST(COUNT(*) AS BIGINT) AS freq
         FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
               FROM documents)
+        WHERE term <> ''
         GROUP BY term
     )
     ORDER BY freq DESC, word ASC
@@ -1373,6 +1374,10 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+        # ADVICE r12: an empty token (whitespace-only text) would diverge —
+        # Spark's sequence(1, 0) yields [1, 0] where DuckDB's
+        # generate_series(1, 0) yields no rows. Guard both sides.
+        .where(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
         .orderBy(F.col("freq").desc(), F.col("word").asc())

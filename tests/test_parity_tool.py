@@ -100,3 +100,19 @@ def test_every_registered_oracle_classification_is_stable():
         if "order by" in s.lower() and not has_top_level_order_by(s)
     ]
     assert flips == []
+
+
+def test_no_oracle_uses_the_classifiers_blind_spots():
+    # ADVICE r12: the tool AND the reference classifier share two blind
+    # spots — /* */ block comments and double-quoted identifiers (which
+    # could smuggle quotes/parens past the depth scan). The agreement test
+    # above cannot catch them, so pin that no registered oracle uses
+    # either construct; if one ever legitimately needs them, extend BOTH
+    # classifiers first.
+    import databricks_spark_sql_challenge1_spark.operators  # noqa: F401
+    from __spark_entry__ import oracle_sql
+
+    offenders = [
+        n for n, s in oracle_sql().items() if "/*" in s or '"' in s
+    ]
+    assert offenders == []

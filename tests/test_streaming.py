@@ -343,6 +343,38 @@ def test_lateness_accounting_identities(spark):
         .collect()
     )
     assert sum(r.n_dropped for r in out.values()) > 0
+    # ADVICE r12: guard BOTH sides of the drop/accept boundary against a
+    # Spark version silently moving the watermark the straggler batch is
+    # filtered against. The sf0.001 fixture happens to have zero KEEPABLE
+    # stragglers (only stragglers inside the last delay+window span of
+    # event time can survive), so instead of a kept>0 existence check,
+    # pin n_late_kept per window against the declarative rule itself:
+    # kept iff window_end > max(on-time ts) - delay.
+    from databricks_spark_sql_challenge1_spark.streaming.parity import (
+        LATE_WATERMARK,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    wm = (
+        events.where(F.col("event_id") % LATE_MOD != LATE_RESIDUE)
+        .agg(F.max("ts").alias("m"))
+        .collect()[0]["m"]
+    )
+    expected_kept = {
+        r.window_start: r.n
+        for r in (
+            events.where(F.col("event_id") % LATE_MOD == LATE_RESIDUE)
+            .groupBy(F.date_trunc("hour", "ts").alias("window_start"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(
+                F.col("window_start") + F.expr("interval 1 hour")
+                > F.lit(wm) - F.expr(f"interval {LATE_WATERMARK}")
+            )
+            .collect()
+        )
+    }
+    for ws, r in out.items():
+        assert r.n_late_kept == expected_kept.get(ws, 0), ws
     seen_windows = 0
     for b in batch:
         r = out.get(b.window_start)
