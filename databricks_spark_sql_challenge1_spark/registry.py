@@ -73,6 +73,13 @@ def query(name: str, oracle: str | None = None):
 #      the r14 rotation cohort, <=0.45 s each in the r12 driver sweep);
 #      these leave the r14 cohort correspondingly smaller.
 DRIVER_PRIORITY: tuple[str, ...] = (
+    # 0: new/changed this round — Z-order zone-map file-skipping audit,
+    # SCD Type-2 dimension-history build, and the ADVICE-r12 empty-token
+    # guard on the BPE trainer (oracle text changed; output proven
+    # hash-identical at 3 SFs, re-windowed per the changed-query rule)
+    "zorder_file_skipping",
+    "scd2_customer_history",
+    "corpus_bpe_merges",
     # 1: the committed r13 cohort (registry.NEXT_WINDOW as of r12, 46)
     "corpus_mixture_weights",
     "corpus_privacy_pipeline",
@@ -120,13 +127,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "similarity_ivfpq",
     "similarity_pq",
     "topk_products_cms",
-    # 2: pulled-forward r11-cohort fill (cheap stable names; each lands a
-    # fresh row now and rotates off the r14 cohort; displaced head-first
-    # by new r13 registrations as they land)
+    # 2: pulled-forward r11-cohort fill (the 3 head entries displaced
+    # orders_no_price / pivot_status_by_priority / monthly_order_trend_lag
+    # back to the r14 cohort; the cheapest fill keeps its slot)
     "calendar_dim",
-    "orders_no_price",
-    "pivot_status_by_priority",
-    "monthly_order_trend_lag",
     # --- window boundary: 50 names above (tests/test_registry_order.py) ---
 )
 
@@ -151,14 +155,15 @@ ROWS_ONLY_STAND_INS: dict[str, str] = {
 
 # Committed round-14 window (the rotation the NEXT round starts from; the
 # phase-aware age gate uses this once CORRECTNESS_r13.json lands): the
-# complete latest-r11-evidence oracle-backed cohort (50 names) MINUS the
-# 4 names this round's window pulled forward (calendar_dim,
-# orders_no_price, pivot_status_by_priority, monthly_order_trend_lag —
-# they get fresh r13 evidence, so they rotate on the r16 cadence, not
-# here) — 46 names, leaving 4 head slots for round-14 new/changed
-# queries (the capacity policy's headroom). The 3 r12 registrations
-# (similarity_recall_audit, corpus_bpe_merges, streaming_parity_lateness)
-# and the r12 window's 3 pulled-forward fills rotate on the r15 cadence.
+# complete latest-r11-evidence oracle-backed cohort (50 names) MINUS
+# calendar_dim (pulled forward into this round's window, so it rotates on
+# the r16 cadence) — 49 names, leaving 1 head slot for round-14
+# new/changed queries. The capacity policy is at its ceiling: 149
+# oracle-backed names / 3-round cadence ≈ 49.7 refresh slots per round,
+# so round 14 funds any addition beyond its single head slot by
+# consolidation/retirement first (QUERIES.md §capacity-policy). The 3
+# r12 registrations and the r12 window's 3 pulled-forward fills rotate
+# on the r15 cadence.
 NEXT_WINDOW: tuple[str, ...] = (
     "clean_orders",
     "copurchase_components",
@@ -183,6 +188,7 @@ NEXT_WINDOW: tuple[str, ...] = (
     "events_gapfill_interp",
     "events_gapfill_stats",
     "launch_year_orders",
+    "monthly_order_trend_lag",
     "multimodal_avi_frames",
     "multimodal_gif_roundtrip",
     "multimodal_h264_nal",
@@ -190,6 +196,8 @@ NEXT_WINDOW: tuple[str, ...] = (
     "multimodal_mp3_frames",
     "order_export_denorm",
     "orders_incremental_merge",
+    "orders_no_price",
+    "pivot_status_by_priority",
     "price_percentiles",
     "retrieval_rrf_rerank",
     "rollup_order_values",

@@ -786,3 +786,110 @@ def test_recall_audit_consistent_with_its_legs(spark):
         assert row.exact_k == TOP_K
         assert 0 <= row.hits <= min(row.exact_k, row.approx_k)
         assert abs(row.recall - round(row.hits / row.exact_k, 4)) < 1e-12
+
+
+def test_zorder_interleave_matches_python_bit_interleave():
+    """The arithmetic Morton expression must equal true bit interleaving
+    for every (x, y) corner and a lattice of interior points."""
+    import duckdb
+
+    from databricks_spark_sql_challenge1_spark.operators.layout import (
+        Z_BITS,
+        _bit_interleave,
+    )
+
+    def py_morton(x: int, y: int) -> int:
+        z = 0
+        for i in range(Z_BITS):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    con = duckdb.connect()
+    pts = [(0, 0), (127, 127), (1, 0), (0, 1), (85, 42)] + [
+        (x, y) for x in range(0, 128, 17) for y in range(0, 128, 23)
+    ]
+    expr = _bit_interleave("x", "y", "//")
+    for x, y in pts:
+        got = con.execute(
+            f"SELECT {expr} FROM (SELECT {x} AS x, {y} AS y)"
+        ).fetchone()[0]
+        assert got == py_morton(x, y), (x, y)
+
+
+def test_zorder_layout_prunes_no_worse_than_linear_on_2d_probes(spark):
+    """The audit's point of existence: on the 2-D point probe and the
+    customer slab, Z-order must scan no more files than insertion order
+    (strictly fewer on the customer slab — insertion order has no customer
+    locality at all), and every layout's scan must cover the matches."""
+    from databricks_spark_sql_challenge1_spark.operators.layout import (
+        N_FILES,
+        zorder_file_skipping,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = {
+        (r.layout, r.predicate): r
+        for r in zorder_file_skipping(spark, SF_DIR).collect()
+    }
+    assert len(rows) == 6
+    for (layout, pred), r in rows.items():
+        assert 1 <= r.files_scanned <= N_FILES, (layout, pred)
+        assert r.rows_scanned >= r.match_rows, (layout, pred)
+    for pred in ("point_both_dims", "customer_slab"):
+        assert (
+            rows[("zorder", pred)].files_scanned
+            <= rows[("linear", pred)].files_scanned
+        ), pred
+    assert (
+        rows[("zorder", "customer_slab")].files_scanned
+        < rows[("linear", "customer_slab")].files_scanned
+    )
+
+
+def test_scd2_interval_invariants(spark):
+    """SCD2 contract: per customer, versions are contiguous from 1, exactly
+    one open (is_current) interval, each closed interval's valid_to equals
+    its successor's valid_from, adjacent versions change tier, and the
+    island months tie out against the monthly snapshot count."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from databricks_spark_sql_challenge1_spark.catalog import load_table
+    from databricks_spark_sql_challenge1_spark.operators.analytics_ext import (
+        SCD2_CUST_MOD,
+        scd2_customer_history,
+    )
+    from tests.conftest import SF_DIR
+
+    by_cust = defaultdict(list)
+    for r in scd2_customer_history(spark, SF_DIR).collect():
+        by_cust[r.c_custkey].append(r)
+    assert by_cust
+
+    observed_months = {
+        r.c_custkey: r.n
+        for r in (
+            load_table(spark, SF_DIR, "orders")
+            .where(F.col("o_custkey") % SCD2_CUST_MOD == 0)
+            .groupBy(
+                F.col("o_custkey").alias("c_custkey"),
+                F.trunc("o_orderdate", "month").alias("m"),
+            )
+            .count()
+            .groupBy("c_custkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    }
+    for cust, rows in by_cust.items():
+        rows.sort(key=lambda r: r.version)
+        assert [r.version for r in rows] == list(range(1, len(rows) + 1))
+        assert sum(r.is_current for r in rows) == 1
+        assert rows[-1].is_current and rows[-1].valid_to is None
+        for a, b in zip(rows, rows[1:]):
+            assert a.valid_to == b.valid_from, cust
+            assert a.tier != b.tier, cust
+            assert a.valid_from < b.valid_from, cust
+        assert sum(r.n_months for r in rows) == observed_months[cust], cust

@@ -21,7 +21,16 @@ DRIVER_WINDOW = 50
 # assertion tautological — it must be able to catch a changed query that
 # was accidentally left out of the window). Update this literal whenever
 # a query is added or its output/oracle changes.
-MUST_VERIFY: set[str] = set()  # r13: populated as new/changed queries land
+MUST_VERIFY = {
+    # new r13: Z-order zone-map file-skipping audit and the SCD Type-2
+    # dimension-history build
+    "zorder_file_skipping",
+    "scd2_customer_history",
+    # changed r13 (ADVICE r12): empty-token guard added to the BPE
+    # trainer's word model on both engines (output hash-identical at all
+    # three fixture SFs — re-windowed per the changed-query rule)
+    "corpus_bpe_merges",
+}
 
 
 def test_priority_names_are_registered_and_unique():
