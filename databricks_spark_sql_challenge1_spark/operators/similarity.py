@@ -147,9 +147,11 @@ _IVF_ASSIGNED_SQL = f"""
 """
 
 
-@query(
-    "similarity_ivf",
-    oracle=f"""
+# Oracle kept as a module constant: since r13 the three one-stage ANN scans
+# register through the consolidated ``similarity_ann_methods`` (capacity
+# policy), which unions these verbatim — and the recall audit composes the
+# ivfpq one — so each method's SQL remains single-sourced.
+_IVF_ORACLE_SQL = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 cent AS (SELECT vec_id AS centroid_id, emb AS cemb FROM e
          WHERE vec_id % {CENTROID_STRIDE} = 0),
@@ -179,8 +181,9 @@ FROM (
 )
 WHERE rk <= {TOP_K}
 ORDER BY query_id ASC, sim DESC, neighbor_id ASC
-""",
-)
+"""
+
+
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k: assign → probe own bucket only.
 
@@ -259,9 +262,7 @@ _SQDIST_SQL = (
 )
 
 
-@query(
-    "similarity_pq",
-    oracle=f"""
+_PQ_ORACLE_SQL = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 sub AS ({_PQ_SUB_SQL}),
 cb AS (SELECT vec_id AS centroid_id, m, sub AS csub FROM sub
@@ -297,8 +298,9 @@ FROM (
 )
 WHERE rk <= {TOP_K}
 ORDER BY query_id ASC, adist ASC, neighbor_id ASC
-""",
-)
+"""
+
+
 def similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ (product-quantization) approximate top-k — the memory half of
     IVF-PQ: vectors live as {PQ_M} one-byte codes, queries scan codes via a
@@ -388,9 +390,7 @@ def _pq_scored(
 IVFPQ_PROBES = 2
 
 
-@query(
-    "similarity_ivfpq",
-    oracle=f"""
+_IVFPQ_ORACLE_SQL = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 cent AS (SELECT vec_id AS centroid_id, emb AS cemb FROM e
          WHERE vec_id % {CENTROID_STRIDE} = 0),
@@ -447,8 +447,9 @@ FROM (
 )
 WHERE rk <= {TOP_K}
 ORDER BY query_id ASC, adist ASC, neighbor_id ASC
-""",
-)
+"""
+
+
 def similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ: the full production ANN plan — IVF coarse routing composed
     with PQ/ADC scoring (the two halves already proven separately in
@@ -547,6 +548,72 @@ def similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("query_id").asc(), F.col("adist").asc(), F.col("neighbor_id").asc()
         )
     )
+
+
+# --- consolidated one-stage ANN surface (r13 capacity policy) ---------------
+# The three one-stage scans above were separately-registered r5-r6 queries;
+# with the registry at the 3-round-cadence ceiling they now verify as ONE
+# multi-row oracle (the r10 widgets→assemblies precedent): same three
+# pipelines, same values, one method column — freeing two rotation slots
+# while every method stays individually hash-checked (the per-method rows
+# are disjoint, so a drift in any one method flips the combined hash).
+
+_ANN_METHODS = (
+    ("ivf", "sim"),
+    ("ivfpq", "adist"),
+    ("pq", "adist"),
+)
+
+
+def _ann_methods_oracle() -> str:
+    legs = {"ivf": _IVF_ORACLE_SQL, "pq": _PQ_ORACLE_SQL,
+            "ivfpq": _IVFPQ_ORACLE_SQL}
+    union = "\nUNION ALL\n".join(
+        f"SELECT '{m}' AS method, query_id, neighbor_id, "
+        f"{score} AS score FROM ({legs[m]})"
+        for m, score in _ANN_METHODS
+    )
+    return f"""
+SELECT method, query_id, neighbor_id, score
+FROM ({union})
+ORDER BY method ASC, query_id ASC, neighbor_id ASC
+"""
+
+
+@query("similarity_ann_methods", oracle=_ann_methods_oracle())
+def similarity_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-stage ANN method surface: the IVF (bucketed exact-cosine), PQ
+    (full-scan ADC) and IVF-PQ (routed ADC) top-{k} result sets side by
+    side under a method column — ``score`` is the method's native metric
+    (cosine sim for ivf, ADC distance for pq/ivfpq), exactly the values
+    the three pre-r13 standalone registrations produced. The per-method
+    plans are untouched (each is still the individually-documented scale
+    shape); this surface only unions their outputs, so the driver hash
+    pins all three methods in one row budget."""
+    legs = {
+        "ivf": similarity_ivf,
+        "pq": similarity_pq,
+        "ivfpq": similarity_ivfpq,
+    }
+    parts = []
+    for m, score in _ANN_METHODS:
+        parts.append(
+            legs[m](spark, sf_dir).select(
+                F.lit(m).alias("method"),
+                "query_id",
+                "neighbor_id",
+                F.col(score).alias("score"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy(
+        F.col("method").asc(), F.col("query_id").asc(), F.col("neighbor_id").asc()
+    )
+
+
+similarity_ann_methods.__doc__ = similarity_ann_methods.__doc__.format(k=TOP_K)
 
 
 @query(
@@ -1341,15 +1408,17 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _recall_audit_oracle() -> str:
-    """Composed from the REGISTERED oracles of the exact baseline and the
-    IVF-PQ plan, so any future change to either base query propagates to
-    both sides of the audit automatically (same lockstep trick as the
-    generated k-means oracle above)."""
+    """Composed from the single-source oracles of the exact baseline and
+    the IVF-PQ plan (the registered similarity_topk oracle and the
+    _IVFPQ_ORACLE_SQL constant the consolidated ANN surface unions), so
+    any future change to either base query propagates to both sides of
+    the audit automatically (same lockstep trick as the generated k-means
+    oracle above)."""
     from databricks_spark_sql_challenge1_spark.registry import ORACLES
 
     return f"""
 WITH exact AS (SELECT query_id, neighbor_id FROM ({ORACLES["similarity_topk"]})),
-approx AS (SELECT query_id, neighbor_id FROM ({ORACLES["similarity_ivfpq"]})),
+approx AS (SELECT query_id, neighbor_id FROM ({_IVFPQ_ORACLE_SQL})),
 hit AS (
     SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS hits
     FROM exact e JOIN approx a

@@ -74,11 +74,15 @@ def query(name: str, oracle: str | None = None):
 #      these leave the r14 cohort correspondingly smaller.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # 0: new/changed this round — Z-order zone-map file-skipping audit,
-    # SCD Type-2 dimension-history build, and the ADVICE-r12 empty-token
-    # guard on the BPE trainer (oracle text changed; output proven
-    # hash-identical at 3 SFs, re-windowed per the changed-query rule)
+    # SCD Type-2 dimension-history build, the consolidated one-stage ANN
+    # surface (replaces the three retired standalone registrations
+    # similarity_ivf/pq/ivfpq — capacity policy), and the ADVICE-r12
+    # empty-token guard on the BPE trainer (oracle text changed; output
+    # proven hash-identical at 3 SFs, re-windowed per the changed-query
+    # rule)
     "zorder_file_skipping",
     "scd2_customer_history",
+    "similarity_ann_methods",
     "corpus_bpe_merges",
     # 1: the committed r13 cohort (registry.NEXT_WINDOW as of r12, 46)
     "corpus_mixture_weights",
@@ -123,14 +127,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "orc_roundtrip_checksum",
     "orders_dq_audit",
     "retrieval_hybrid_rrf",
-    "similarity_ivf",
-    "similarity_ivfpq",
-    "similarity_pq",
     "topk_products_cms",
-    # 2: pulled-forward r11-cohort fill (the 3 head entries displaced
-    # orders_no_price / pivot_status_by_priority / monthly_order_trend_lag
-    # back to the r14 cohort; the cheapest fill keeps its slot)
+    # 2: pulled-forward r11-cohort fill (head growth displaced
+    # monthly_order_trend_lag back to the r14 cohort; the ANN
+    # consolidation's 3 freed cohort slots let orders_no_price /
+    # pivot_status_by_priority keep fill slots after all)
     "calendar_dim",
+    "orders_no_price",
+    "pivot_status_by_priority",
     # --- window boundary: 50 names above (tests/test_registry_order.py) ---
 )
 
@@ -155,15 +159,15 @@ ROWS_ONLY_STAND_INS: dict[str, str] = {
 
 # Committed round-14 window (the rotation the NEXT round starts from; the
 # phase-aware age gate uses this once CORRECTNESS_r13.json lands): the
-# complete latest-r11-evidence oracle-backed cohort (50 names) MINUS
-# calendar_dim (pulled forward into this round's window, so it rotates on
-# the r16 cadence) — 49 names, leaving 1 head slot for round-14
-# new/changed queries. The capacity policy is at its ceiling: 149
-# oracle-backed names / 3-round cadence ≈ 49.7 refresh slots per round,
-# so round 14 funds any addition beyond its single head slot by
-# consolidation/retirement first (QUERIES.md §capacity-policy). The 3
-# r12 registrations and the r12 window's 3 pulled-forward fills rotate
-# on the r15 cadence.
+# complete latest-r11-evidence oracle-backed cohort (50 names) MINUS the
+# 3 names this round's window pulled forward (calendar_dim,
+# orders_no_price, pivot_status_by_priority — fresh r13 evidence, r16
+# cadence) — 47 names, leaving 3 head slots for round-14 new/changed
+# queries. The r13 ANN consolidation (similarity_ivf/pq/ivfpq →
+# similarity_ann_methods) bought that headroom back: 146 oracle-backed
+# names / 3-round cadence ≈ 48.7 refresh slots per round. The 3 r12
+# registrations and the r12 window's 3 pulled-forward fills rotate on
+# the r15 cadence.
 NEXT_WINDOW: tuple[str, ...] = (
     "clean_orders",
     "copurchase_components",
@@ -196,8 +200,6 @@ NEXT_WINDOW: tuple[str, ...] = (
     "multimodal_mp3_frames",
     "order_export_denorm",
     "orders_incremental_merge",
-    "orders_no_price",
-    "pivot_status_by_priority",
     "price_percentiles",
     "retrieval_rrf_rerank",
     "rollup_order_values",

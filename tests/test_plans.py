@@ -306,12 +306,14 @@ BNLJ_ALLOWED = {
     # r11 audit: stage 1 is retrieval_hybrid_rrf's audited shape; stage 2
     # adds only 1-row qv probe spreads over <= K-row frames
     "retrieval_rrf_rerank",
-    "similarity_ivf",
-    "similarity_ivfpq",
     "similarity_topk",
     # r12 audit: the recall audit is the composition of the two audited
     # legs above (its own joins are Q-row equi-joins on query_id)
     "similarity_recall_audit",
+    # r13 audit: the consolidated ANN surface unions the ivf/pq/ivfpq
+    # legs, whose BNLJs are the broadcast-tiny centroid/probe tables
+    # audited when they were standalone registrations (r3)
+    "similarity_ann_methods",
     # r13 audit: zone-map pruning joins the 2*N_FILES-row file-stats table
     # and the orders scan against the broadcast 3-row predicate table
     # (rectangle-overlap inequalities — nested loop over 3 rows by design)

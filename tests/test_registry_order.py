@@ -22,10 +22,12 @@ DRIVER_WINDOW = 50
 # was accidentally left out of the window). Update this literal whenever
 # a query is added or its output/oracle changes.
 MUST_VERIFY = {
-    # new r13: Z-order zone-map file-skipping audit and the SCD Type-2
-    # dimension-history build
+    # new r13: Z-order zone-map file-skipping audit, the SCD Type-2
+    # dimension-history build, and the consolidated one-stage ANN surface
+    # (replaces the retired similarity_ivf/pq/ivfpq registrations)
     "zorder_file_skipping",
     "scd2_customer_history",
+    "similarity_ann_methods",
     # changed r13 (ADVICE r12): empty-token guard added to the BPE
     # trainer's word model on both engines (output hash-identical at all
     # three fixture SFs — re-windowed per the changed-query rule)
