@@ -1271,11 +1271,15 @@ BPE_ROUNDS = 10
 BPE_TOP_WORDS = 40  # merge-model vocabulary: top words by (freq, word)
 
 
-def _bpe_oracle_sql(rounds: int = BPE_ROUNDS) -> str:
-    # Every CTE is MATERIALIZED: DuckDB inlines plain CTEs at each
-    # reference, and this chain references each round's CTEs 2-3 times —
-    # un-materialized, the expansion (and the parquet re-scan count) grows
-    # exponentially in rounds (measured: EMFILE at 10 rounds).
+def _bpe_cte_chain(rounds: int = BPE_ROUNDS) -> list:
+    """The trainer's CTE chain (words → syms0 → per-round adj/best/grp/
+    mrg/syms), shared by the merge-table oracle and the encoder oracle
+    (which consumes the best{r} argmax CTEs to replay the merges).
+
+    Every CTE is MATERIALIZED: DuckDB inlines plain CTEs at each
+    reference, and this chain references each round's CTEs 2-3 times —
+    un-materialized, the expansion (and the parquet re-scan count) grows
+    exponentially in rounds (measured: EMFILE at 10 rounds)."""
     ctes = [
         f"""words AS MATERIALIZED (
     SELECT word, freq FROM (
@@ -1337,38 +1341,94 @@ def _bpe_oracle_sql(rounds: int = BPE_ROUNDS) -> str:
     LEFT JOIN mrg{r} d ON d.word = g.word AND d.pos = g.pos - 1
     WHERE d.do_merge IS NULL
 )""")
+    return ctes
+
+
+def _bpe_oracle_sql(rounds: int = BPE_ROUNDS) -> str:
     union = "\nUNION ALL\n".join(
         f"SELECT CAST({r + 1} AS BIGINT) AS merge_round, lsym AS left_sym, "
         f"rsym AS right_sym, lsym || rsym AS merged, pair_freq FROM best{r}"
         for r in range(rounds)
     )
     return (
-        "WITH " + ",\n".join(ctes) + "\n" + f"""SELECT merge_round, left_sym, right_sym, merged, pair_freq
+        "WITH " + ",\n".join(_bpe_cte_chain(rounds)) + "\n" + f"""SELECT merge_round, left_sym, right_sym, merged, pair_freq
 FROM ({union})
 ORDER BY merge_round ASC
 """
     )
 
 
-@query("corpus_bpe_merges", oracle=_bpe_oracle_sql())
-def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic BPE tokenizer training witness: BPE_ROUNDS byte-pair
-    merges over the corpus word-frequency model, returning the merge table
-    (merge_round, left_sym, right_sym, merged, pair_freq) — the artifact a
-    BPE tokenizer ships. pair_freq is an exact BIGINT corpus count, so the
-    whole merge trajectory is hash-checkable.
+def _bpe_merge_round(syms: DataFrame, lsym: str, rsym: str, carry: list) -> DataFrame:
+    """Apply ONE greedy leftmost-non-overlapping merge of (lsym, rsym) to a
+    per-word symbol frame (word, pos, sym [+carry columns]): flag adjacent
+    matches, group consecutive matches (gaps-and-islands), keep odd ranks
+    within each run (leftmost-first, non-overlapping), fuse kept pairs,
+    drop their right halves, renumber positions. Shared by the trainer
+    (model = top-BPE_TOP_WORDS words, carry=[freq]) and the encoder
+    (model = full corpus vocabulary, carry=[]); localCheckpoint keeps plan
+    depth constant across rounds."""
+    from pyspark.sql import Window
 
-    Scale shape (how real BPE trainers run at 100 TB): the ONLY
-    corpus-scale step is the word-frequency groupBy (one shuffle with
-    map-side partial counts); the merge loop then operates on the compact
-    top-BPE_TOP_WORDS word-freq model (bounded rows = V x max word length),
-    so per-round cost is independent of corpus size. Each round is pair
-    counting (tiny groupBy) whose 1-row argmax is pulled to the driver and
-    spliced back as literals (the catalog.last_order_datetime /
-    label-propagation convergence-scalar pattern — O(rounds) driver
-    traffic total), then the windowed greedy merge; the model is
-    localCheckpoint-ed per round so plan depth stays constant in rounds
-    (the embedding_kmeans_refine pattern)."""
+    wnd = Window.partitionBy("word").orderBy("pos")
+    adj = syms.withColumn("nxt", F.lead("sym").over(wnd))
+    is_match = (F.col("sym") == F.lit(lsym)) & (F.col("nxt") == F.lit(rsym))
+    grp = adj.withColumn("is_match", F.when(is_match, 1).otherwise(0))
+    grp = grp.withColumn(
+        "grp",
+        F.when(
+            F.col("is_match") == 1,
+            F.col("pos")
+            - F.row_number().over(
+                Window.partitionBy("word", "is_match").orderBy("pos")
+            ),
+        ),
+    )
+    mrg = (
+        grp.where(F.col("is_match") == 1)
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("word", "grp").orderBy("pos")),
+        )
+        .where(F.col("rn") % 2 == 1)
+        .select("word", "pos", F.lit(1).alias("do_merge"))
+    )
+    g = grp.select("word", *carry, "pos", "sym", "nxt").alias("g")
+    m = mrg.alias("m")
+    d = mrg.alias("d")
+    return (
+        g.join(
+            m,
+            (F.col("g.word") == F.col("m.word"))
+            & (F.col("g.pos") == F.col("m.pos")),
+            "left",
+        )
+        .join(
+            d,
+            (F.col("g.word") == F.col("d.word"))
+            & (F.col("g.pos") - 1 == F.col("d.pos")),
+            "left",
+        )
+        .where(F.col("d.do_merge").isNull())
+        .select(
+            F.col("g.word").alias("word"),
+            *[F.col(f"g.{c}").alias(c) for c in carry],
+            F.row_number()
+            .over(Window.partitionBy("g.word").orderBy("g.pos"))
+            .cast("bigint")
+            .alias("pos"),
+            F.when(F.col("m.do_merge") == 1, F.concat("g.sym", "g.nxt"))
+            .otherwise(F.col("g.sym"))
+            .alias("sym"),
+        )
+        .localCheckpoint()
+    )
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str) -> list:
+    """Run the BPE_ROUNDS-round trainer and return the merge table as
+    driver tuples [(round, left_sym, right_sym, merged, pair_freq)] — the
+    corpus_bpe_merges output, and the merge list corpus_bpe_encode
+    replays."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1413,61 +1473,155 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges.append((r + 1, lsym, rsym, lsym + rsym, pair_freq))
         if r == BPE_ROUNDS - 1:
             break  # the post-merge model is never consumed
-        is_match = (F.col("sym") == F.lit(lsym)) & (F.col("nxt") == F.lit(rsym))
-        grp = adj.withColumn("is_match", F.when(is_match, 1).otherwise(0))
-        grp = grp.withColumn(
-            "grp",
-            F.when(
-                F.col("is_match") == 1,
-                F.col("pos")
-                - F.row_number().over(
-                    Window.partitionBy("word", "is_match").orderBy("pos")
-                ),
-            ),
-        )
-        mrg = (
-            grp.where(F.col("is_match") == 1)
-            .withColumn(
-                "rn",
-                F.row_number().over(Window.partitionBy("word", "grp").orderBy("pos")),
-            )
-            .where(F.col("rn") % 2 == 1)
-            .select("word", "pos", F.lit(1).alias("do_merge"))
-        )
-        g = grp.select("word", "freq", "pos", "sym", "nxt").alias("g")
-        m = mrg.alias("m")
-        d = mrg.alias("d")
-        syms = (
-            g.join(
-                m,
-                (F.col("g.word") == F.col("m.word"))
-                & (F.col("g.pos") == F.col("m.pos")),
-                "left",
-            )
-            .join(
-                d,
-                (F.col("g.word") == F.col("d.word"))
-                & (F.col("g.pos") - 1 == F.col("d.pos")),
-                "left",
-            )
-            .where(F.col("d.do_merge").isNull())
-            .select(
-                F.col("g.word").alias("word"),
-                F.col("g.freq").alias("freq"),
-                F.row_number()
-                .over(Window.partitionBy("g.word").orderBy("g.pos"))
-                .cast("bigint")
-                .alias("pos"),
-                F.when(
-                    F.col("m.do_merge") == 1, F.concat("g.sym", "g.nxt")
-                )
-                .otherwise(F.col("g.sym"))
-                .alias("sym"),
-            )
-            .localCheckpoint()
-        )
+        syms = _bpe_merge_round(syms, lsym, rsym, ["freq"])
+    return merges
+
+
+@query("corpus_bpe_merges", oracle=_bpe_oracle_sql())
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic BPE tokenizer training witness: BPE_ROUNDS byte-pair
+    merges over the corpus word-frequency model, returning the merge table
+    (merge_round, left_sym, right_sym, merged, pair_freq) — the artifact a
+    BPE tokenizer ships. pair_freq is an exact BIGINT corpus count, so the
+    whole merge trajectory is hash-checkable.
+
+    Scale shape (how real BPE trainers run at 100 TB): the ONLY
+    corpus-scale step is the word-frequency groupBy (one shuffle with
+    map-side partial counts); the merge loop then operates on the compact
+    top-BPE_TOP_WORDS word-freq model (bounded rows = V x max word length),
+    so per-round cost is independent of corpus size. Each round is pair
+    counting (tiny groupBy) whose 1-row argmax is pulled to the driver and
+    spliced back as literals (the catalog.last_order_datetime /
+    label-propagation convergence-scalar pattern — O(rounds) driver
+    traffic total), then the windowed greedy merge; the model is
+    localCheckpoint-ed per round so plan depth stays constant in rounds
+    (the embedding_kmeans_refine pattern)."""
     return spark.createDataFrame(
-        merges,
+        _bpe_train(spark, sf_dir),
         "merge_round long, left_sym string, right_sym string, "
         "merged string, pair_freq long",
     ).orderBy(F.col("merge_round").asc())
+
+
+# Portable integer token fingerprint: 100*len keeps multi-char merged
+# tokens distinct from their first character; ascii() is the first-char
+# codepoint in BOTH engines (Spark F.ascii / DuckDB ascii).
+BPE_TOKEN_WEIGHT_SQL = "100 * length(sym) + ascii(sym)"
+
+
+def _bpe_encode_oracle_sql(rounds: int = BPE_ROUNDS) -> str:
+    """Encoder oracle: replay the trainer's merge sequence (the best{r}
+    argmax CTEs from _bpe_cte_chain) over the FULL corpus vocabulary, then
+    join per-word token stats back to per-occurrence rows."""
+    ctes = _bpe_cte_chain(rounds)
+    ctes.append("""dwords AS MATERIALIZED (
+    SELECT doc_id, w AS word
+    FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+          FROM documents)
+    WHERE w <> ''
+)""")
+    ctes.append("vocab AS MATERIALIZED (SELECT DISTINCT word FROM dwords)")
+    ctes.append("""vs0 AS MATERIALIZED (
+    SELECT word, CAST(i AS BIGINT) AS pos, substr(word, i, 1) AS sym
+    FROM vocab, unnest(generate_series(1, CAST(length(word) AS INTEGER)))
+         AS t(i)
+)""")
+    for r in range(rounds):
+        ctes.append(f"""vgrp{r} AS MATERIALIZED (
+    SELECT a.word, a.pos, a.sym, a.nxt,
+           CASE WHEN a.sym = b.lsym AND a.nxt = b.rsym THEN 1 ELSE 0 END
+               AS is_match,
+           CASE WHEN a.sym = b.lsym AND a.nxt = b.rsym
+                THEN a.pos - row_number() OVER (
+                    PARTITION BY a.word,
+                        CASE WHEN a.sym = b.lsym AND a.nxt = b.rsym
+                             THEN 1 ELSE 0 END
+                    ORDER BY a.pos)
+           END AS grp
+    FROM (SELECT word, pos, sym,
+                 lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+          FROM vs{r}) a
+    LEFT JOIN best{r} b ON TRUE
+)""")
+        ctes.append(f"""vmrg{r} AS MATERIALIZED (
+    SELECT word, pos, 1 AS do_merge
+    FROM (SELECT word, pos,
+                 row_number() OVER (PARTITION BY word, grp ORDER BY pos) AS rn
+          FROM vgrp{r} WHERE is_match = 1)
+    WHERE rn % 2 = 1
+)""")
+        ctes.append(f"""vs{r + 1} AS MATERIALIZED (
+    SELECT g.word,
+           row_number() OVER (PARTITION BY g.word ORDER BY g.pos) AS pos,
+           CASE WHEN m.do_merge = 1 THEN g.sym || g.nxt ELSE g.sym END AS sym
+    FROM vgrp{r} g
+    LEFT JOIN vmrg{r} m ON m.word = g.word AND m.pos = g.pos
+    LEFT JOIN vmrg{r} d ON d.word = g.word AND d.pos = g.pos - 1
+    WHERE d.do_merge IS NULL
+)""")
+    ctes.append(f"""wstats AS MATERIALIZED (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n_toks,
+           CAST(SUM({BPE_TOKEN_WEIGHT_SQL}) AS BIGINT) AS wsum
+    FROM vs{rounds} GROUP BY word
+)""")
+    return (
+        "WITH " + ",\n".join(ctes) + "\n" + """SELECT d.doc_id,
+       CAST(SUM(w.n_toks) AS BIGINT) AS n_tokens,
+       CAST(SUM(w.wsum) AS BIGINT) AS token_weight_sum
+FROM dwords d JOIN wstats w ON w.word = d.word
+GROUP BY d.doc_id
+ORDER BY d.doc_id ASC
+"""
+    )
+
+
+@query("corpus_bpe_encode", oracle=_bpe_encode_oracle_sql())
+def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLY step — the other half of ``corpus_bpe_merges``'s
+    train step: replay the learned merge sequence over the corpus
+    vocabulary and emit per-document token counts plus an exact integer
+    token fingerprint (Σ over tokens of 100·len+first-codepoint), so the
+    entire tokenize-the-corpus result is driver-hashable.
+
+    Scale shape (the production tokenizer amortization): merges are
+    applied to the DISTINCT-WORD vocabulary, never to running text — the
+    merge loop's cost is bounded by |vocab| × max word length regardless
+    of corpus size, and the corpus pays exactly two linear passes (the
+    word explode and the broadcast join of per-word token stats back to
+    occurrences, followed by one map-side-combined groupBy per doc).
+    Greedy leftmost-non-overlapping application per round is the same
+    `_bpe_merge_round` kernel the trainer uses, so train and apply cannot
+    drift; the oracle replays both halves declaratively (the trainer's
+    best-pair argmax CTEs feed the vocabulary-side merge chain)."""
+    docs = load_table(spark, sf_dir, "documents")
+    dwords = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
+        )
+        .where(F.col("word") != "")
+    )
+    vocab = dwords.select("word").distinct()
+    vs = (
+        vocab.select(
+            "word",
+            F.explode(F.sequence(F.lit(1), F.length("word"))).alias("pos"),
+        )
+        .withColumn("sym", F.expr("substring(word, pos, 1)"))
+        .select("word", F.col("pos").cast("bigint").alias("pos"), "sym")
+        .localCheckpoint()
+    )
+    for _r, lsym, rsym, _merged, _freq in _bpe_train(spark, sf_dir):
+        vs = _bpe_merge_round(vs, lsym, rsym, [])
+    wstats = vs.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+        F.sum(F.expr(BPE_TOKEN_WEIGHT_SQL)).cast("bigint").alias("wsum"),
+    )
+    return (
+        dwords.join(F.broadcast(wstats), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.sum("wsum").cast("bigint").alias("token_weight_sum"),
+        )
+        .orderBy(F.col("doc_id").asc())
+    )

@@ -84,6 +84,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "scd2_customer_history",
     "similarity_ann_methods",
     "corpus_bpe_merges",
+    "corpus_bpe_encode",
     # 1: the committed r13 cohort (registry.NEXT_WINDOW as of r12, 46)
     "corpus_mixture_weights",
     "corpus_privacy_pipeline",
@@ -129,12 +130,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "retrieval_hybrid_rrf",
     "topk_products_cms",
     # 2: pulled-forward r11-cohort fill (head growth displaced
-    # monthly_order_trend_lag back to the r14 cohort; the ANN
-    # consolidation's 3 freed cohort slots let orders_no_price /
-    # pivot_status_by_priority keep fill slots after all)
+    # monthly_order_trend_lag and pivot_status_by_priority back to the
+    # r14 cohort; the ANN consolidation's freed cohort slots let
+    # calendar_dim and orders_no_price keep fill slots)
     "calendar_dim",
     "orders_no_price",
-    "pivot_status_by_priority",
     # --- window boundary: 50 names above (tests/test_registry_order.py) ---
 )
 
@@ -160,14 +160,13 @@ ROWS_ONLY_STAND_INS: dict[str, str] = {
 # Committed round-14 window (the rotation the NEXT round starts from; the
 # phase-aware age gate uses this once CORRECTNESS_r13.json lands): the
 # complete latest-r11-evidence oracle-backed cohort (50 names) MINUS the
-# 3 names this round's window pulled forward (calendar_dim,
-# orders_no_price, pivot_status_by_priority — fresh r13 evidence, r16
-# cadence) — 47 names, leaving 3 head slots for round-14 new/changed
-# queries. The r13 ANN consolidation (similarity_ivf/pq/ivfpq →
-# similarity_ann_methods) bought that headroom back: 146 oracle-backed
-# names / 3-round cadence ≈ 48.7 refresh slots per round. The 3 r12
-# registrations and the r12 window's 3 pulled-forward fills rotate on
-# the r15 cadence.
+# 2 names this round's window pulled forward (calendar_dim,
+# orders_no_price — fresh r13 evidence, r16 cadence) — 48 names, leaving
+# 2 head slots for round-14 new/changed queries. The r13 ANN
+# consolidation (similarity_ivf/pq/ivfpq → similarity_ann_methods)
+# bought that headroom back: 147 oracle-backed names / 3-round cadence
+# = 49 refresh slots per round. The 3 r12 registrations and the r12
+# window's 3 pulled-forward fills rotate on the r15 cadence.
 NEXT_WINDOW: tuple[str, ...] = (
     "clean_orders",
     "copurchase_components",
@@ -200,6 +199,7 @@ NEXT_WINDOW: tuple[str, ...] = (
     "multimodal_mp3_frames",
     "order_export_denorm",
     "orders_incremental_merge",
+    "pivot_status_by_priority",
     "price_percentiles",
     "retrieval_rrf_rerank",
     "rollup_order_values",

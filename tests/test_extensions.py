@@ -893,3 +893,58 @@ def test_scd2_interval_invariants(spark):
             assert a.tier != b.tier, cust
             assert a.valid_from < b.valid_from, cust
         assert sum(r.n_months for r in rows) == observed_months[cust], cust
+
+
+def test_bpe_encode_equals_reference_tokenizer(spark):
+    """The distributed encode (vocabulary-side merge replay + broadcast
+    join back to occurrences) must equal a from-scratch sequential
+    tokenizer: apply the learned merges in order, greedy leftmost
+    non-overlapping, word by word over every document."""
+    from databricks_spark_sql_challenge1_spark.catalog import load_table
+    from databricks_spark_sql_challenge1_spark.operators.textstats import (
+        corpus_bpe_encode,
+        corpus_bpe_merges,
+    )
+    from tests.conftest import SF_DIR
+
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in corpus_bpe_merges(spark, SF_DIR).collect()
+    ]
+
+    def encode_word(word: str) -> list[str]:
+        syms = list(word)
+        for l, r in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2  # greedy leftmost non-overlapping
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    cache: dict[str, tuple[int, int]] = {}
+    expect = {}
+    for row in docs:
+        n_tok = w_sum = 0
+        for w in row.text.strip().split():
+            if w not in cache:
+                toks = encode_word(w)
+                cache[w] = (
+                    len(toks),
+                    sum(100 * len(t) + ord(t[0]) for t in toks),
+                )
+            n, s = cache[w]
+            n_tok += n
+            w_sum += s
+        expect[row.doc_id] = (n_tok, w_sum)
+
+    got = {
+        r.doc_id: (r.n_tokens, r.token_weight_sum)
+        for r in corpus_bpe_encode(spark, SF_DIR).collect()
+    }
+    assert got == expect

@@ -28,6 +28,8 @@ MUST_VERIFY = {
     "zorder_file_skipping",
     "scd2_customer_history",
     "similarity_ann_methods",
+    # BPE tokenizer APPLY step (pairs with the trainer below)
+    "corpus_bpe_encode",
     # changed r13 (ADVICE r12): empty-token guard added to the BPE
     # trainer's word model on both engines (output hash-identical at all
     # three fixture SFs — re-windowed per the changed-query rule)
