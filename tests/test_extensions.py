@@ -948,3 +948,106 @@ def test_bpe_encode_equals_reference_tokenizer(spark):
         for r in corpus_bpe_encode(spark, SF_DIR).collect()
     }
     assert got == expect
+
+
+def test_bpe_merge_round_kernel_on_overlapping_repeats(spark):
+    """Adversarial words the fixture vocabulary may never produce: runs of
+    the same symbol ('aaaa' under merge (a,a)) force the greedy
+    leftmost-non-overlapping rule to skip alternate matches — the odd-rank
+    trick's hardest case. Pin the kernel against the sequential rule."""
+    from pyspark.sql import functions as F
+
+    from databricks_spark_sql_challenge1_spark.operators.textstats import (
+        _bpe_merge_round,
+    )
+
+    def reference(word: str, l: str, r: str) -> list[str]:
+        syms, out, i = list(word), [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    words = ["aaaa", "aaaaa", "aa", "a", "ababab", "baaab", "aabaa"]
+    frame = spark.createDataFrame(
+        [
+            (w, p + 1, c)
+            for w in words
+            for p, c in enumerate(w)
+        ],
+        "word string, pos long, sym string",
+    )
+    merged = _bpe_merge_round(frame, "a", "a", [])
+    got = {}
+    for row in merged.collect():
+        got.setdefault(row.word, []).append((row.pos, row.sym))
+    got = {w: [s for _, s in sorted(v)] for w, v in got.items()}
+    assert got == {w: reference(w, "a", "a") for w in words}
+
+
+def test_bpe_merge_round_sql_on_overlapping_repeats():
+    """The DuckDB-side merge-round template must handle the same
+    overlapping-repeat words identically (the fixture vocabulary may
+    never exercise this path, so the sf parity sweeps cannot pin it)."""
+    import duckdb
+
+    def reference(word: str, l: str, r: str) -> list[str]:
+        syms, out, i = list(word), [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    words = ["aaaa", "aaaaa", "aa", "a", "ababab", "baaab", "aabaa"]
+    values = ", ".join(
+        f"('{w}', {p + 1}, '{c}')"
+        for w in words
+        for p, c in enumerate(w)
+    )
+    sql = f"""
+WITH vs0(word, pos, sym) AS (VALUES {values}),
+best0(lsym, rsym) AS (VALUES ('a', 'a')),
+vgrp0 AS (
+    SELECT a.word, a.pos, a.sym, a.nxt,
+           CASE WHEN a.sym = b.lsym AND a.nxt = b.rsym THEN 1 ELSE 0 END
+               AS is_match,
+           CASE WHEN a.sym = b.lsym AND a.nxt = b.rsym
+                THEN a.pos - row_number() OVER (
+                    PARTITION BY a.word,
+                        CASE WHEN a.sym = b.lsym AND a.nxt = b.rsym
+                             THEN 1 ELSE 0 END
+                    ORDER BY a.pos)
+           END AS grp
+    FROM (SELECT word, pos, sym,
+                 lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+          FROM vs0) a
+    LEFT JOIN best0 b ON TRUE
+),
+vmrg0 AS (
+    SELECT word, pos, 1 AS do_merge
+    FROM (SELECT word, pos,
+                 row_number() OVER (PARTITION BY word, grp ORDER BY pos) AS rn
+          FROM vgrp0 WHERE is_match = 1)
+    WHERE rn % 2 = 1
+)
+SELECT g.word,
+       row_number() OVER (PARTITION BY g.word ORDER BY g.pos) AS pos,
+       CASE WHEN m.do_merge = 1 THEN g.sym || g.nxt ELSE g.sym END AS sym
+FROM vgrp0 g
+LEFT JOIN vmrg0 m ON m.word = g.word AND m.pos = g.pos
+LEFT JOIN vmrg0 d ON d.word = g.word AND d.pos = g.pos - 1
+WHERE d.do_merge IS NULL
+ORDER BY g.word, pos
+"""
+    got: dict = {}
+    for w, _p, s in duckdb.connect().execute(sql).fetchall():
+        got.setdefault(w, []).append(s)
+    assert got == {w: reference(w, "a", "a") for w in words}
