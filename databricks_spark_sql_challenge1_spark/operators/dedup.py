@@ -352,16 +352,19 @@ def _simhash_true_pairs(
     )
 
 
-@query(
-    "dedup_simhash_pairs",
-    oracle=f"""
+# Oracle kept as a module constant: since r13 the three SimHash pair scans
+# register through the consolidated ``dedup_simhash_methods`` (capacity
+# policy, same move as similarity_ann_methods), which unions these
+# verbatim — each method's SQL stays single-sourced.
+_SIMHASH_PAIRS_ORACLE_SQL = f"""
 WITH sig AS ({_simhash_sql_duckdb().replace("ORDER BY doc_id ASC", "")})
 SELECT a.doc_id AS doc_1, b.doc_id AS doc_2,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
-""",
-)
+"""
+
+
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ HAMMING_MAX.
 
@@ -436,9 +439,7 @@ def _simhash_wide_sig(docs: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "dedup_simhash_wide_pairs",
-    oracle=f"""
+_SIMHASH_WIDE_ORACLE_SQL = f"""
 WITH toks AS (
     SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
     FROM documents
@@ -456,8 +457,9 @@ SELECT a.doc_id AS doc_1, b.doc_id AS doc_2,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
-""",
-)
+"""
+
+
 def dedup_simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs on the 60-bit wide SimHash — the measured 100 TB
     configuration of ``dedup_simhash_pairs``.
@@ -1418,9 +1420,7 @@ def _region_expr(prefix: str, band: int) -> str:
     return f"(({limb} >> {shift}) & {mask})"
 
 
-@query(
-    "dedup_simhash_adaptive",
-    oracle=f"""
+_SIMHASH_ADAPTIVE_ORACLE_SQL = f"""
 WITH toks AS (
     SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
     FROM documents
@@ -1444,8 +1444,9 @@ FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sig_hi, b.sig_hi))
       + bit_count(xor(a.sig_lo, b.sig_lo)) <= {HAMMING_MAX}
 ORDER BY doc_1 ASC, doc_2 ASC
-""",
-)
+"""
+
+
 def dedup_simhash_adaptive(
     spark: SparkSession, sf_dir: str, bpb: int | None = None
 ) -> DataFrame:
@@ -1525,6 +1526,62 @@ def dedup_simhash_adaptive(
             "hamming",
         )
         .orderBy(F.col("doc_1").asc(), F.col("doc_2").asc())
+    )
+
+
+# --- consolidated SimHash pair surface (r13 capacity policy) ----------------
+# The three SimHash near-dup scans were separately-registered r4-r8
+# queries; like the one-stage ANN scans they now verify as ONE multi-row
+# oracle (method column), freeing two rotation slots while every
+# signature width stays individually hash-checked — the per-method pair
+# sets are disjoint keyspaces under the method tag, so a drift in any one
+# flips the combined hash.
+
+_SIMHASH_METHODS = (
+    ("adaptive88", _SIMHASH_ADAPTIVE_ORACLE_SQL),
+    ("narrow32", _SIMHASH_PAIRS_ORACLE_SQL),
+    ("wide60", _SIMHASH_WIDE_ORACLE_SQL),
+)
+
+
+def _simhash_methods_oracle() -> str:
+    union = "\nUNION ALL\n".join(
+        f"SELECT '{m}' AS method, doc_1, doc_2, hamming FROM ({sql})"
+        for m, sql in _SIMHASH_METHODS
+    )
+    return f"""
+SELECT method, doc_1, doc_2, hamming
+FROM ({union})
+ORDER BY method ASC, doc_1 ASC, doc_2 ASC
+"""
+
+
+@query("dedup_simhash_methods", oracle=_simhash_methods_oracle())
+def dedup_simhash_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pair surface: the 32-bit fixture baseline, the
+    60-bit wide configuration and the 88-bit corpus-size-adaptive scan
+    side by side under a method column — each method's (doc_1, doc_2,
+    hamming) rows exactly as the three pre-r13 standalone registrations
+    produced them. The per-method plans (band-blocked equi-joins with
+    first-agreeing-band single emission) and saturation guards are
+    untouched; this surface only unions their outputs, so the driver hash
+    pins all three signature widths in one row budget."""
+    legs = {
+        "adaptive88": dedup_simhash_adaptive,
+        "narrow32": dedup_simhash_pairs,
+        "wide60": dedup_simhash_wide_pairs,
+    }
+    parts = [
+        legs[m](spark, sf_dir).select(
+            F.lit(m).alias("method"), "doc_1", "doc_2", "hamming"
+        )
+        for m, _sql in _SIMHASH_METHODS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy(
+        F.col("method").asc(), F.col("doc_1").asc(), F.col("doc_2").asc()
     )
 
 

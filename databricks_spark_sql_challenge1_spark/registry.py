@@ -74,18 +74,21 @@ def query(name: str, oracle: str | None = None):
 #      these leave the r14 cohort correspondingly smaller.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # 0: new/changed this round — Z-order zone-map file-skipping audit,
-    # SCD Type-2 dimension-history build, the consolidated one-stage ANN
-    # surface (replaces the three retired standalone registrations
-    # similarity_ivf/pq/ivfpq — capacity policy), and the ADVICE-r12
-    # empty-token guard on the BPE trainer (oracle text changed; output
-    # proven hash-identical at 3 SFs, re-windowed per the changed-query
-    # rule)
+    # SCD Type-2 dimension-history build, the two consolidated multi-row
+    # surfaces (similarity_ann_methods replaces the retired
+    # similarity_ivf/pq/ivfpq; dedup_simhash_methods replaces the retired
+    # dedup_simhash_pairs/_wide_pairs/_adaptive — capacity policy), the
+    # ADVICE-r12 empty-token guard on the BPE trainer (oracle text
+    # changed; output proven hash-identical at 3 SFs, re-windowed per the
+    # changed-query rule), and the new BPE apply step
     "zorder_file_skipping",
     "scd2_customer_history",
     "similarity_ann_methods",
+    "dedup_simhash_methods",
     "corpus_bpe_merges",
     "corpus_bpe_encode",
-    # 1: the committed r13 cohort (registry.NEXT_WINDOW as of r12, 46)
+    # 1: the committed r13 cohort (registry.NEXT_WINDOW as of r12, 46,
+    # minus the 5 names the two consolidations retired mid-round)
     "corpus_mixture_weights",
     "corpus_privacy_pipeline",
     "cube_order_summary",
@@ -94,8 +97,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dashboard_day_assembly",
     "dedup_ngram_containment",
     "dedup_semantic_ivf",
-    "dedup_simhash_adaptive",
-    "dedup_simhash_pairs",
     "distinct_orders_kmv_rollup",
     "docs_bm25_topk",
     "docs_contamination_bloom",
@@ -130,11 +131,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "retrieval_hybrid_rrf",
     "topk_products_cms",
     # 2: pulled-forward r11-cohort fill (head growth displaced
-    # monthly_order_trend_lag and pivot_status_by_priority back to the
-    # r14 cohort; the ANN consolidation's freed cohort slots let
-    # calendar_dim and orders_no_price keep fill slots)
+    # monthly_order_trend_lag back to the r14 cohort; the ANN and SimHash
+    # consolidations' freed cohort slots fund the other three fills)
     "calendar_dim",
     "orders_no_price",
+    "pivot_status_by_priority",
     # --- window boundary: 50 names above (tests/test_registry_order.py) ---
 )
 
@@ -160,12 +161,14 @@ ROWS_ONLY_STAND_INS: dict[str, str] = {
 # Committed round-14 window (the rotation the NEXT round starts from; the
 # phase-aware age gate uses this once CORRECTNESS_r13.json lands): the
 # complete latest-r11-evidence oracle-backed cohort (50 names) MINUS the
-# 2 names this round's window pulled forward (calendar_dim,
-# orders_no_price — fresh r13 evidence, r16 cadence) — 48 names, leaving
-# 2 head slots for round-14 new/changed queries. The r13 ANN
-# consolidation (similarity_ivf/pq/ivfpq → similarity_ann_methods)
-# bought that headroom back: 147 oracle-backed names / 3-round cadence
-# = 49 refresh slots per round. The 3 r12 registrations and the r12
+# 3 names this round's window pulled forward (calendar_dim,
+# orders_no_price, pivot_status_by_priority — fresh r13 evidence, r16
+# cadence) MINUS retired dedup_simhash_wide_pairs — 46 names, leaving 4
+# head slots for round-14 new/changed queries. The two r13
+# consolidations (similarity_ivf/pq/ivfpq → similarity_ann_methods;
+# dedup_simhash_pairs/_wide_pairs/_adaptive → dedup_simhash_methods)
+# bought that headroom back: 145 oracle-backed names / 3-round cadence
+# ≈ 48.3 refresh slots per round. The 3 r12 registrations and the r12
 # window's 3 pulled-forward fills rotate on the r15 cadence.
 NEXT_WINDOW: tuple[str, ...] = (
     "clean_orders",
@@ -181,7 +184,6 @@ NEXT_WINDOW: tuple[str, ...] = (
     "dedup_minhash_portable",
     "dedup_ngram_jaccard",
     "dedup_semantic_sqrtk",
-    "dedup_simhash_wide_pairs",
     "docs_contamination_incremental",
     "docs_substring_dedup",
     "embedding_centroids",
@@ -199,7 +201,6 @@ NEXT_WINDOW: tuple[str, ...] = (
     "multimodal_mp3_frames",
     "order_export_denorm",
     "orders_incremental_merge",
-    "pivot_status_by_priority",
     "price_percentiles",
     "retrieval_rrf_rerank",
     "rollup_order_values",

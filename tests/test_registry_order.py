@@ -28,6 +28,9 @@ MUST_VERIFY = {
     "zorder_file_skipping",
     "scd2_customer_history",
     "similarity_ann_methods",
+    # consolidated SimHash pair surface (replaces the retired
+    # dedup_simhash_pairs/_wide_pairs/_adaptive registrations)
+    "dedup_simhash_methods",
     # BPE tokenizer APPLY step (pairs with the trainer below)
     "corpus_bpe_encode",
     # changed r13 (ADVICE r12): empty-token guard added to the BPE
