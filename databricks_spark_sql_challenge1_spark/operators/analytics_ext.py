@@ -1651,3 +1651,239 @@ def distinct_orders_kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("o_orderstatus").asc())
     )
+
+
+# --- KMV set operations (sketch algebra) ------------------------------------
+# The rollup above certifies MERGE; this certifies the SET ALGEBRA built on
+# merge: |A∪B| from the merged sketch alone, |A∩B| two ways (inclusion-
+# exclusion over the three estimates, and the classic ratio estimator —
+# the fraction of the union sketch's members present in both sides, scaled
+# by the union estimate). Everything is md5-derived integer arithmetic, so
+# the DuckDB oracle reproduces every ESTIMATE bit-for-bit and the accuracy
+# flags are integer inequalities (|est−exact|·8 ≤ 3·exact, i.e. relative
+# error ≤ 3/√K for K=64) — no floats anywhere.
+# Fixture order years span 1995-2001 (FIXTURES.md; anchor 2001-08-01).
+KMV_SETOPS_PAIRS: tuple[tuple[int, int, str], ...] = (
+    (1996, 1997, "y1996_1997"),
+    (1997, 1998, "y1997_1998"),
+    (1998, 1999, "y1998_1999"),
+)
+
+
+def _kmv_setops_pair_sql(i: int, ya: int, yb: int, name: str) -> str:
+    k = KMV_K
+    est = (
+        "CASE WHEN {n} < " + str(k) + " THEN {exact} "
+        "ELSE (" + str(k - 1) + " * 4294967296) // {m} END"
+    )
+    return f"""keys{i} AS MATERIALIZED (
+    SELECT DISTINCT year(o_orderdate) AS yr, o_custkey,
+           CAST(CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)
+                AS UBIGINT) AS BIGINT) AS h
+    FROM orders WHERE year(o_orderdate) IN ({ya}, {yb})
+),
+a{i} AS MATERIALIZED (SELECT o_custkey, h FROM keys{i} WHERE yr = {ya}),
+b{i} AS MATERIALIZED (SELECT o_custkey, h FROM keys{i} WHERE yr = {yb}),
+ska{i} AS MATERIALIZED (
+    SELECT o_custkey, h FROM (
+        SELECT o_custkey, h,
+               ROW_NUMBER() OVER (ORDER BY h ASC, o_custkey ASC) AS rn
+        FROM a{i}) WHERE rn <= {k}
+),
+skb{i} AS MATERIALIZED (
+    SELECT o_custkey, h FROM (
+        SELECT o_custkey, h,
+               ROW_NUMBER() OVER (ORDER BY h ASC, o_custkey ASC) AS rn
+        FROM b{i}) WHERE rn <= {k}
+),
+sku{i} AS MATERIALIZED (
+    SELECT o_custkey, h FROM (
+        SELECT o_custkey, h,
+               ROW_NUMBER() OVER (ORDER BY h ASC, o_custkey ASC) AS rn
+        FROM (SELECT DISTINCT o_custkey, h
+              FROM (SELECT * FROM ska{i} UNION ALL SELECT * FROM skb{i})))
+    WHERE rn <= {k}
+),
+st{i} AS (
+    SELECT
+        (SELECT COUNT(*) FROM a{i}) AS exact_a,
+        (SELECT COUNT(*) FROM b{i}) AS exact_b,
+        (SELECT COUNT(DISTINCT o_custkey) FROM keys{i}) AS exact_union,
+        (SELECT COUNT(*) FROM ska{i}) AS ka,
+        (SELECT MAX(h) FROM ska{i}) AS ma,
+        (SELECT COUNT(*) FROM skb{i}) AS kb,
+        (SELECT MAX(h) FROM skb{i}) AS mb,
+        (SELECT COUNT(*) FROM sku{i}) AS ku,
+        (SELECT MAX(h) FROM sku{i}) AS mu,
+        (SELECT COUNT(*) FROM sku{i} s
+          WHERE EXISTS (SELECT 1 FROM a{i} x WHERE x.o_custkey = s.o_custkey)
+            AND EXISTS (SELECT 1 FROM b{i} y WHERE y.o_custkey = s.o_custkey))
+            AS n_both
+),
+est{i} AS (
+    SELECT '{name}' AS pair, exact_a, exact_b, exact_union,
+           exact_a + exact_b - exact_union AS exact_intersection,
+           {est.format(n="ka", exact="exact_a", m="ma")} AS kmv_a,
+           {est.format(n="kb", exact="exact_b", m="mb")} AS kmv_b,
+           {est.format(n="ku", exact="exact_union", m="mu")} AS kmv_union,
+           n_both, ku
+    FROM st{i}
+),
+row{i} AS (
+    SELECT pair,
+           CAST(exact_a AS BIGINT) AS exact_a,
+           CAST(exact_b AS BIGINT) AS exact_b,
+           CAST(exact_union AS BIGINT) AS exact_union,
+           CAST(exact_intersection AS BIGINT) AS exact_intersection,
+           CAST(kmv_a AS BIGINT) AS kmv_a,
+           CAST(kmv_b AS BIGINT) AS kmv_b,
+           CAST(kmv_union AS BIGINT) AS kmv_union,
+           CAST(kmv_a + kmv_b - kmv_union AS BIGINT) AS kmv_intersect_ie,
+           CAST(CASE WHEN ku = 0 THEN 0
+                     ELSE (n_both * kmv_union) // ku END AS BIGINT)
+               AS kmv_intersect_ratio,
+           CAST(n_both AS BIGINT) AS n_both,
+           abs(kmv_a - exact_a) * 8 <= 3 * exact_a AS ok_a,
+           abs(kmv_b - exact_b) * 8 <= 3 * exact_b AS ok_b,
+           abs(kmv_union - exact_union) * 8 <= 3 * exact_union AS ok_union
+    FROM est{i}
+)"""
+
+
+def _kmv_setops_oracle() -> str:
+    ctes = [
+        _kmv_setops_pair_sql(i, ya, yb, name)
+        for i, (ya, yb, name) in enumerate(KMV_SETOPS_PAIRS)
+    ]
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM row{i}" for i in range(len(KMV_SETOPS_PAIRS))
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + f"SELECT * FROM ({union}) ORDER BY pair ASC\n"
+    )
+
+
+@query("customers_kmv_setops", oracle=_kmv_setops_oracle())
+def customers_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET ALGEBRA over per-year distinct-customer sets:
+    |A∪B| from the merged bottom-K sketch alone and |A∩B| two ways
+    (inclusion-exclusion over the three integer estimates; the ratio
+    estimator n_both/K · est_union, where n_both counts union-sketch
+    members present in both sides), next to the exact counts and
+    integer-inequality accuracy flags (rel err ≤ 3/√K).
+
+    This is the property that makes sketches a 100 TB reporting surface:
+    per-shard/per-period sketches (K rows each) answer distinct-count
+    algebra across arbitrary period combinations WITHOUT rescanning the
+    fact table — the scan cost is paid once per shard, every pairwise
+    union/intersection after that touches 2·K = 128 rows. The membership
+    probes for the ratio estimator join the 64-row union sketch against
+    the side key sets (broadcast semi-joins of a fixed-size frame).
+    Everything is md5-derived integer arithmetic reproduced bit-for-bit
+    by the oracle, the `distinct_orders_kmv` portability trick."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = KMV_K
+
+    def bottomk(df: DataFrame) -> DataFrame:
+        w = Window.orderBy(F.col("h").asc(), F.col("o_custkey").asc())
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("o_custkey", "h")
+        )
+
+    def est(n_col: str, m_col: str, exact_col: str):
+        return F.when(F.col(n_col) < k, F.col(exact_col)).otherwise(
+            F.expr(f"({k - 1} * 4294967296) div {m_col}")
+        )
+
+    rows = []
+    for ya, yb, name in KMV_SETOPS_PAIRS:
+        keys = (
+            orders.select(F.year("o_orderdate").alias("yr"), "o_custkey")
+            .where(F.col("yr").isin(ya, yb))
+            .distinct()
+            .withColumn(
+                "h",
+                F.conv(
+                    F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8),
+                    16,
+                    10,
+                ).cast("bigint"),
+            )
+        )
+        a = keys.where(F.col("yr") == ya).select("o_custkey", "h")
+        b = keys.where(F.col("yr") == yb).select("o_custkey", "h")
+        ska, skb = bottomk(a), bottomk(b)
+        sku = bottomk(ska.unionByName(skb).distinct())
+        ea = a.agg(F.count(F.lit(1)).cast("bigint").alias("exact_a"))
+        eb = b.agg(F.count(F.lit(1)).cast("bigint").alias("exact_b"))
+        eu = (
+            keys.select("o_custkey")
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("bigint").alias("exact_union"))
+        )
+        sa = ska.agg(F.count(F.lit(1)).alias("ka"), F.max("h").alias("ma"))
+        sb = skb.agg(F.count(F.lit(1)).alias("kb"), F.max("h").alias("mb"))
+        su = sku.agg(F.count(F.lit(1)).alias("ku"), F.max("h").alias("mu"))
+        nboth = (
+            sku.join(a.select("o_custkey"), "o_custkey", "left_semi")
+            .join(b.select("o_custkey"), "o_custkey", "left_semi")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+        )
+        assembled = (
+            ea.crossJoin(F.broadcast(eb))
+            .crossJoin(F.broadcast(eu))
+            .crossJoin(F.broadcast(sa))
+            .crossJoin(F.broadcast(sb))
+            .crossJoin(F.broadcast(su))
+            .crossJoin(F.broadcast(nboth))
+            .select(
+                F.lit(name).alias("pair"),
+                "exact_a",
+                "exact_b",
+                "exact_union",
+                (F.col("exact_a") + F.col("exact_b") - F.col("exact_union"))
+                .cast("bigint")
+                .alias("exact_intersection"),
+                est("ka", "ma", "exact_a").cast("bigint").alias("kmv_a"),
+                est("kb", "mb", "exact_b").cast("bigint").alias("kmv_b"),
+                est("ku", "mu", "exact_union")
+                .cast("bigint")
+                .alias("kmv_union"),
+                "n_both",
+                F.col("ku").cast("bigint").alias("ku"),
+            )
+            .select(
+                "pair",
+                "exact_a",
+                "exact_b",
+                "exact_union",
+                "exact_intersection",
+                "kmv_a",
+                "kmv_b",
+                "kmv_union",
+                (F.col("kmv_a") + F.col("kmv_b") - F.col("kmv_union"))
+                .cast("bigint")
+                .alias("kmv_intersect_ie"),
+                F.expr(
+                    "CASE WHEN ku = 0 THEN 0"
+                    " ELSE (n_both * kmv_union) div ku END"
+                )
+                .cast("bigint")
+                .alias("kmv_intersect_ratio"),
+                "n_both",
+                (F.abs(F.col("kmv_a") - F.col("exact_a")) * 8
+                 <= F.col("exact_a") * 3).alias("ok_a"),
+                (F.abs(F.col("kmv_b") - F.col("exact_b")) * 8
+                 <= F.col("exact_b") * 3).alias("ok_b"),
+                (F.abs(F.col("kmv_union") - F.col("exact_union")) * 8
+                 <= F.col("exact_union") * 3).alias("ok_union"),
+            )
+        )
+        rows.append(assembled)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy(F.col("pair").asc())

@@ -87,6 +87,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_simhash_methods",
     "corpus_bpe_merges",
     "corpus_bpe_encode",
+    "customers_kmv_setops",
     # 1: the committed r13 cohort (registry.NEXT_WINDOW as of r12, 46,
     # minus the 5 names the two consolidations retired mid-round)
     "corpus_mixture_weights",
@@ -135,7 +136,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # consolidations' freed cohort slots fund the other three fills)
     "calendar_dim",
     "orders_no_price",
-    "pivot_status_by_priority",
     # --- window boundary: 50 names above (tests/test_registry_order.py) ---
 )
 
@@ -163,12 +163,14 @@ ROWS_ONLY_STAND_INS: dict[str, str] = {
 # complete latest-r11-evidence oracle-backed cohort (50 names) MINUS the
 # 3 names this round's window pulled forward (calendar_dim,
 # orders_no_price, pivot_status_by_priority — fresh r13 evidence, r16
-# cadence) MINUS retired dedup_simhash_wide_pairs — 46 names, leaving 4
-# head slots for round-14 new/changed queries. The two r13
+# cadence) MINUS retired dedup_simhash_wide_pairs — 47 names, leaving 3
+# head slots for round-14 new/changed queries (pivot_status_by_priority
+# bounced back out of the r13 fills when customers_kmv_setops took the
+# last head slot). The two r13
 # consolidations (similarity_ivf/pq/ivfpq → similarity_ann_methods;
 # dedup_simhash_pairs/_wide_pairs/_adaptive → dedup_simhash_methods)
-# bought that headroom back: 145 oracle-backed names / 3-round cadence
-# ≈ 48.3 refresh slots per round. The 3 r12 registrations and the r12
+# bought that headroom back: 146 oracle-backed names / 3-round cadence
+# ≈ 48.7 refresh slots per round. The 3 r12 registrations and the r12
 # window's 3 pulled-forward fills rotate on the r15 cadence.
 NEXT_WINDOW: tuple[str, ...] = (
     "clean_orders",
@@ -201,6 +203,7 @@ NEXT_WINDOW: tuple[str, ...] = (
     "multimodal_mp3_frames",
     "order_export_denorm",
     "orders_incremental_merge",
+    "pivot_status_by_priority",
     "price_percentiles",
     "retrieval_rrf_rerank",
     "rollup_order_values",

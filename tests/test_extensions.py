@@ -1051,3 +1051,34 @@ ORDER BY g.word, pos
     for w, _p, s in duckdb.connect().execute(sql).fetchall():
         got.setdefault(w, []).append(s)
     assert got == {w: reference(w, "a", "a") for w in words}
+
+
+def test_kmv_setops_identities_and_estimator_sanity(spark):
+    """Structural identities the sketch algebra must satisfy regardless of
+    fixture: exact inclusion-exclusion ties out, the IE estimate is the
+    integer identity over the three estimates, membership counts are
+    bounded by the sketch size, and both intersection estimators land
+    within 60% of the exact intersection on the deterministic fixture
+    (sigma = 1/sqrt(64) = 12.5% per estimate; the observed worst case
+    across SFs is ~40%)."""
+    from databricks_spark_sql_challenge1_spark.operators.analytics_ext import (
+        KMV_K,
+        KMV_SETOPS_PAIRS,
+        customers_kmv_setops,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = customers_kmv_setops(spark, SF_DIR).collect()
+    assert len(rows) == len(KMV_SETOPS_PAIRS)
+    for r in rows:
+        assert r.exact_intersection == r.exact_a + r.exact_b - r.exact_union
+        assert r.kmv_intersect_ie == r.kmv_a + r.kmv_b - r.kmv_union
+        assert 0 <= r.n_both <= KMV_K
+        assert r.exact_union <= r.exact_a + r.exact_b
+        assert r.kmv_union >= max(0, min(r.kmv_a, r.kmv_b))
+        for est in (r.kmv_intersect_ie, r.kmv_intersect_ratio):
+            assert abs(est - r.exact_intersection) * 10 <= 6 * r.exact_intersection, (
+                r.pair,
+                est,
+                r.exact_intersection,
+            )

@@ -318,6 +318,9 @@ BNLJ_ALLOWED = {
     # and the orders scan against the broadcast 3-row predicate table
     # (rectangle-overlap inequalities — nested loop over 3 rows by design)
     "zorder_file_skipping",
+    # r13 audit: per-pair assembly crossJoins seven 1-row broadcast
+    # aggregates (the scalar-spread pattern); sketches are 64-row frames
+    "customers_kmv_setops",
 }
 
 # Streaming queries run a real stream to a memory sink; their returned

@@ -33,6 +33,8 @@ MUST_VERIFY = {
     "dedup_simhash_methods",
     # BPE tokenizer APPLY step (pairs with the trainer below)
     "corpus_bpe_encode",
+    # KMV sketch set algebra (merge-union + two intersection estimators)
+    "customers_kmv_setops",
     # changed r13 (ADVICE r12): empty-token guard added to the BPE
     # trainer's word model on both engines (output hash-identical at all
     # three fixture SFs — re-windowed per the changed-query rule)
