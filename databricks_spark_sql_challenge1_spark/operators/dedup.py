@@ -1545,6 +1545,9 @@ _SIMHASH_METHODS = (
 
 
 def _simhash_methods_oracle() -> str:
+    # No LIMIT → no top-level ORDER BY: the driver hash is
+    # order-insensitive, and a total-order sort of the ~1.9 M-row sf0.1
+    # union would be a single-partition stage bought for nothing.
     union = "\nUNION ALL\n".join(
         f"SELECT '{m}' AS method, doc_1, doc_2, hamming FROM ({sql})"
         for m, sql in _SIMHASH_METHODS
@@ -1552,7 +1555,6 @@ def _simhash_methods_oracle() -> str:
     return f"""
 SELECT method, doc_1, doc_2, hamming
 FROM ({union})
-ORDER BY method ASC, doc_1 ASC, doc_2 ASC
 """
 
 
@@ -1580,9 +1582,7 @@ def dedup_simhash_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.orderBy(
-        F.col("method").asc(), F.col("doc_1").asc(), F.col("doc_2").asc()
-    )
+    return out
 
 
 # --- n-gram containment (asymmetric near-dup) ------------------------------
