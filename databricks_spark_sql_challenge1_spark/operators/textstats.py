@@ -1358,81 +1358,42 @@ ORDER BY merge_round ASC
     )
 
 
-def _bpe_merge_round(syms: DataFrame, lsym: str, rsym: str, carry: list) -> DataFrame:
+def _bpe_apply_merge(syms: list, lsym: str, rsym: str) -> list:
     """Apply ONE greedy leftmost-non-overlapping merge of (lsym, rsym) to a
-    per-word symbol frame (word, pos, sym [+carry columns]): flag adjacent
-    matches, group consecutive matches (gaps-and-islands), keep odd ranks
-    within each run (leftmost-first, non-overlapping), fuse kept pairs,
-    drop their right halves, renumber positions. Shared by the trainer
-    (model = top-BPE_TOP_WORDS words, carry=[freq]) and the encoder
-    (model = full corpus vocabulary, carry=[]); localCheckpoint keeps plan
-    depth constant across rounds."""
-    from pyspark.sql import Window
-
-    wnd = Window.partitionBy("word").orderBy("pos")
-    adj = syms.withColumn("nxt", F.lead("sym").over(wnd))
-    is_match = (F.col("sym") == F.lit(lsym)) & (F.col("nxt") == F.lit(rsym))
-    grp = adj.withColumn("is_match", F.when(is_match, 1).otherwise(0))
-    grp = grp.withColumn(
-        "grp",
-        F.when(
-            F.col("is_match") == 1,
-            F.col("pos")
-            - F.row_number().over(
-                Window.partitionBy("word", "is_match").orderBy("pos")
-            ),
-        ),
-    )
-    mrg = (
-        grp.where(F.col("is_match") == 1)
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("word", "grp").orderBy("pos")),
-        )
-        .where(F.col("rn") % 2 == 1)
-        .select("word", "pos", F.lit(1).alias("do_merge"))
-    )
-    g = grp.select("word", *carry, "pos", "sym", "nxt").alias("g")
-    m = mrg.alias("m")
-    d = mrg.alias("d")
-    return (
-        g.join(
-            m,
-            (F.col("g.word") == F.col("m.word"))
-            & (F.col("g.pos") == F.col("m.pos")),
-            "left",
-        )
-        .join(
-            d,
-            (F.col("g.word") == F.col("d.word"))
-            & (F.col("g.pos") - 1 == F.col("d.pos")),
-            "left",
-        )
-        .where(F.col("d.do_merge").isNull())
-        .select(
-            F.col("g.word").alias("word"),
-            *[F.col(f"g.{c}").alias(c) for c in carry],
-            F.row_number()
-            .over(Window.partitionBy("g.word").orderBy("g.pos"))
-            .cast("bigint")
-            .alias("pos"),
-            F.when(F.col("m.do_merge") == 1, F.concat("g.sym", "g.nxt"))
-            .otherwise(F.col("g.sym"))
-            .alias("sym"),
-        )
-        .localCheckpoint()
-    )
+    word's symbol list — THE merge kernel, shared by the driver-side
+    trainer loop and the encoder's mapInPandas word encoder so train and
+    apply cannot drift. The DuckDB oracle replays the identical rule
+    relationally (gaps-and-islands odd-rank template in _bpe_cte_chain,
+    pinned on overlapping-repeat words in tests/test_extensions.py)."""
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == lsym and syms[i + 1] == rsym:
+            out.append(lsym + rsym)
+            i += 2  # greedy leftmost non-overlapping
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
 
 
 def _bpe_train(spark: SparkSession, sf_dir: str) -> list:
     """Run the BPE_ROUNDS-round trainer and return the merge table as
     driver tuples [(round, left_sym, right_sym, merged, pair_freq)] — the
     corpus_bpe_merges output, and the merge list corpus_bpe_encode
-    replays."""
-    from pyspark.sql import Window
+    replays.
 
+    Shape: the ONLY corpus-scale step (the word-frequency groupBy with
+    map-side partial counts) runs distributed; the top-BPE_TOP_WORDS
+    model it produces is BOUNDED (V rows regardless of corpus size), so
+    it is collected once and the merge loop runs driver-side on exact
+    Python integers — how production BPE trainers work (Sennrich
+    get_stats/merge over the word-frequency dict). Total driver traffic
+    is one bounded model pull, less than the per-round argmax splicing
+    the loop would otherwise need. Tie-breaks ((-freq, lsym, rsym) with
+    Python codepoint string order) match both engines' binary string
+    ORDER BY, since UTF-8 byte order equals codepoint order."""
     docs = load_table(spark, sf_dir, "documents")
-    words = (
+    top = (
         docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
         # ADVICE r12: an empty token (whitespace-only text) would diverge —
         # Spark's sequence(1, 0) yields [1, 0] where DuckDB's
@@ -1442,38 +1403,24 @@ def _bpe_train(spark: SparkSession, sf_dir: str) -> list:
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
         .orderBy(F.col("freq").desc(), F.col("word").asc())
         .limit(BPE_TOP_WORDS)
+        .collect()
     )
-    syms = (
-        words.select(
-            "word",
-            "freq",
-            F.explode(F.sequence(F.lit(1), F.length("word"))).alias("pos"),
-        )
-        .withColumn("sym", F.expr("substring(word, pos, 1)"))
-        .select("word", "freq", F.col("pos").cast("bigint").alias("pos"), "sym")
-        .localCheckpoint()
-    )
+    model = [(list(r["word"]), r["freq"]) for r in top]
     merges: list[tuple] = []
     for r in range(BPE_ROUNDS):
-        wnd = Window.partitionBy("word").orderBy("pos")
-        adj = syms.withColumn("nxt", F.lead("sym").over(wnd))
-        best = (
-            adj.where(F.col("nxt").isNotNull())
-            .groupBy("sym", "nxt")
-            .agg(F.sum("freq").cast("bigint").alias("pair_freq"))
-            .orderBy(
-                F.col("pair_freq").desc(), F.col("sym").asc(), F.col("nxt").asc()
-            )
-            .limit(1)
-            .collect()
-        )
-        if not best:  # model saturated: every word is a single symbol
+        pairs: dict = {}
+        for syms, f in model:
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + f
+        if not pairs:  # model saturated: every word is a single symbol
             break
-        lsym, rsym, pair_freq = best[0]
+        (lsym, rsym), pair_freq = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
         merges.append((r + 1, lsym, rsym, lsym + rsym, pair_freq))
         if r == BPE_ROUNDS - 1:
             break  # the post-merge model is never consumed
-        syms = _bpe_merge_round(syms, lsym, rsym, ["freq"])
+        model = [(_bpe_apply_merge(syms, lsym, rsym), f) for syms, f in model]
     return merges
 
 
@@ -1487,15 +1434,12 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape (how real BPE trainers run at 100 TB): the ONLY
     corpus-scale step is the word-frequency groupBy (one shuffle with
-    map-side partial counts); the merge loop then operates on the compact
-    top-BPE_TOP_WORDS word-freq model (bounded rows = V x max word length),
-    so per-round cost is independent of corpus size. Each round is pair
-    counting (tiny groupBy) whose 1-row argmax is pulled to the driver and
-    spliced back as literals (the catalog.last_order_datetime /
-    label-propagation convergence-scalar pattern — O(rounds) driver
-    traffic total), then the windowed greedy merge; the model is
-    localCheckpoint-ed per round so plan depth stays constant in rounds
-    (the embedding_kmeans_refine pattern)."""
+    map-side partial counts); the top-BPE_TOP_WORDS model it yields is
+    BOUNDED (V rows whatever the corpus size), so it is collected once
+    and the merge loop runs driver-side on exact integers — the Sennrich
+    get_stats/merge shape production tokenizer trainers use. One bounded
+    model pull replaces what would otherwise be O(rounds) per-round
+    Spark jobs; see _bpe_train for the tie-break collation argument."""
     return spark.createDataFrame(
         _bpe_train(spark, sf_dir),
         "merge_round long, left_sym string, right_sym string, "
@@ -1585,12 +1529,14 @@ def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape (the production tokenizer amortization): merges are
     applied to the DISTINCT-WORD vocabulary, never to running text — the
-    merge loop's cost is bounded by |vocab| × max word length regardless
-    of corpus size, and the corpus pays exactly two linear passes (the
-    word explode and the broadcast join of per-word token stats back to
-    occurrences, followed by one map-side-combined groupBy per doc).
-    Greedy leftmost-non-overlapping application per round is the same
-    `_bpe_merge_round` kernel the trainer uses, so train and apply cannot
+    encode cost is bounded by |vocab| × merges × max word length
+    regardless of corpus size, and the corpus pays exactly two linear
+    passes (the word explode and the broadcast join of per-word token
+    stats back to occurrences, followed by one map-side-combined groupBy
+    per doc). The vocabulary is encoded in ONE Arrow-batched mapInPandas
+    pass (words are independent, so the pass is embarrassingly parallel);
+    each word replays the learned merge list through the same
+    `_bpe_apply_merge` kernel the trainer uses, so train and apply cannot
     drift; the oracle replays both halves declaratively (the trainer's
     best-pair argmax CTEs feed the vocabulary-side merge chain)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1601,20 +1547,26 @@ def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("word") != "")
     )
     vocab = dwords.select("word").distinct()
-    vs = (
-        vocab.select(
-            "word",
-            F.explode(F.sequence(F.lit(1), F.length("word"))).alias("pos"),
-        )
-        .withColumn("sym", F.expr("substring(word, pos, 1)"))
-        .select("word", F.col("pos").cast("bigint").alias("pos"), "sym")
-        .localCheckpoint()
-    )
-    for _r, lsym, rsym, _merged, _freq in _bpe_train(spark, sf_dir):
-        vs = _bpe_merge_round(vs, lsym, rsym, [])
-    wstats = vs.groupBy("word").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_toks"),
-        F.sum(F.expr(BPE_TOKEN_WEIGHT_SQL)).cast("bigint").alias("wsum"),
+    merges = [(l, r) for _rnd, l, r, _m, _pf in _bpe_train(spark, sf_dir)]
+
+    def encode_vocab(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n_toks, wsums = [], []
+            for word in pdf["word"]:
+                syms = list(word)
+                for lsym, rsym in merges:
+                    syms = _bpe_apply_merge(syms, lsym, rsym)
+                n_toks.append(len(syms))
+                # 100*len + first-codepoint — BPE_TOKEN_WEIGHT_SQL exactly
+                wsums.append(sum(100 * len(t) + ord(t[0]) for t in syms))
+            yield pd.DataFrame(
+                {"word": pdf["word"], "n_toks": n_toks, "wsum": wsums}
+            )
+
+    wstats = vocab.mapInPandas(
+        encode_vocab, "word string, n_toks long, wsum long"
     )
     return (
         dwords.join(F.broadcast(wstats), "word")

@@ -950,15 +950,15 @@ def test_bpe_encode_equals_reference_tokenizer(spark):
     assert got == expect
 
 
-def test_bpe_merge_round_kernel_on_overlapping_repeats(spark):
+def test_bpe_apply_merge_kernel_on_overlapping_repeats():
     """Adversarial words the fixture vocabulary may never produce: runs of
     the same symbol ('aaaa' under merge (a,a)) force the greedy
-    leftmost-non-overlapping rule to skip alternate matches — the odd-rank
-    trick's hardest case. Pin the kernel against the sequential rule."""
-    from pyspark.sql import functions as F
-
+    leftmost-non-overlapping rule to skip alternate matches. Pin the
+    shared trainer/encoder kernel against an independently-written
+    sequential rule (and so, transitively, against the DuckDB odd-rank
+    template pinned on the same words below)."""
     from databricks_spark_sql_challenge1_spark.operators.textstats import (
-        _bpe_merge_round,
+        _bpe_apply_merge,
     )
 
     def reference(word: str, l: str, r: str) -> list[str]:
@@ -973,20 +973,11 @@ def test_bpe_merge_round_kernel_on_overlapping_repeats(spark):
         return out
 
     words = ["aaaa", "aaaaa", "aa", "a", "ababab", "baaab", "aabaa"]
-    frame = spark.createDataFrame(
-        [
-            (w, p + 1, c)
-            for w in words
-            for p, c in enumerate(w)
-        ],
-        "word string, pos long, sym string",
-    )
-    merged = _bpe_merge_round(frame, "a", "a", [])
-    got = {}
-    for row in merged.collect():
-        got.setdefault(row.word, []).append((row.pos, row.sym))
-    got = {w: [s for _, s in sorted(v)] for w, v in got.items()}
-    assert got == {w: reference(w, "a", "a") for w in words}
+    for w in words:
+        assert _bpe_apply_merge(list(w), "a", "a") == reference(w, "a", "a"), w
+    # multi-char fused symbols merge on too (round >= 2 inputs)
+    assert _bpe_apply_merge(["ab", "c", "ab", "c"], "ab", "c") == ["abc", "abc"]
+    assert _bpe_apply_merge([], "a", "a") == []
 
 
 def test_bpe_merge_round_sql_on_overlapping_repeats():

@@ -93,13 +93,52 @@ def test_every_registered_oracle_classification_is_stable():
         if has_top_level_order_by(s) != _reference_classifier(s)
     ]
     assert disagree == []
-    # and today every oracle that mentions ORDER BY declares it top-level
-    flips = [
+    # The safety rule the old "every ORDER BY is top-level" pin stood in
+    # for (CLAUDE.md alignment rules): an oracle whose compare is
+    # order-INsensitive (no top-level ORDER BY) must not carry a
+    # top-level LIMIT — LIMIT without a total order is non-deterministic
+    # across engines. Nested-only ORDER BY with no LIMIT is fine: the
+    # driver hash is order-insensitive, so a top-level sort would be a
+    # single-partition stage bought for nothing.
+    import re
+
+    def _top_level_limit(sql: str) -> bool:
+        stripped = re.sub(r"'(?:[^']|'')*'", "''", sql)
+        stripped = re.sub(r"--[^\n]*", "", stripped).lower()
+        depth = 0
+        for i, ch in enumerate(stripped):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif (
+                depth == 0
+                and stripped.startswith("limit", i)
+                and (i == 0 or not stripped[i - 1].isalnum())
+                and stripped[i - 1 : i] != "_"
+                and (
+                    i + 5 >= len(stripped)
+                    or not (stripped[i + 5].isalnum() or stripped[i + 5] == "_")
+                )
+            ):
+                return True
+        return False
+
+    unsafe = [
+        n
+        for n, s in oracles.items()
+        if _top_level_limit(s) and not has_top_level_order_by(s)
+    ]
+    assert unsafe == []
+    # and pin the (small) set of oracles that rely on order-insensitive
+    # compare while still mentioning nested ORDER BYs, so a new one is a
+    # conscious decision, not an accident:
+    nested_only = sorted(
         n
         for n, s in oracles.items()
         if "order by" in s.lower() and not has_top_level_order_by(s)
-    ]
-    assert flips == []
+    )
+    assert nested_only == ["dedup_simhash_methods"]
 
 
 def test_no_oracle_uses_the_classifiers_blind_spots():
