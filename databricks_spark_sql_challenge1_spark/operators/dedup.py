@@ -1537,10 +1537,13 @@ def dedup_simhash_adaptive(
 # sets are disjoint keyspaces under the method tag, so a drift in any one
 # flips the combined hash.
 
+# One row per method: (name, leg function, leg oracle SQL) — the single
+# registry both the Spark surface and the oracle union iterate, so a
+# method cannot be added to one side and not the other (round-13 review).
 _SIMHASH_METHODS = (
-    ("adaptive88", _SIMHASH_ADAPTIVE_ORACLE_SQL),
-    ("narrow32", _SIMHASH_PAIRS_ORACLE_SQL),
-    ("wide60", _SIMHASH_WIDE_ORACLE_SQL),
+    ("adaptive88", dedup_simhash_adaptive, _SIMHASH_ADAPTIVE_ORACLE_SQL),
+    ("narrow32", dedup_simhash_pairs, _SIMHASH_PAIRS_ORACLE_SQL),
+    ("wide60", dedup_simhash_wide_pairs, _SIMHASH_WIDE_ORACLE_SQL),
 )
 
 
@@ -1550,7 +1553,7 @@ def _simhash_methods_oracle() -> str:
     # union would be a single-partition stage bought for nothing.
     union = "\nUNION ALL\n".join(
         f"SELECT '{m}' AS method, doc_1, doc_2, hamming FROM ({sql})"
-        for m, sql in _SIMHASH_METHODS
+        for m, _fn, sql in _SIMHASH_METHODS
     )
     return f"""
 SELECT method, doc_1, doc_2, hamming
@@ -1568,16 +1571,11 @@ def dedup_simhash_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-agreeing-band single emission) and saturation guards are
     untouched; this surface only unions their outputs, so the driver hash
     pins all three signature widths in one row budget."""
-    legs = {
-        "adaptive88": dedup_simhash_adaptive,
-        "narrow32": dedup_simhash_pairs,
-        "wide60": dedup_simhash_wide_pairs,
-    }
     parts = [
-        legs[m](spark, sf_dir).select(
+        fn(spark, sf_dir).select(
             F.lit(m).alias("method"), "doc_1", "doc_2", "hamming"
         )
-        for m, _sql in _SIMHASH_METHODS
+        for m, fn, _sql in _SIMHASH_METHODS
     ]
     out = parts[0]
     for p in parts[1:]:

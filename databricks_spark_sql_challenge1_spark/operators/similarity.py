@@ -558,20 +558,23 @@ def similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # while every method stays individually hash-checked (the per-method rows
 # are disjoint, so a drift in any one method flips the combined hash).
 
+# One row per method: (name, leg function, leg oracle SQL, native score
+# column) — the single registry both the Spark surface and the oracle
+# union iterate, so a method cannot be added to one side and not the
+# other (round-13 review: the former tuple + separate legs dicts kept
+# the same list in three places).
 _ANN_METHODS = (
-    ("ivf", "sim"),
-    ("ivfpq", "adist"),
-    ("pq", "adist"),
+    ("ivf", similarity_ivf, _IVF_ORACLE_SQL, "sim"),
+    ("ivfpq", similarity_ivfpq, _IVFPQ_ORACLE_SQL, "adist"),
+    ("pq", similarity_pq, _PQ_ORACLE_SQL, "adist"),
 )
 
 
 def _ann_methods_oracle() -> str:
-    legs = {"ivf": _IVF_ORACLE_SQL, "pq": _PQ_ORACLE_SQL,
-            "ivfpq": _IVFPQ_ORACLE_SQL}
     union = "\nUNION ALL\n".join(
         f"SELECT '{m}' AS method, query_id, neighbor_id, "
-        f"{score} AS score FROM ({legs[m]})"
-        for m, score in _ANN_METHODS
+        f"{score} AS score FROM ({sql})"
+        for m, _fn, sql, score in _ANN_METHODS
     )
     return f"""
 SELECT method, query_id, neighbor_id, score
@@ -590,15 +593,10 @@ def similarity_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans are untouched (each is still the individually-documented scale
     shape); this surface only unions their outputs, so the driver hash
     pins all three methods in one row budget."""
-    legs = {
-        "ivf": similarity_ivf,
-        "pq": similarity_pq,
-        "ivfpq": similarity_ivfpq,
-    }
     parts = []
-    for m, score in _ANN_METHODS:
+    for m, fn, _sql, score in _ANN_METHODS:
         parts.append(
-            legs[m](spark, sf_dir).select(
+            fn(spark, sf_dir).select(
                 F.lit(m).alias("method"),
                 "query_id",
                 "neighbor_id",

@@ -1271,15 +1271,66 @@ BPE_ROUNDS = 10
 BPE_TOP_WORDS = 40  # merge-model vocabulary: top words by (freq, word)
 
 
+def _bpe_merge_round_ctes(r: int, prefix: str, carry_freq: bool) -> list:
+    """Emit the per-round greedy-merge CTE quartet ({p}adj{r} → {p}grp{r}
+    → {p}mrg{r} → {p}syms{r+1}) that applies the argmax pair ``best{r}``
+    to the symbol frame ``{p}syms{r}`` — THE relational counterpart of
+    `_bpe_apply_merge` (gaps-and-islands odd-rank = greedy leftmost
+    non-overlapping), single-sourced so the trainer oracle, the encoder
+    oracle, and the overlapping-repeat pin test cannot drift apart
+    (round-13 review). ``carry_freq`` threads the trainer's word-frequency
+    column through the rounds; the encoder's vocabulary side has none.
+
+    Every CTE is MATERIALIZED: DuckDB inlines plain CTEs at each
+    reference, and each round's CTEs are referenced 2-3 times —
+    un-materialized, the expansion (and the parquet re-scan count) grows
+    exponentially in rounds (measured: EMFILE at 10 rounds)."""
+    freq_a = "a.freq, " if carry_freq else ""
+    freq_g = "g.freq, " if carry_freq else ""
+    freq_c = "freq, " if carry_freq else ""
+    return [
+        f"""{prefix}adj{r} AS MATERIALIZED (
+    SELECT word, {freq_c}pos, sym,
+           lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+    FROM {prefix}syms{r}
+)""",
+        f"""{prefix}grp{r} AS MATERIALIZED (
+    SELECT a.word, {freq_a}a.pos, a.sym, a.nxt,
+           CASE WHEN a.sym = b.lsym AND a.nxt = b.rsym THEN 1 ELSE 0 END
+               AS is_match,
+           CASE WHEN a.sym = b.lsym AND a.nxt = b.rsym
+                THEN a.pos - row_number() OVER (
+                    PARTITION BY a.word,
+                        CASE WHEN a.sym = b.lsym AND a.nxt = b.rsym
+                             THEN 1 ELSE 0 END
+                    ORDER BY a.pos)
+           END AS grp
+    FROM {prefix}adj{r} a LEFT JOIN best{r} b ON TRUE
+)""",
+        f"""{prefix}mrg{r} AS MATERIALIZED (
+    SELECT word, pos, 1 AS do_merge
+    FROM (
+        SELECT word, pos,
+               row_number() OVER (PARTITION BY word, grp ORDER BY pos) AS rn
+        FROM {prefix}grp{r} WHERE is_match = 1
+    ) WHERE rn % 2 = 1
+)""",
+        f"""{prefix}syms{r + 1} AS MATERIALIZED (
+    SELECT g.word, {freq_g}
+           row_number() OVER (PARTITION BY g.word ORDER BY g.pos) AS pos,
+           CASE WHEN m.do_merge = 1 THEN g.sym || g.nxt ELSE g.sym END AS sym
+    FROM {prefix}grp{r} g
+    LEFT JOIN {prefix}mrg{r} m ON m.word = g.word AND m.pos = g.pos
+    LEFT JOIN {prefix}mrg{r} d ON d.word = g.word AND d.pos = g.pos - 1
+    WHERE d.do_merge IS NULL
+)""",
+    ]
+
+
 def _bpe_cte_chain(rounds: int = BPE_ROUNDS) -> list:
     """The trainer's CTE chain (words → syms0 → per-round adj/best/grp/
     mrg/syms), shared by the merge-table oracle and the encoder oracle
-    (which consumes the best{r} argmax CTEs to replay the merges).
-
-    Every CTE is MATERIALIZED: DuckDB inlines plain CTEs at each
-    reference, and this chain references each round's CTEs 2-3 times —
-    un-materialized, the expansion (and the parquet re-scan count) grows
-    exponentially in rounds (measured: EMFILE at 10 rounds)."""
+    (which consumes the best{r} argmax CTEs to replay the merges)."""
     ctes = [
         f"""words AS MATERIALIZED (
     SELECT word, freq FROM (
@@ -1299,11 +1350,8 @@ def _bpe_cte_chain(rounds: int = BPE_ROUNDS) -> list:
 )""",
     ]
     for r in range(rounds):
-        ctes.append(f"""adj{r} AS MATERIALIZED (
-    SELECT word, freq, pos, sym,
-           lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
-    FROM syms{r}
-)""")
+        adj, grp, mrg, nxt = _bpe_merge_round_ctes(r, "", carry_freq=True)
+        ctes.append(adj)
         ctes.append(f"""best{r} AS MATERIALIZED (
     SELECT sym AS lsym, nxt AS rsym, CAST(SUM(freq) AS BIGINT) AS pair_freq
     FROM adj{r} WHERE nxt IS NOT NULL
@@ -1311,36 +1359,7 @@ def _bpe_cte_chain(rounds: int = BPE_ROUNDS) -> list:
     ORDER BY pair_freq DESC, lsym ASC, rsym ASC
     LIMIT 1
 )""")
-        ctes.append(f"""grp{r} AS MATERIALIZED (
-    SELECT a.word, a.freq, a.pos, a.sym, a.nxt,
-           CASE WHEN a.sym = b.lsym AND a.nxt = b.rsym THEN 1 ELSE 0 END
-               AS is_match,
-           CASE WHEN a.sym = b.lsym AND a.nxt = b.rsym
-                THEN a.pos - row_number() OVER (
-                    PARTITION BY a.word,
-                        CASE WHEN a.sym = b.lsym AND a.nxt = b.rsym
-                             THEN 1 ELSE 0 END
-                    ORDER BY a.pos)
-           END AS grp
-    FROM adj{r} a LEFT JOIN best{r} b ON TRUE
-)""")
-        ctes.append(f"""mrg{r} AS MATERIALIZED (
-    SELECT word, pos, 1 AS do_merge
-    FROM (
-        SELECT word, pos,
-               row_number() OVER (PARTITION BY word, grp ORDER BY pos) AS rn
-        FROM grp{r} WHERE is_match = 1
-    ) WHERE rn % 2 = 1
-)""")
-        ctes.append(f"""syms{r + 1} AS MATERIALIZED (
-    SELECT g.word, g.freq,
-           row_number() OVER (PARTITION BY g.word ORDER BY g.pos) AS pos,
-           CASE WHEN m.do_merge = 1 THEN g.sym || g.nxt ELSE g.sym END AS sym
-    FROM grp{r} g
-    LEFT JOIN mrg{r} m ON m.word = g.word AND m.pos = g.pos
-    LEFT JOIN mrg{r} d ON d.word = g.word AND d.pos = g.pos - 1
-    WHERE d.do_merge IS NULL
-)""")
+        ctes.extend([grp, mrg, nxt])
     return ctes
 
 
@@ -1465,48 +1484,17 @@ def _bpe_encode_oracle_sql(rounds: int = BPE_ROUNDS) -> str:
     WHERE w <> ''
 )""")
     ctes.append("vocab AS MATERIALIZED (SELECT DISTINCT word FROM dwords)")
-    ctes.append("""vs0 AS MATERIALIZED (
+    ctes.append("""vsyms0 AS MATERIALIZED (
     SELECT word, CAST(i AS BIGINT) AS pos, substr(word, i, 1) AS sym
     FROM vocab, unnest(generate_series(1, CAST(length(word) AS INTEGER)))
          AS t(i)
 )""")
     for r in range(rounds):
-        ctes.append(f"""vgrp{r} AS MATERIALIZED (
-    SELECT a.word, a.pos, a.sym, a.nxt,
-           CASE WHEN a.sym = b.lsym AND a.nxt = b.rsym THEN 1 ELSE 0 END
-               AS is_match,
-           CASE WHEN a.sym = b.lsym AND a.nxt = b.rsym
-                THEN a.pos - row_number() OVER (
-                    PARTITION BY a.word,
-                        CASE WHEN a.sym = b.lsym AND a.nxt = b.rsym
-                             THEN 1 ELSE 0 END
-                    ORDER BY a.pos)
-           END AS grp
-    FROM (SELECT word, pos, sym,
-                 lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
-          FROM vs{r}) a
-    LEFT JOIN best{r} b ON TRUE
-)""")
-        ctes.append(f"""vmrg{r} AS MATERIALIZED (
-    SELECT word, pos, 1 AS do_merge
-    FROM (SELECT word, pos,
-                 row_number() OVER (PARTITION BY word, grp ORDER BY pos) AS rn
-          FROM vgrp{r} WHERE is_match = 1)
-    WHERE rn % 2 = 1
-)""")
-        ctes.append(f"""vs{r + 1} AS MATERIALIZED (
-    SELECT g.word,
-           row_number() OVER (PARTITION BY g.word ORDER BY g.pos) AS pos,
-           CASE WHEN m.do_merge = 1 THEN g.sym || g.nxt ELSE g.sym END AS sym
-    FROM vgrp{r} g
-    LEFT JOIN vmrg{r} m ON m.word = g.word AND m.pos = g.pos
-    LEFT JOIN vmrg{r} d ON d.word = g.word AND d.pos = g.pos - 1
-    WHERE d.do_merge IS NULL
-)""")
+        ctes.extend(_bpe_merge_round_ctes(r, "v", carry_freq=False))
     ctes.append(f"""wstats AS MATERIALIZED (
     SELECT word, CAST(COUNT(*) AS BIGINT) AS n_toks,
            CAST(SUM({BPE_TOKEN_WEIGHT_SQL}) AS BIGINT) AS wsum
-    FROM vs{rounds} GROUP BY word
+    FROM vsyms{rounds} GROUP BY word
 )""")
     return (
         "WITH " + ",\n".join(ctes) + "\n" + """SELECT d.doc_id,

@@ -523,7 +523,11 @@ def streaming_parity_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined to the batch totals yield (n_ontime, n_late_kept, n_dropped,
     sum_cents) per window; the oracle recomputes the identical rule
     declaratively, so a green hash row pins the drop/accept boundary, not
-    just the happy path. Value sums ride as integer cents (computed before
+    just the happy path. Boundary inclusivity is measured STRICT (a window
+    ending exactly at the watermark is dropped; Spark's ms-floored
+    watermark is equivalent to the oracle's full-us compare because window
+    ends are whole hours — pinned by
+    tests/test_streaming.py::test_lateness_boundary_inclusivity_is_strict). Value sums ride as integer cents (computed before
     the stream, per CLAUDE.md) so cross-micro-batch accumulation is exact.
 
     Scale shape: the staging split is one pass over the source (in

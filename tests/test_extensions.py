@@ -997,46 +997,27 @@ def test_bpe_merge_round_sql_on_overlapping_repeats():
                 i += 1
         return out
 
+    # Build the SQL from the SAME emitter the registered trainer and
+    # encoder oracles use (round-13 review: a hand-copied template here
+    # could drift from the one actually shipped), seeding the symbol
+    # frame and the round-0 argmax with VALUES.
+    from databricks_spark_sql_challenge1_spark.operators.textstats import (
+        _bpe_merge_round_ctes,
+    )
+
     words = ["aaaa", "aaaaa", "aa", "a", "ababab", "baaab", "aabaa"]
     values = ", ".join(
         f"('{w}', {p + 1}, '{c}')"
         for w in words
         for p, c in enumerate(w)
     )
+    round_ctes = ",\n".join(_bpe_merge_round_ctes(0, "v", carry_freq=False))
     sql = f"""
-WITH vs0(word, pos, sym) AS (VALUES {values}),
+WITH vsyms0(word, pos, sym) AS (VALUES {values}),
 best0(lsym, rsym) AS (VALUES ('a', 'a')),
-vgrp0 AS (
-    SELECT a.word, a.pos, a.sym, a.nxt,
-           CASE WHEN a.sym = b.lsym AND a.nxt = b.rsym THEN 1 ELSE 0 END
-               AS is_match,
-           CASE WHEN a.sym = b.lsym AND a.nxt = b.rsym
-                THEN a.pos - row_number() OVER (
-                    PARTITION BY a.word,
-                        CASE WHEN a.sym = b.lsym AND a.nxt = b.rsym
-                             THEN 1 ELSE 0 END
-                    ORDER BY a.pos)
-           END AS grp
-    FROM (SELECT word, pos, sym,
-                 lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
-          FROM vs0) a
-    LEFT JOIN best0 b ON TRUE
-),
-vmrg0 AS (
-    SELECT word, pos, 1 AS do_merge
-    FROM (SELECT word, pos,
-                 row_number() OVER (PARTITION BY word, grp ORDER BY pos) AS rn
-          FROM vgrp0 WHERE is_match = 1)
-    WHERE rn % 2 = 1
-)
-SELECT g.word,
-       row_number() OVER (PARTITION BY g.word ORDER BY g.pos) AS pos,
-       CASE WHEN m.do_merge = 1 THEN g.sym || g.nxt ELSE g.sym END AS sym
-FROM vgrp0 g
-LEFT JOIN vmrg0 m ON m.word = g.word AND m.pos = g.pos
-LEFT JOIN vmrg0 d ON d.word = g.word AND d.pos = g.pos - 1
-WHERE d.do_merge IS NULL
-ORDER BY g.word, pos
+{round_ctes}
+SELECT word, pos, sym FROM vsyms1
+ORDER BY word, pos
 """
     got: dict = {}
     for w, _p, s in duckdb.connect().execute(sql).fetchall():

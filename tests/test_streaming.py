@@ -315,6 +315,86 @@ def test_streaming_gap_monitor_equals_batch_lag(spark):
     assert srows == brows
 
 
+def test_lateness_boundary_inclusivity_is_strict(spark):
+    """Pin Spark's late-drop rule AT the watermark boundary with a
+    hand-built micro-stream (round-13 review): max on-time ts exactly
+    hour-aligned at 05:00 puts the watermark exactly on the 04:00 window
+    end — Spark DROPS that straggler (strict ``window_end > watermark``),
+    and keeps the one whose window ends 05:00. Spark tracks watermarks in
+    milliseconds while the oracle compares at full microseconds, but with
+    strict ``>`` on both sides and whole-hour (whole-ms) window ends the
+    two rules are equivalent: ``T > floor_ms(M) ⟺ T > M`` for whole-ms T.
+    If a Spark upgrade flips the boundary to ``>=`` (the window ending
+    04:00 suddenly survives), this fails before the driver hash does."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+    import uuid
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    base = datetime(2001, 1, 1)
+    ontime = [
+        (base + timedelta(hours=5), 1),  # max ts EXACTLY on the hour
+        (base + timedelta(hours=4, minutes=30), 2),
+    ]
+    stragglers = [
+        (base + timedelta(hours=3, minutes=30), 100),  # window end 04:00 == wm
+        (base + timedelta(hours=4, minutes=40), 200),  # window end 05:00 > wm
+    ]
+    scratch = tempfile.mkdtemp(prefix="wm_boundary_")
+    try:
+        stream_dir = os.path.join(scratch, "stream")
+        os.makedirs(stream_dir)
+        for i, rows in enumerate([ontime, [], stragglers]):
+            pdir = os.path.join(scratch, f"p{i}")
+            spark.createDataFrame(rows, "ts timestamp, cents bigint").coalesce(
+                1
+            ).write.parquet(pdir)
+            (part,) = glob.glob(os.path.join(pdir, "part-*.parquet"))
+            dst = os.path.join(stream_dir, f"batch{i}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (_time.time() - 180 + 60 * i,) * 2)
+        agg = (
+            spark.readStream.schema("ts timestamp, cents bigint")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stream_dir)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c"))
+            .select(F.col("window.start").alias("ws"), "n", "c")
+        )
+        name = f"wm_boundary_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        w = Window.partitionBy("ws").orderBy(F.col("n").desc())
+        got = {
+            r.ws: (r.n, r.c)
+            for r in spark.table(name)
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .collect()
+        }
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    # window [03:00, 04:00): end == watermark -> straggler DROPPED
+    assert base + timedelta(hours=3) not in got
+    # window [04:00, 05:00): on-time row + straggler both present
+    assert got[base + timedelta(hours=4)] == (2, 202)
+    # window [05:00, 06:00): the watermark-defining on-time row
+    assert got[base + timedelta(hours=5)] == (1, 1)
+
+
 def test_lateness_accounting_identities(spark):
     """streaming_parity_lateness's per-window accounting must tie out
     against the batch table: ontime + late_kept + dropped == total per

@@ -38,7 +38,10 @@ def has_top_level_order_by(sql: str) -> bool:
     escapes) and ``--`` line comments (ADVICE r11): an unbalanced paren
     or the words "order by" inside either would otherwise corrupt the
     depth count / match and misclassify the oracle."""
-    low, depth, i, n = sql.lower(), 0, 0, len(sql)
+    # n must be len(low), not len(sql): lower() can change string length
+    # (e.g. 'İ' -> 'i̇'), and a short bound would truncate the scan.
+    low, depth, i = sql.lower(), 0, 0
+    n = len(low)
     while i < n:
         ch = low[i]
         if ch == "'":  # string literal: scan to its closing quote
