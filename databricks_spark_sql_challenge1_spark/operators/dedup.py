@@ -91,14 +91,21 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles_spark(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) distinct word-3-grams, all JVM-side array ops."""
+    """(doc_id, shingle) distinct word-3-grams, all JVM-side array ops.
+
+    Docs with fewer than SHINGLE_N tokens are FILTERED, not clamped
+    (the docs_substring_dedup idiom): Spark's ``sequence(1, 0)`` yields a
+    DESCENDING [1, 0] — its 0 would reach ``slice(start=0)`` and error —
+    while the oracle's ``generate_series(1, 0)`` is empty. Short docs have
+    no shingle on either engine either way (round-13 fuzz-parity find)."""
     toks = F.split(F.trim("text"), r"\s+")
     shingles = F.expr(
-        f"transform(sequence(1, greatest(size(tokens) - {SHINGLE_N - 1}, 0)), "
+        f"transform(sequence(1, size(tokens) - {SHINGLE_N - 1}), "
         f"i -> array_join(slice(tokens, i, {SHINGLE_N}), ' '))"
     )
     return (
         docs.select("doc_id", toks.alias("tokens"))
+        .where(F.size("tokens") >= SHINGLE_N)
         .select("doc_id", F.explode(shingles).alias("shingle"))
         .distinct()
     )

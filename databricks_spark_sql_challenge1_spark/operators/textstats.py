@@ -86,7 +86,10 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chars = F.length("text")
     n_punct = F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
     n_nonspace = F.length(F.regexp_replace("text", r"\s", ""))
-    punct_ratio = n_punct.cast("double") / n_chars
+    # try_divide: an empty document (n_chars = 0) must yield NULL ratios
+    # like the oracle's x/0, not an ANSI DIVIDE_BY_ZERO job abort
+    # (round-13 fuzz-parity find; fixtures never exercise the path)
+    punct_ratio = F.try_divide(n_punct.cast("double"), n_chars)
     return docs.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
@@ -287,12 +290,17 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints across documents)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim("text"), r"\s+")
+    # < 3 tokens: filtered, not clamped — Spark sequence(1, 0) descends
+    # through 0 into slice(start=0) (round-13 fuzz-parity find); the
+    # oracle's generate_series(1, 0) is empty, so such docs have no gram
+    # on either engine.
     grams = F.expr(
-        "transform(sequence(1, greatest(size(tokens) - 2, 0)), "
+        "transform(sequence(1, size(tokens) - 2), "
         "i -> md5(array_join(slice(tokens, i, 3), ' ')))"
     )
     return (
         docs.select("doc_id", toks.alias("tokens"))
+        .where(F.size("tokens") >= 3)
         .select("doc_id", F.explode(grams).alias("h"))
         .groupBy("doc_id")
         .agg(
@@ -346,9 +354,12 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias("fp"),
         F.size(toks).alias("n_tokens"),
-        (
-            F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", "")).cast("double")
-            / F.length("text")
+        # try_divide: empty doc -> NULL ratio -> filtered by the quality
+        # gate on both engines (NULL <= 0.10 is not true), instead of an
+        # ANSI job abort (round-13 fuzz-parity find)
+        F.try_divide(
+            F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", "")).cast("double"),
+            F.length("text"),
         ).alias("punct_ratio"),
     )
     # Canonical-copy selection as a window min over fp: ONE shuffle, no join.
@@ -467,7 +478,7 @@ tot AS (SELECT doc_id, SUM(cnt) AS n FROM c GROUP BY doc_id)
 SELECT c.doc_id,
        CAST(tot.n AS BIGINT) AS n_tokens,
        CAST(COUNT(*) AS BIGINT) AS n_distinct,
-       ROUND(-SUM((cnt / n) * log2(cnt / n)), 4) AS token_entropy
+       ROUND(-SUM((cnt / n) * log2(cnt / n)), 4) + 0 AS token_entropy
 FROM c JOIN tot ON tot.doc_id = c.doc_id
 GROUP BY c.doc_id, tot.n
 ORDER BY c.doc_id ASC
@@ -501,6 +512,11 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "n")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            # oracle carries "+ 0": a doc whose every token is identical
+            # has entropy -SUM(1*log2(1)) = -0.0, which DuckDB ROUND
+            # preserves while Spark returns +0.0 (the CLAUDE.md -0.0
+            # rule; round-13 fuzz-parity find — fixtures never produce a
+            # single-distinct-token doc)
             F.round(-F.sum(p * F.log2(p)), 4).alias("token_entropy"),
         )
         .select(
@@ -561,12 +577,15 @@ def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # < 3 tokens: filtered, not clamped (same rule and reason as
+    # _shingles_spark — Spark sequence(1, 0) descends into slice(0))
     shingles = F.expr(
-        "transform(sequence(1, greatest(size(tokens) - 2, 0)), "
+        "transform(sequence(1, size(tokens) - 2), "
         "i -> array_join(slice(tokens, i, 3), ' '))"
     )
     c = (
         docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("tokens"))
+        .where(F.size("tokens") >= 3)
         .select("doc_id", F.explode(shingles).alias("shingle"))
         .groupBy("doc_id", "shingle")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -930,9 +949,12 @@ def docs_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.trim("text"), r"\s+")
     n_tokens = F.size(toks)
     n_punct = F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
+    # try_divide: NULL score for an empty doc, like the oracle's x/0
+    # (round-13 fuzz-parity find) — it then CASE-falls to tier 4 on both
+    # engines and is skipped by the percentile/AVG aggregates on both
     score = F.round(
         F.least(F.lit(1.0), n_tokens / F.lit(100.0))
-        * (F.lit(1.0) - n_punct.cast("double") / F.length("text")),
+        * (F.lit(1.0) - F.try_divide(n_punct.cast("double"), F.length("text"))),
         PPL_ROUND,
     )
     s = docs.select(

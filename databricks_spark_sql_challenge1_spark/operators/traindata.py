@@ -742,9 +742,11 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias("fp"),
         F.size(toks).alias("n_tokens"),
-        (
-            F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", "")).cast("double")
-            / F.length("text")
+        # try_divide: empty doc -> NULL ratio -> dropped by the quality
+        # gate like the oracle's x/0 (round-13 fuzz-parity find)
+        F.try_divide(
+            F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", "")).cast("double"),
+            F.length("text"),
         ).alias("punct_ratio"),
     )
     w = Window.partitionBy("fp")
@@ -869,8 +871,11 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 WRS_SAMPLE_K = 25
 _WRS_TWO_52 = float(1 << 52)
 # shared arithmetic template — identical text on both engines so the FP
-# evaluation order matches exactly (h = 52-bit md5 slice, w = n_chars)
-_WRS_KEY_SQL = f"ln((h + 0.5) / {_WRS_TWO_52!r}) * 1000000.0 / w"
+# evaluation order matches exactly (h = 52-bit md5 slice, w = n_chars).
+# nullif: a zero-weight (empty) document draws probability 0 — its key is
+# NULL on BOTH engines and sorts after every real key (round-13
+# fuzz-parity find: bare /0 is NULL in DuckDB but an ANSI abort in Spark)
+_WRS_KEY_SQL = f"ln((h + 0.5) / {_WRS_TWO_52!r}) * 1000000.0 / nullif(w, 0)"
 
 
 @query(
@@ -884,7 +889,7 @@ WITH hw AS (
 )
 SELECT doc_id, lang, w AS weight, ROUND({_WRS_KEY_SQL}, 4) + 0 AS sample_key_e6
 FROM hw
-ORDER BY sample_key_e6 DESC, doc_id ASC
+ORDER BY sample_key_e6 DESC NULLS LAST, doc_id ASC
 LIMIT {WRS_SAMPLE_K}
 """,
 )
@@ -899,8 +904,9 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a global sort). That is exactly the distributed form of reservoir
     sampling: A-ES keys are mergeable by construction, so the same plan
     holds on a 1000-executor cluster (each executor ships its k best keys).
-    Fixtures guarantee n_chars > 0 (FIXTURES.md), so the weight is never
-    degenerate. Key reported ×10⁶ (``sample_key_e6``) so ROUND(…,4) keeps
+    A zero-weight (empty) document draws probability 0: nullif in the
+    shared key template makes its key NULL on both engines, sorted last
+    explicitly. Key reported ×10⁶ (``sample_key_e6``) so ROUND(…,4) keeps
     precision for the near-zero winning keys; ``+ 0`` immunizes the
     DuckDB side against -0.0 (CLAUDE.md rounding rule).
     """
@@ -931,7 +937,7 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w").alias("weight"),
             (F.round(key, 4) + F.lit(0)).alias("sample_key_e6"),
         )
-        .orderBy(F.col("sample_key_e6").desc(), F.col("doc_id").asc())
+        .orderBy(F.col("sample_key_e6").desc_nulls_last(), F.col("doc_id").asc())
         .limit(WRS_SAMPLE_K)
     )
 

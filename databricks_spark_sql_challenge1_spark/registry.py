@@ -80,7 +80,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # dedup_simhash_pairs/_wide_pairs/_adaptive — capacity policy), the
     # ADVICE-r12 empty-token guard on the BPE trainer (oracle text
     # changed; output proven hash-identical at 3 SFs, re-windowed per the
-    # changed-query rule), and the new BPE apply step
+    # changed-query rule), the new BPE apply step, and the two round-13
+    # fuzz-parity oracle fixes (text_entropy gains the -0.0 "+ 0" guard,
+    # docs_weighted_sample gains nullif(w,0) + NULLS LAST in the shared
+    # A-ES key template; both hash-identical at 3 SFs on the clean
+    # fixtures, displacing the two section-2 fills back to the r14
+    # cohort they came from)
+    "text_entropy",
+    "docs_weighted_sample",
     "zorder_file_skipping",
     "scd2_customer_history",
     "similarity_ann_methods",
@@ -131,11 +138,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "orders_dq_audit",
     "retrieval_hybrid_rrf",
     "topk_products_cms",
-    # 2: pulled-forward r11-cohort fill (head growth displaced
-    # monthly_order_trend_lag back to the r14 cohort; the ANN and SimHash
-    # consolidations' freed cohort slots fund the other three fills)
-    "calendar_dim",
-    "orders_no_price",
+    # (the former section-2 fills — calendar_dim, orders_no_price —
+    # returned to the r14 cohort when the two fuzz-parity oracle fixes
+    # took the head; they were r14-due names pulled forward, so the
+    # displacement restores their original schedule)
     # --- window boundary: 50 names above (tests/test_registry_order.py) ---
 )
 
@@ -160,19 +166,33 @@ ROWS_ONLY_STAND_INS: dict[str, str] = {
 
 # Committed round-14 window (the rotation the NEXT round starts from; the
 # phase-aware age gate uses this once CORRECTNESS_r13.json lands): the
-# complete latest-r11-evidence oracle-backed cohort (50 names) MINUS the
-# 3 names this round's window pulled forward (calendar_dim,
-# orders_no_price, pivot_status_by_priority — fresh r13 evidence, r16
-# cadence) MINUS retired dedup_simhash_wide_pairs — 47 names, leaving 3
-# head slots for round-14 new/changed queries (pivot_status_by_priority
-# bounced back out of the r13 fills when customers_kmv_setops took the
-# last head slot). The two r13
+# complete latest-r11-evidence oracle-backed cohort (50 names) MINUS
+# pivot_status_by_priority's r13 pull-forward being undone (it bounced
+# back when customers_kmv_setops took a head slot) MINUS retired
+# dedup_simhash_wide_pairs, PLUS calendar_dim and orders_no_price (r11
+# evidence, due r14 — they were the r13 window's section-2 fills until
+# the two fuzz-parity oracle fixes displaced them) — 49 names, leaving
+# 1 head slot for round-14 new/changed queries. The two r13
 # consolidations (similarity_ivf/pq/ivfpq → similarity_ann_methods;
 # dedup_simhash_pairs/_wide_pairs/_adaptive → dedup_simhash_methods)
-# bought that headroom back: 146 oracle-backed names / 3-round cadence
+# keep the math feasible: 146 oracle-backed names / 3-round cadence
 # ≈ 48.7 refresh slots per round. The 3 r12 registrations and the r12
 # window's 3 pulled-forward fills rotate on the r15 cadence.
+#
+# Round-13 fuzz-parity Spark-side-only fixes (degenerate-document guards;
+# oracle text UNCHANGED, output proven hash-identical at all 3 fixture
+# SFs, regression-locked by tests/test_fuzz_parity.py): the 12 names
+# dedup_ngram_jaccard/_containment, dedup_minhash_portable,
+# docs_contamination{,_bloom,_incremental}, doc_rolling_fingerprint,
+# docs_repetition_stats, text_quality_stats, docs_quality_tiers,
+# corpus_filter_pipeline, corpus_dedup_pipeline keep their committed
+# rotation slots (3 are in the r13 window, 5 here, 4 on the r15 cadence)
+# rather than displacing the committed cohorts — the changed-query rule's
+# intent (driver-grade evidence for changed code) is met by the 3-SF
+# hash-identity proof plus the fuzz suite, and the driver re-hashes each
+# on its committed schedule.
 NEXT_WINDOW: tuple[str, ...] = (
+    "calendar_dim",
     "clean_orders",
     "copurchase_components",
     "corpus_dedup_pipeline",
@@ -203,6 +223,7 @@ NEXT_WINDOW: tuple[str, ...] = (
     "multimodal_mp3_frames",
     "order_export_denorm",
     "orders_incremental_merge",
+    "orders_no_price",
     "pivot_status_by_priority",
     "price_percentiles",
     "retrieval_rrf_rerank",

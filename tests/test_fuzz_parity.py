@@ -1,0 +1,145 @@
+"""Adversarial-corpus oracle parity (round-13).
+
+The shipped fixtures are CLEAN — no empty documents, no whitespace-only
+text, dense shared vocabulary (FIXTURES.md) — so the per-SF parity sweeps
+cannot exercise degenerate-document paths. This suite runs every
+documents-only oracle-backed query on a hand-built nasty corpus and
+compares Spark against the registered DuckDB oracle, exactly like the
+grading driver (sorted stringified rows).
+
+What this catches (all found by this harness when first run):
+- ANSI DIVIDE_BY_ZERO job aborts on zero-length / zero-token documents
+  where the oracle's x/0 is NULL (quality ratios, A-ES sample keys);
+- Spark ``sequence(1, 0)`` descending through 0 into ``slice(start=0)``
+  where the oracle's ``generate_series(1, 0)`` is empty (shingle and
+  rolling-gram builders);
+- DuckDB ROUND preserving -0.0 where Spark returns +0.0 (single-
+  distinct-token entropy) — the CLAUDE.md -0.0 rule.
+
+At 100 TB an empty or pathological document is a certainty; an operator
+that aborts the whole job on one is not scale-ready regardless of its
+plan shape.
+"""
+from __future__ import annotations
+
+import re
+
+import duckdb
+import pytest
+
+# One nasty property per doc; doc_id = list position.
+ADVERSARIAL_DOCS = [
+    # (text, lang, source)
+    ("", "en", "src0"),                          # empty
+    ("   ", "en", "src0"),                       # spaces only
+    ("\t\n \t", "es", "src1"),                   # tabs/newlines only
+    ("x", "en", "src0"),                         # single char
+    ("word", "de", "src2"),                      # single word
+    ("aaaa aaaa aa a aaaaa", "en", "src0"),      # overlapping repeats
+    ("the the the the the the", "en", "src1"),   # one token repeated
+    ("héllo wörld café naïve", "fr", "src2"),    # accents
+    ("日本語 テスト 漢字 かな", "zh", "src3"),      # CJK
+    ("emoji 🎉 test 🚀 done", "en", "src0"),      # emoji
+    ("the quick brown fox jumps over the lazy dog", "en", "src1"),
+    ("the quick brown fox jumps over the lazy dog", "en", "src2"),  # exact dup
+    ("the quick brown fox leaps over the lazy dog", "en", "src0"),  # near dup
+    ("a.b a*b (x) [y] {z} a|b a+b a?b", "en", "src3"),  # regex metachars
+    ("it's \"quoted\" o'clock can't", "en", "src1"),    # quotes
+    ("contact me at bob@example.com or 555-123-4567 now", "en", "src0"),
+    ("alice@test.org wrote to carol@test.org twice", "en", "src2"),
+    ("123 456 789 123 456", "en", "src3"),       # digits
+    ("The THE the tHe THE", "en", "src0"),       # case variants
+    ("!!! ??? ... ;;; :::", "en", "src1"),       # punctuation tokens
+    ("w" * 300, "en", "src2"),                   # very long word
+    (" ".join(f"tok{i % 17}" for i in range(200)), "en", "src3"),  # long doc
+    ("  leading and trailing  ", "en", "src0"),  # outer whitespace
+    ("mixed 123 ünïcode wörds and ascii too", "de", "src1"),
+    ("the and of to a the and of to a", "en", "src2"),  # stopwords only
+    ("zzz yyy xxx www vvv uuu", "en", "src3"),   # unique tokens
+]
+
+# Byte-level codec witnesses synthesize payloads from ASCII text (their
+# fixture guard raises on non-ASCII by design); streaming queries stage
+# micro-batch files; the roundtrip checksums are I/O-format tests. All are
+# out of scope for a text-content fuzz.
+SKIP_PREFIXES = ("multimodal_", "streaming_", "jsonl_", "orc_")
+
+OTHER_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def fuzz_dir(tmp_path_factory):
+    """Scratch sf_dir holding only the adversarial documents.parquet."""
+    d = tmp_path_factory.mktemp("fuzzdocs")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+        "source VARCHAR, n_chars BIGINT)"
+    )
+    for i, (text, lang, source) in enumerate(ADVERSARIAL_DOCS):
+        con.execute(
+            "INSERT INTO docs VALUES (?, ?, ?, ?, ?)",
+            [i, text, lang, source, len(text)],
+        )
+    con.execute(f"COPY docs TO '{d}/documents.parquet' (FORMAT PARQUET)")
+    con.close()
+    return str(d)
+
+
+def _documents_only_names():
+    import __spark_entry__ as entry
+
+    oracles = entry.oracle_sql()
+    names = []
+    for n, sql in sorted(oracles.items()):
+        if n.startswith(SKIP_PREFIXES):
+            continue
+        low = sql.lower()
+        if "documents" not in low:
+            continue
+        if any(re.search(rf"\b{t}\b", low) for t in OTHER_TABLES):
+            continue
+        names.append(n)
+    return names
+
+
+def test_fuzz_corpus_covers_the_documents_only_surface():
+    """Pin the fuzzed-name count so a new documents-only query silently
+    skipping the fuzz (or a filter regression) is a conscious decision."""
+    assert len(_documents_only_names()) >= 44
+
+
+def test_adversarial_corpus_oracle_parity(spark, fuzz_dir):
+    """Every documents-only query must agree with its oracle on the nasty
+    corpus — same sorted-stringified-row compare the grading driver uses."""
+    import __spark_entry__ as entry
+
+    q, o = entry.queries(), entry.oracle_sql()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{fuzz_dir}/documents.parquet'"
+    )
+    bad = []
+    for name in _documents_only_names():
+        try:
+            srows = sorted(
+                tuple(str(x) for x in r)
+                for r in q[name](spark, fuzz_dir).collect()
+            )
+        except Exception as exc:  # noqa: BLE001 — collect all failures
+            bad.append((name, f"spark-err: {str(exc)[:120]}"))
+            continue
+        drows = sorted(
+            tuple(str(x) for x in r) for r in con.execute(o[name]).fetchall()
+        )
+        if srows != drows:
+            first = next(
+                (f"{a[:6]} vs {b[:6]}" for a, b in zip(srows, drows) if a != b),
+                f"row counts {len(srows)} vs {len(drows)}",
+            )
+            bad.append((name, f"diff: {first}"))
+    con.close()
+    assert bad == []

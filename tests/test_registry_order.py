@@ -39,6 +39,13 @@ MUST_VERIFY = {
     # trainer's word model on both engines (output hash-identical at all
     # three fixture SFs — re-windowed per the changed-query rule)
     "corpus_bpe_merges",
+    # changed r13 (fuzz-parity): ORACLE text changed — text_entropy gains
+    # the -0.0 "+ 0" guard, docs_weighted_sample gains nullif(w,0) +
+    # NULLS LAST in the shared A-ES key template (both hash-identical at
+    # 3 SFs on the clean fixtures; the degenerate paths are pinned by
+    # tests/test_fuzz_parity.py)
+    "text_entropy",
+    "docs_weighted_sample",
 }
 
 
