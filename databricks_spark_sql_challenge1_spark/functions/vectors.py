@@ -23,4 +23,11 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # A zero-norm vector has no defined cosine: DuckDB's
+    # list_cosine_similarity returns -1.0 for it (measured in this
+    # container — the oracle side of every similarity query), so match
+    # that instead of dividing by zero, which is an ANSI job abort in
+    # Spark. Zero vectors rank "least similar" on both engines
+    # (round-13 fuzz-parity find).
+    den = l2_norm(a) * l2_norm(b)
+    return F.when(den == 0, F.lit(-1.0)).otherwise(dot(a, b) / den)

@@ -134,15 +134,20 @@ ORDER BY o_orderpriority ASC
 def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot order counts: status values → columns."""
     orders = load_table(spark, sf_dir, "orders")
+    # coalesce AFTER the pivot: an absent (priority, status) combination
+    # yields a NULL pivot cell — the aggregate's own coalesce never sees
+    # the empty group — while the oracle's SUM(CASE)+COALESCE emits 0
+    # (round-13 fuzz-parity find; every combination exists in the shipped
+    # fixtures, so the sweeps never reached the path)
     return (
         orders.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["O", "F", "P"])
-        .agg(F.coalesce(F.count(F.lit(1)), F.lit(0)))
+        .agg(F.count(F.lit(1)))
         .select(
             "o_orderpriority",
-            F.col("O").alias("open_orders"),
-            F.col("F").alias("finished_orders"),
-            F.col("P").alias("pending_orders"),
+            F.coalesce(F.col("O"), F.lit(0)).alias("open_orders"),
+            F.coalesce(F.col("F"), F.lit(0)).alias("finished_orders"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("pending_orders"),
         )
         .orderBy(F.col("o_orderpriority").asc())
     )

@@ -1091,18 +1091,18 @@ def _emb_lsh_pairs(
         F.col("vec_id").alias("vec_2"),
         F.col("embedding").cast("array<double>").alias("emb_2"),
     )
-    dot = F.aggregate(
-        F.zip_with("emb_1", "emb_2", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
+    # the shared cosine helper carries the zero-norm -> -1.0 convention
+    # (matching DuckDB's list_cosine_similarity, which every embedding
+    # oracle here uses) — a bare dot/norms division is an ANSI job abort
+    # on a zero vector (round-13 fuzz-parity find)
+    from databricks_spark_sql_challenge1_spark.functions.vectors import cosine
+
     return (
         candidates.join(ea, "vec_1")
         .join(eb, "vec_2")
-        .withColumn("cosine", F.round(dot / (norm("emb_1") * norm("emb_2")), 6))
+        .withColumn(
+            "cosine", F.round(cosine(F.col("emb_1"), F.col("emb_2")), 6)
+        )
         .where(F.col("cosine") >= EMB_DUP_THRESHOLD)
         .select("vec_1", "vec_2", "cosine")
         .orderBy("vec_1", "vec_2")

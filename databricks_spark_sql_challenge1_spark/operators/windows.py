@@ -180,13 +180,14 @@ ROLLING_7D_S = 7 * 86400
     "events_rolling_7d_value",
     oracle=f"""
 WITH e AS (
-    SELECT event_id, user_id, ts, value,
+    SELECT event_id, user_id, ts,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents,
            CAST(floor(epoch(ts)) AS BIGINT) AS es
     FROM events
 ),
 r AS (
     SELECT event_id, user_id, ts,
-           ROUND(CAST(SUM(value) OVER w AS DOUBLE), 2) AS rolling_value,
+           CAST(SUM(cents) OVER w AS BIGINT) / 100.0 AS rolling_value,
            COUNT(*) OVER w AS rolling_n
     FROM e
     WINDOW w AS (PARTITION BY user_id ORDER BY es
@@ -210,12 +211,24 @@ def events_rolling_7d_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join expansion of the [t-7d, t] interval. Frame bounds are integer
     epoch seconds on both engines so peer groups agree exactly; top-k is
     TakeOrderedAndProject with an event_id tiebreak.
+
+    The window rides integer CENTS, not ROUND(SUM(double), 2): Spark's
+    ROUND(double, s) rounds the value's SHORTEST decimal representation
+    (Java BigDecimal.valueOf) while DuckDB rounds the exact binary double,
+    so a sum whose shortest form sits exactly on a half at scale 2 (a
+    single -1.005 event) rounds apart — and the ORDER BY + LIMIT makes the
+    flip pick different top rows (round-13 fuzz-parity find; the CLAUDE.md
+    cents rule, applied at window grain).
     """
     from pyspark.sql.window import Window
 
     events = load_table(spark, sf_dir, "events")
     e = events.select(
-        "event_id", "user_id", "ts", "value", F.col("ts").cast("long").alias("es")
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.col("ts").cast("long").alias("es"),
     )
     w = (
         Window.partitionBy("user_id")
@@ -227,7 +240,7 @@ def events_rolling_7d_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "user_id",
             "ts",
-            F.round(F.sum("value").over(w), 2).alias("rolling_value"),
+            (F.sum("cents").over(w) / F.lit(100.0)).alias("rolling_value"),
             F.count(F.lit(1)).over(w).alias("rolling_n"),
         )
         .orderBy(F.col("rolling_value").desc(), F.col("event_id").asc())

@@ -190,7 +190,17 @@ ROWS_ONLY_STAND_INS: dict[str, str] = {
 # rather than displacing the committed cohorts — the changed-query rule's
 # intent (driver-grade evidence for changed code) is met by the 3-SF
 # hash-identity proof plus the fuzz suite, and the driver re-hashes each
-# on its committed schedule.
+# on its committed schedule. The relational fuzz
+# (tests/test_fuzz_parity_relational.py) extends the same treatment to
+# the zero-norm-cosine family (the shared functions/vectors.cosine()
+# helper gained DuckDB's -1.0 zero-vector convention: similarity_topk/
+# _ann_methods/_recall_audit/_pq_rerank, dedup_semantic_ivf/_sqrtk,
+# dedup_embedding_lsh_adaptive/_clusters, embedding_kmeans_refine,
+# retrieval_hybrid_rrf/_rrf_rerank, dedup_cluster_components,
+# dedup_keep_best) and to pivot_status_by_priority (coalesce moved after
+# the pivot) — every name re-proven hash-identical at 3 SFs;
+# events_rolling_7d_value (oracle changed: integer-cents window sums) is
+# already in the r13 window above.
 NEXT_WINDOW: tuple[str, ...] = (
     "calendar_dim",
     "clean_orders",

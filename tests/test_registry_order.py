@@ -46,6 +46,12 @@ MUST_VERIFY = {
     # tests/test_fuzz_parity.py)
     "text_entropy",
     "docs_weighted_sample",
+    # changed r13 (relational fuzz-parity): oracle AND Spark side moved to
+    # integer-cents window sums (Spark ROUND(double,2) rounds the shortest
+    # decimal repr, DuckDB the exact binary value; hash-identical at 3 SFs
+    # on the clean fixtures, divergent on a -1.005 event — pinned by
+    # tests/test_fuzz_parity_relational.py); already in the r13 cohort
+    "events_rolling_7d_value",
 }
 
 
