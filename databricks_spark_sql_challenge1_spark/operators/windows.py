@@ -7,9 +7,11 @@ Spark window semantics vs the DuckDB oracle:
   - tumbling 1h aligns to epoch → identical to date_trunc('hour').
   - sliding (1h window, 30m slide): each event belongs to 2 windows with
     starts time_bucket(30m, ts) and time_bucket(30m, ts) - 30m.
-  - session (30m gap): Spark sessions are half-open [first, last+gap) — an
-    event at exactly prev+gap starts a new session; the oracle's lag/cumsum
-    reconstruction uses ``ts - prev >= gap`` accordingly.
+  - session (30m gap): Spark sessions are half-open [first, last+gap), and
+    abutting windows MERGE — an event at exactly prev+gap stays in the
+    session (measured, pinned by tests/test_fuzz_parity_relational.py's
+    exact-30-minute pair); the oracle's lag/cumsum reconstruction starts a
+    new session only on ``ts - prev > gap`` (strict) accordingly.
 """
 
 from __future__ import annotations
@@ -27,7 +29,7 @@ from databricks_spark_sql_challenge1_spark.registry import query
 SELECT date_trunc('hour', ts) AS window_start,
        event_type,
        COUNT(*) AS n_events,
-       ROUND(CAST(SUM(value) AS DOUBLE), 2) AS sum_value
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
 FROM events
 GROUP BY 1, 2
 ORDER BY window_start ASC, event_type ASC
@@ -40,7 +42,9 @@ def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)).alias(
+                "sum_value"
+            ),
         )
         .select(
             F.col("window.start").alias("window_start"),
@@ -62,7 +66,7 @@ WITH w AS (
 )
 SELECT window_start,
        COUNT(*) AS n_events,
-       ROUND(CAST(SUM(value) AS DOUBLE), 2) AS sum_value
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
 FROM w
 GROUP BY 1
 ORDER BY window_start ASC
@@ -75,7 +79,9 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.window("ts", "1 hour", "30 minutes"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)).alias(
+                "sum_value"
+            ),
         )
         .select(F.col("window.start").alias("window_start"), "n_events", "sum_value")
         .orderBy(F.col("window_start").asc())
@@ -89,7 +95,7 @@ SELECT CAST(year(ts) AS INTEGER) AS y,
        CAST(month(ts) AS INTEGER) AS m,
        CAST(day(ts) AS INTEGER) AS d,
        COUNT(*) AS n_events,
-       ROUND(CAST(SUM(value) AS DOUBLE), 2) AS sum_value
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
 FROM events
 GROUP BY ROLLUP (y, m, d)
 ORDER BY y ASC NULLS FIRST, m ASC NULLS FIRST, d ASC NULLS FIRST
@@ -111,7 +117,9 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("y", "m", "d")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)).alias(
+                "sum_value"
+            ),
         )
         .orderBy(
             F.col("y").asc_nulls_first(),
@@ -128,7 +136,7 @@ WITH flagged AS (
     SELECT user_id, ts, value,
            CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                      OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                        >= INTERVAL '30 minutes'
+                        > INTERVAL '30 minutes'
                 THEN 1 ELSE 0 END AS new_session
     FROM events
 ),
@@ -142,7 +150,7 @@ SELECT user_id,
        MIN(ts) AS session_start,
        MAX(ts) + INTERVAL '30 minutes' AS session_end,
        COUNT(*) AS n_events,
-       ROUND(CAST(SUM(value) AS DOUBLE), 2) AS sum_value
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
 FROM sessions
 GROUP BY user_id, session_id
 ORDER BY user_id ASC, session_start ASC
@@ -160,7 +168,9 @@ def events_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.session_window("ts", "30 minutes"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)).alias(
+                "sum_value"
+            ),
         )
         .select(
             "user_id",

@@ -200,7 +200,15 @@ ROWS_ONLY_STAND_INS: dict[str, str] = {
 # dedup_keep_best) and to pivot_status_by_priority (coalesce moved after
 # the pivot) — every name re-proven hash-identical at 3 SFs;
 # events_rolling_7d_value (oracle changed: integer-cents window sums) is
-# already in the r13 window above.
+# already in the r13 window above. The streaming-twin fuzz extension
+# moved the whole events-value aggregation family to the same cents
+# grain (events_tumbling_1h/_sliding_1h_30m/_time_rollup/_session_30m —
+# all in the r13 window; streaming_parity_tumbling_1h/_session_30m/
+# _nation_activity/_click_attribution — committed here for r14) and
+# pinned the measured session-gap boundary (exactly prev+30m MERGES;
+# both session oracles moved from >= to strict >). All 8 oracle-backed
+# names re-proven hash-identical at 3 SFs; the three rows-only
+# streaming_* siblings changed identically (their twins hash-cover them).
 NEXT_WINDOW: tuple[str, ...] = (
     "calendar_dim",
     "clean_orders",

@@ -50,7 +50,7 @@ from databricks_spark_sql_challenge1_spark.streaming.events_stream import (
 SELECT date_trunc('hour', ts) AS window_start,
        event_type,
        COUNT(*) AS n_events,
-       ROUND(CAST(SUM(value) AS DOUBLE), 2) AS sum_value
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
 FROM events
 GROUP BY 1, 2
 ORDER BY window_start ASC, event_type ASC
@@ -67,7 +67,9 @@ def streaming_parity_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)).alias(
+                "sum_value"
+            ),
         )
         .select(
             F.col("window.start").alias("window_start"),
@@ -86,7 +88,7 @@ WITH flagged AS (
     SELECT user_id, ts, value,
            CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                      OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                        >= INTERVAL '30 minutes'
+                        > INTERVAL '30 minutes'
                 THEN 1 ELSE 0 END AS new_session
     FROM events
 ),
@@ -100,7 +102,7 @@ SELECT user_id,
        MIN(ts) AS session_start,
        MAX(ts) + INTERVAL '30 minutes' AS session_end,
        COUNT(*) AS n_events,
-       ROUND(CAST(SUM(value) AS DOUBLE), 2) AS sum_value
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
 FROM sessions
 GROUP BY user_id, session_id
 ORDER BY user_id ASC, session_start ASC
@@ -116,7 +118,9 @@ def streaming_parity_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.session_window("ts", "30 minutes"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)).alias(
+                "sum_value"
+            ),
         )
         .select(
             "user_id",
@@ -256,7 +260,7 @@ def streaming_parity_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT p.user_id AS user_id,
        p.ts AS purchase_ts,
        c.ts AS click_ts,
-       ROUND(CAST(p.value AS DOUBLE), 2) AS purchase_value
+       CAST(ROUND(p.value * 100) AS BIGINT) / 100.0 AS purchase_value
 FROM events p
 JOIN events c
   ON c.user_id = p.user_id
@@ -298,7 +302,9 @@ def streaming_parity_click_attribution(spark: SparkSession, sf_dir: str) -> Data
         F.col("p_user").alias("user_id"),
         "purchase_ts",
         "click_ts",
-        F.round(F.col("purchase_value"), 2).alias("purchase_value"),
+        (F.round(F.col("purchase_value") * 100).cast("long") / F.lit(100.0)).alias(
+            "purchase_value"
+        ),
     )
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     q = (
@@ -318,7 +324,7 @@ def streaming_parity_click_attribution(spark: SparkSession, sf_dir: str) -> Data
 SELECT date_trunc('hour', e.ts) AS window_start,
        n.n_name AS nation,
        COUNT(*) AS n_events,
-       ROUND(CAST(SUM(e.value) AS DOUBLE), 2) AS sum_value
+       CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
 FROM events e
 JOIN customer c ON c.c_custkey = e.user_id
 JOIN nation n ON n.n_nationkey = c.c_nationkey
@@ -349,7 +355,9 @@ def streaming_parity_nation_activity(spark: SparkSession, sf_dir: str) -> DataFr
         .groupBy(F.window("ts", "1 hour"), "nation")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)).alias(
+                "sum_value"
+            ),
         )
         .select(
             F.col("window.start").alias("window_start"),

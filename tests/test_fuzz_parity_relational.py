@@ -39,7 +39,11 @@ PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 # sweeps (every SF satisfies the group minimum).
 CONTRACT_EXCLUDED = {"approx_price_percentiles"}
 
-SKIP_PREFIXES = ("multimodal_", "streaming_", "jsonl_", "orc_")
+# streaming_parity_* twins ARE fuzzed here (they drain real streams over
+# the adversarial events — identical timestamps, hour-boundary rows and
+# cents-boundary values exercise the window/dedup/attribution state
+# paths); the rows-only streaming_* names have no oracle to compare.
+SKIP_PREFIXES = ("multimodal_", "jsonl_", "orc_")
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "embeddings", "documents"]
@@ -242,6 +246,16 @@ def build_fixture(path: str) -> None:
     # u106: spread for gapfill/rolling (one event per day)
     for d in range(7):
         e(B + timedelta(days=d, hours=6), 106, "view", float(d))
+    # custkey-matching users (3, 5): the stream-static nation enrichment
+    # is non-vacuous, with click->purchase pairs AT the attribution
+    # boundaries (exactly 30 minutes before, and exactly at, the
+    # purchase) and a cents-boundary purchase value (-1.005)
+    e(B + timedelta(days=6, hours=9), 3, "click", 1.0)
+    e(B + timedelta(days=6, hours=9, minutes=30), 3, "purchase", -1.005)
+    e(B + timedelta(days=6, hours=9, minutes=45), 3, "purchase", 2.675)
+    e(B + timedelta(days=6, hours=10), 5, "view", 5.0)
+    e(B + timedelta(days=6, hours=11), 5, "click", 0.5)
+    e(B + timedelta(days=6, hours=11), 5, "purchase", 3.335)
     for row in ev:
         con.execute("INSERT INTO events VALUES (?, ?, ?, ?, ?, ?)", list(row))
 
@@ -305,13 +319,16 @@ def _relational_names():
         docs_only = "documents" in low and not any(
             re.search(rf"\b{t}\b", low) for t in other
         )
-        if not docs_only:
+        # streaming twins run here even when documents-only (the docs
+        # fuzz module skips streams): streaming_parity_incremental_dedup
+        # would otherwise be fuzzed nowhere
+        if not docs_only or n.startswith("streaming_"):
             names.append(n)
     return names
 
 
 def test_fuzz_fixture_covers_the_relational_surface():
-    assert len(_relational_names()) >= 77
+    assert len(_relational_names()) >= 86
 
 
 def test_adversarial_relational_oracle_parity(spark, fuzz_rel_dir):

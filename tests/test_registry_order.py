@@ -52,6 +52,13 @@ MUST_VERIFY = {
     # on the clean fixtures, divergent on a -1.005 event — pinned by
     # tests/test_fuzz_parity_relational.py); already in the r13 cohort
     "events_rolling_7d_value",
+    # same cents treatment, same cohort; events_session_30m's oracle also
+    # gains the measured strict-> session-gap rule (an event at exactly
+    # prev+30m MERGES in Spark's session_window — the old >= split it)
+    "events_tumbling_1h",
+    "events_sliding_1h_30m",
+    "events_time_rollup",
+    "events_session_30m",
 }
 
 
