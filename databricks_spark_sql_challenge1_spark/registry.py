@@ -209,6 +209,13 @@ ROWS_ONLY_STAND_INS: dict[str, str] = {
 # both session oracles moved from >= to strict >). All 8 oracle-backed
 # names re-proven hash-identical at 3 SFs; the three rows-only
 # streaming_* siblings changed identically (their twins hash-cover them).
+# The JSON fuzz probe pinned the integer-k payload contract
+# (events_json_extract/_schema in the r13 window, events_json_nested on
+# the r15 cadence — all three re-proven hash-identical at 3 SFs): Spark
+# extracts via from_json (get_json_object strips the quotes off a JSON
+# string, so "5" would leak in as 5), DuckDB gates on the raw
+# json_extract text under a json_valid CASE (bare json_extract aborts on
+# malformed payloads where every Spark JSON function is total).
 NEXT_WINDOW: tuple[str, ...] = (
     "calendar_dim",
     "clean_orders",

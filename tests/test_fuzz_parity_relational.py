@@ -256,6 +256,14 @@ def build_fixture(path: str) -> None:
     e(B + timedelta(days=6, hours=10), 5, "view", 5.0)
     e(B + timedelta(days=6, hours=11), 5, "click", 0.5)
     e(B + timedelta(days=6, hours=11), 5, "purchase", 3.335)
+    # u107: degenerate props payloads — the JSON contract (round-13 fuzz):
+    # only a JSON INTEGER k counts; strings/floats/bools/null/missing and
+    # malformed or empty props all yield NULL k on both engines
+    for i, props in enumerate(
+        ["{k:", "", '{"k": "x"}', '{"k": "5"}', '{"k": 2.7}',
+         '{"k": true}', '{"k": -7}', "[1, 2]", '"scalar"']
+    ):
+        e(B + timedelta(days=6, hours=15, minutes=i), 107, "view", 1.0, props)
     for row in ev:
         con.execute("INSERT INTO events VALUES (?, ?, ?, ?, ?, ?)", list(row))
 

@@ -59,6 +59,12 @@ MUST_VERIFY = {
     "events_sliding_1h_30m",
     "events_time_rollup",
     "events_session_30m",
+    # changed r13 (JSON fuzz-parity): the integer-k contract — Spark
+    # extraction via from_json (get_json_object strips quotes off JSON
+    # strings), DuckDB gate on raw json_extract text under json_valid
+    # (events_json_nested shares the fix on the r15 cadence)
+    "events_json_extract",
+    "events_json_schema",
 }
 
 
