@@ -70,22 +70,55 @@ OTHER_TABLES = [
 ]
 
 
-@pytest.fixture(scope="module")
-def fuzz_dir(tmp_path_factory):
-    """Scratch sf_dir holding only the adversarial documents.parquet."""
-    d = tmp_path_factory.mktemp("fuzzdocs")
+def _random_collision_docs(seed: int = 13, n_docs: int = 30) -> list:
+    """Seeded random corpus over a TINY token alphabet — maximal shingle /
+    band / merge-pair collision density, the combinatorial stress the
+    hand-curated corpus cannot enumerate (greedy BPE merges over runs,
+    SimHash band saturation, containment vs Jaccard asymmetry). Seeded
+    stdlib Random = identical corpus on every run."""
+    import random
+
+    rng = random.Random(seed)
+    alphabet = ["a", "b", "ab", "aa", "ba", "aab"]
+    langs = ["en", "es", "de", "fr", "zh"]
+    docs = []
+    for _ in range(n_docs):
+        n_toks = rng.choice([0, 1, 2, 3, 5, 8, 20, 60])
+        text = " ".join(rng.choice(alphabet) for _ in range(n_toks))
+        docs.append((text, rng.choice(langs), f"src{rng.randrange(4)}"))
+    return docs
+
+
+def _write_docs(path: str, docs: list) -> None:
     con = duckdb.connect()
     con.execute(
         "CREATE TABLE docs (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
         "source VARCHAR, n_chars BIGINT)"
     )
-    for i, (text, lang, source) in enumerate(ADVERSARIAL_DOCS):
+    for i, (text, lang, source) in enumerate(docs):
         con.execute(
             "INSERT INTO docs VALUES (?, ?, ?, ?, ?)",
             [i, text, lang, source, len(text)],
         )
-    con.execute(f"COPY docs TO '{d}/documents.parquet' (FORMAT PARQUET)")
+    con.execute(f"COPY docs TO '{path}/documents.parquet' (FORMAT PARQUET)")
     con.close()
+
+
+@pytest.fixture(
+    scope="module",
+    params=["adversarial", "random-collision"],
+    ids=["adversarial", "random-collision"],
+)
+def fuzz_dir(request, tmp_path_factory):
+    """Scratch sf_dir holding only documents.parquet — parametrized over
+    the hand-curated adversarial corpus and the seeded collision corpus."""
+    d = tmp_path_factory.mktemp(f"fuzzdocs_{request.param}")
+    docs = (
+        ADVERSARIAL_DOCS
+        if request.param == "adversarial"
+        else _random_collision_docs()
+    )
+    _write_docs(str(d), docs)
     return str(d)
 
 
