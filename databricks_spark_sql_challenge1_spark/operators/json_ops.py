@@ -39,10 +39,13 @@ _K_INT_RE = "^-?[0-9]+$"
 # where Spark's from_json/integer contract nulls it (measured in the
 # relational fuzz). The outer json_valid CASE keeps the aborting
 # json_extract away from malformed payloads.
+# TRY_CAST, not CAST: a JSON integer in [2^63, 2^64) passes the digit
+# regex but overflows BIGINT — DuckDB CAST aborts where Spark's
+# from_json returns NULL (round-13 review; fuzz payload pins it)
 _K_SQL = (
     "CASE WHEN json_valid(props) THEN (CASE WHEN regexp_matches("
     f"CAST(json_extract(props, '$.k') AS VARCHAR), '{_K_INT_RE}') "
-    "THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END) END"
+    "THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END) END"
 )
 
 
@@ -57,14 +60,17 @@ def _k_long() -> F.Column:
 SELECT event_type,
        COUNT(*) AS n_events,
        CAST(SUM({_K_SQL}) AS BIGINT) AS sum_k,
-       ROUND(CAST(AVG({_K_SQL}) AS DOUBLE), 4) AS avg_k
+       ROUND(CAST(AVG({_K_SQL}) AS DOUBLE), 4) + 0 AS avg_k
 FROM events
 GROUP BY event_type
 ORDER BY event_type ASC
 """,
 )
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Extract ``props.$.k`` (get_json_object) and aggregate per event type."""
+    """Extract ``props.$.k`` (one typed ``from_json`` parse — see the
+    integer-k contract above) and aggregate per event type. ``avg_k``
+    carries the oracle-side ``+ 0``: k admits negative integers, so a
+    group average can round to DuckDB's ``-0.0`` (CLAUDE.md rule)."""
     events = load_table(spark, sf_dir, "events")
     k = _k_long()
     return (
@@ -91,12 +97,12 @@ ORDER BY k_bucket ASC NULLS FIRST
 )
 def events_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``from_json`` with an explicit schema (the scalable path: one parse,
-    typed struct, prunable) then bucket-aggregate."""
+    typed struct, prunable) then bucket-aggregate — the parse is the
+    shared ``_k_long`` helper so the integer-k contract stays
+    single-sourced (round-13 review)."""
     events = load_table(spark, sf_dir, "events")
-    schema = StructType([StructField("k", LongType())])
     return (
-        events.withColumn("j", F.from_json("props", schema))
-        .select((F.col("j.k") % 10).alias("k_bucket"))
+        events.select((_k_long() % 10).alias("k_bucket"))
         .groupBy("k_bucket")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy(F.col("k_bucket").asc_nulls_first())

@@ -171,8 +171,11 @@ ROWS_ONLY_STAND_INS: dict[str, str] = {
 # back when customers_kmv_setops took a head slot) MINUS retired
 # dedup_simhash_wide_pairs, PLUS calendar_dim and orders_no_price (r11
 # evidence, due r14 — they were the r13 window's section-2 fills until
-# the two fuzz-parity oracle fixes displaced them) — 49 names, leaving
-# 1 head slot for round-14 new/changed queries. The two r13
+# the two fuzz-parity oracle fixes displaced them) PLUS events_json_nested
+# (oracle changed in the r13 JSON-contract fix; pulled forward from its
+# r15 cadence into the last head slot) — 50 names, no free head slots:
+# round 14 funds its own new/changed heads by displacing stable fills,
+# as r13 did. The two r13
 # consolidations (similarity_ivf/pq/ivfpq → similarity_ann_methods;
 # dedup_simhash_pairs/_wide_pairs/_adaptive → dedup_simhash_methods)
 # keep the math feasible: 146 oracle-backed names / 3-round cadence
@@ -239,6 +242,11 @@ NEXT_WINDOW: tuple[str, ...] = (
     "embedding_norm_stats",
     "events_gapfill_interp",
     "events_gapfill_stats",
+    # r14 head slot, consumed r13: events_json_nested's oracle changed in
+    # the JSON-contract fix (hash-identical at 3 SFs) but sat on the r15
+    # cadence — pulled forward one round so changed code never runs two
+    # rounds on stale green evidence (round-13 review #3)
+    "events_json_nested",
     "launch_year_orders",
     "monthly_order_trend_lag",
     "multimodal_avi_frames",

@@ -356,6 +356,41 @@ def test_kmeans_oracle_generated_from_constant(spark, duck):
     assert sp == orc
 
 
+def test_cosine_helper_zero_norm_and_null_contract(spark):
+    """Pin the shared cosine() edge contract (round-13 fuzz + review):
+    a ZERO-norm vector scores -1.0 (DuckDB's list_cosine_similarity
+    convention, so Spark and oracle rank it identically), while a NULL
+    input stays NULL (retrieval builds vectors through joins whose
+    misses are NULL — a coalesce-style -1.0 for NULLs silently re-ranked
+    sf0.1 rerank rows when tried). Normal vectors score the plain
+    dot/norms value."""
+    from pyspark.sql import functions as F
+
+    from databricks_spark_sql_challenge1_spark.functions.vectors import cosine
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], [1.0, 0.0]),   # identical -> 1.0
+            (2, [1.0, 0.0], [-1.0, 0.0]),  # opposite -> -1.0
+            (3, [0.0, 0.0], [1.0, 2.0]),   # zero norm -> -1.0 (convention)
+            (4, [0.0, 0.0], [0.0, 0.0]),   # both zero -> -1.0
+            (5, None, [1.0, 2.0]),         # NULL input -> NULL
+        ],
+        "id long, a array<double>, b array<double>",
+    )
+    got = {
+        r.id: r.c
+        for r in df.select(
+            "id", F.round(cosine(F.col("a"), F.col("b")), 6).alias("c")
+        ).collect()
+    }
+    assert got[1] == 1.0
+    assert got[2] == -1.0
+    assert got[3] == -1.0
+    assert got[4] == -1.0
+    assert got[5] is None
+
+
 def test_ivfpq_is_pq_restricted_to_probed_cells(spark):
     """similarity_ivfpq must equal EXACTLY the top-k (by ADC distance,
     neighbor-id tiebreak) of similarity_pq's full ADC scoring restricted

@@ -261,7 +261,11 @@ def build_fixture(path: str) -> None:
     # malformed or empty props all yield NULL k on both engines
     for i, props in enumerate(
         ["{k:", "", '{"k": "x"}', '{"k": "5"}', '{"k": 2.7}',
-         '{"k": true}', '{"k": -7}', "[1, 2]", '"scalar"']
+         '{"k": true}', '{"k": -7}', "[1, 2]", '"scalar"',
+         # 2^63: passes the digit regex but overflows BIGINT — DuckDB
+         # CAST would abort where Spark's from_json yields NULL (the
+         # TRY_CAST in _K_SQL); round-13 review find
+         '{"k": 9223372036854775808}']
     ):
         e(B + timedelta(days=6, hours=15, minutes=i), 107, "view", 1.0, props)
     for row in ev:
