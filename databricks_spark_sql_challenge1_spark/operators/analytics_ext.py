@@ -1635,6 +1635,11 @@ def distinct_orders_kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def est(n_kept: str, m_k: str):
+        # m_k = 0 is unreachable on the estimator branch (ADVICE r13): the
+        # branch only runs with n_kept = K rows, and max(h) = 0 then needs
+        # all K = 64 distinct keys' 32-bit md5 prefixes to be zero
+        # simultaneously (p = 2^-2048). No nullif guard so the oracle's `//`
+        # and Spark's `div` stay textually aligned.
         return F.when(F.col(n_kept) < KMV_K, F.col("n_exact")).otherwise(
             F.expr(f"({KMV_K - 1} * 4294967296) div {m_k}")
         )
@@ -1799,6 +1804,8 @@ def customers_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def est(n_col: str, m_col: str, exact_col: str):
+        # m_col = 0 unreachable on the estimator branch — same 2^-2048
+        # argument as distinct_orders_kmv_rollup's est() above (ADVICE r13).
         return F.when(F.col(n_col) < k, F.col(exact_col)).otherwise(
             F.expr(f"({k - 1} * 4294967296) div {m_col}")
         )

@@ -607,18 +607,30 @@ def _cosine_broadcast(spark: SparkSession, e: DataFrame) -> DataFrame:
     corpus = e.toPandas()
     ids_all = corpus["vec_id"].to_numpy()
     M = np.stack([np.asarray(v, dtype="float64") for v in corpus["embedding"]])
-    M /= np.linalg.norm(M, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids_all, M))
+    # zero-norm convention (functions/vectors.cosine, r13 fuzz): a zero
+    # vector's similarity is -1.0 on both engines — divide by 1 instead of 0
+    # (no RuntimeWarning/NaN) and pin its S rows/cols to -1.0 explicitly so
+    # the invariant doesn't rest on NaN failing the threshold comparison.
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    zero_all = (norms == 0).ravel()
+    M /= np.where(norms == 0, 1.0, norms)
+    bc = spark.sparkContext.broadcast((ids_all, M, zero_all))
 
     def block(batches):
-        b_ids, b_m = bc.value
+        b_ids, b_m, b_zero = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
             bids = pdf["vec_id"].to_numpy()
             B = np.stack([np.asarray(v, dtype="float64") for v in pdf["embedding"]])
-            B /= np.linalg.norm(B, axis=1, keepdims=True)
+            bn = np.linalg.norm(B, axis=1, keepdims=True)
+            bz = (bn == 0).ravel()
+            B /= np.where(bn == 0, 1.0, bn)
             S = np.round(B @ b_m.T, 6)
+            if bz.any():
+                S[bz, :] = -1.0
+            if b_zero.any():
+                S[:, b_zero] = -1.0
             bi, cj = np.nonzero(S >= EMB_DUP_THRESHOLD)
             v1, v2 = bids[bi], b_ids[cj]
             keep = v1 < v2
@@ -676,9 +688,17 @@ def _cosine_chunked(e: DataFrame, n_chunks: int) -> DataFrame:
         b_ids = b["vec_id"].to_numpy()
         A = np.stack([np.asarray(v, dtype="float64") for v in a["embedding"]])
         B = np.stack([np.asarray(v, dtype="float64") for v in b["embedding"]])
-        A /= np.linalg.norm(A, axis=1, keepdims=True)
-        B /= np.linalg.norm(B, axis=1, keepdims=True)
+        # same zero-norm -1.0 convention as _cosine_broadcast (no NaN path)
+        an = np.linalg.norm(A, axis=1, keepdims=True)
+        bn = np.linalg.norm(B, axis=1, keepdims=True)
+        az, bz = (an == 0).ravel(), (bn == 0).ravel()
+        A /= np.where(an == 0, 1.0, an)
+        B /= np.where(bn == 0, 1.0, bn)
         S = np.round(A @ B.T, 6)
+        if az.any():
+            S[az, :] = -1.0
+        if bz.any():
+            S[:, bz] = -1.0
         ai, bj = np.nonzero(S >= EMB_DUP_THRESHOLD)
         v1 = np.minimum(a_ids[ai], b_ids[bj])
         v2 = np.maximum(a_ids[ai], b_ids[bj])

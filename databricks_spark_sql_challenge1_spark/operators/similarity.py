@@ -611,7 +611,12 @@ def similarity_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-similarity_ann_methods.__doc__ = similarity_ann_methods.__doc__.format(k=TOP_K)
+# str.replace (not .format) so a future literal brace can't KeyError, and
+# guarded so `python -O` (docstrings stripped) can't AttributeError at import.
+if similarity_ann_methods.__doc__:
+    similarity_ann_methods.__doc__ = similarity_ann_methods.__doc__.replace(
+        "{k}", str(TOP_K)
+    )
 
 
 @query(
