@@ -642,20 +642,42 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "embedding_norm_stats",
-    oracle="""
-SELECT label,
-       COUNT(*) AS n_vectors,
-       ROUND(AVG(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
-                                              x -> x * x)))), 6) AS avg_l2_norm
-FROM embeddings
-GROUP BY label
-ORDER BY label ASC
-""",
-)
+# Shared CTE fragments for the consolidated `embedding_profile` oracle:
+# each leg's SQL is the retired standalone registration's text verbatim
+# (modulo the trailing ORDER BY), so every value the old driver rows pinned
+# is pinned by the consolidated surface too.
+_NORM_STATS_CTE = """norm_rows AS (
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           ROUND(AVG(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                  x -> x * x)))), 6)
+               AS avg_l2_norm
+    FROM embeddings
+    GROUP BY label
+)"""
+
+_DIM_STATS_CTE = """dim_rows AS (
+    SELECT CAST(i - 1 AS INTEGER) AS pos,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           -- + 0 maps -0.0 -> 0.0: DuckDB ROUND preserves the sign of a tiny
+           -- negative (ROUND(-1e-9, 4) = -0.0) while Spark HALF_UP rounding
+           -- returns +0.0 — hash-mismatch measured on dim 24 at sf0.1
+           -- (no apostrophes in this comment: a quote here would desync
+           -- literal-stripping SQL scanners once real literals follow)
+           ROUND(AVG(emb[i]), 4) + 0 AS mean_val,
+           ROUND(stddev_pop(emb[i]), 4) AS std_val,
+           ROUND(MIN(emb[i]), 6) + 0 AS min_val,
+           ROUND(MAX(emb[i]), 6) + 0 AS max_val
+    FROM (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         unnest(generate_series(1, len(emb))) AS t(i)
+    GROUP BY i
+)"""
+
+
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label vector-norm stats (F.aggregate fold — JVM-side)."""
+    """Per-label vector-norm stats (F.aggregate fold — JVM-side). Since r14
+    the label_norm LEG of the registered ``embedding_profile`` surface
+    (capacity-policy consolidation); kept public for tests."""
     e = _emb(spark, sf_dir)
     return (
         e.groupBy("label")
@@ -667,28 +689,11 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "embedding_dim_stats",
-    oracle="""
-SELECT CAST(i - 1 AS INTEGER) AS pos,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       -- + 0 maps -0.0 -> 0.0: DuckDB ROUND preserves the sign of a tiny
-       -- negative (ROUND(-1e-9, 4) = -0.0) while Spark's HALF_UP returns
-       -- +0.0 — hash-mismatch measured on dim 24 at sf0.1
-       ROUND(AVG(emb[i]), 4) + 0 AS mean_val,
-       ROUND(stddev_pop(emb[i]), 4) AS std_val,
-       ROUND(MIN(emb[i]), 6) + 0 AS min_val,
-       ROUND(MAX(emb[i]), 6) + 0 AS max_val
-FROM (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-     unnest(generate_series(1, len(emb))) AS t(i)
-GROUP BY i
-ORDER BY pos ASC
-""",
-)
 def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension corpus statistics (mean/std/min/max) — the whitening /
     normalization moments an embedding pipeline computes before indexing
-    (and the standard drift check between embedding batches).
+    (and the standard drift check between embedding batches). Since r14
+    the dim LEG of the registered ``embedding_profile`` surface.
 
     posexplode → one groupBy on the dimension index: d groups regardless of
     corpus size, partial aggregation map-side, all JVM codegen. Moments are
@@ -707,6 +712,64 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("v"), 6).alias("max_val"),
         )
         .orderBy(F.col("pos").asc())
+    )
+
+
+@query(
+    "embedding_profile",
+    oracle=f"""
+WITH {_NORM_STATS_CTE},
+{_DIM_STATS_CTE}
+SELECT 'dim' AS section,
+       pos AS key, n, mean_val, std_val, min_val, max_val
+FROM dim_rows
+UNION ALL
+SELECT 'label_norm' AS section,
+       CAST(label AS INTEGER) AS key,
+       CAST(n_vectors AS BIGINT) AS n,
+       avg_l2_norm AS mean_val,
+       CAST(NULL AS DOUBLE) AS std_val,
+       CAST(NULL AS DOUBLE) AS min_val,
+       CAST(NULL AS DOUBLE) AS max_val
+FROM norm_rows
+ORDER BY section ASC, key ASC
+""",
+)
+def embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corpus QA profile: the per-dimension moment table
+    (`embedding_dim_stats` — whitening/drift check) and the per-label norm
+    summary (`embedding_norm_stats`) side by side under a section column —
+    the r13 method-surface consolidation pattern applied to the embedding
+    stat pair (r14 capacity policy), so one driver hash pins both.
+
+    Every value is the retired standalone registration's value verbatim
+    (dim rows keep their scale-4/6 roundings, label_norm keeps its scale-6
+    mean under ``mean_val``; inapplicable columns are NULL). The per-leg
+    plans are untouched — one posexplode+groupBy for dims, one groupBy for
+    norms — this surface only relabels and unions their outputs; the
+    oracle is assembled from the retired oracles' texts as CTEs.
+    """
+    nd = F.lit(None).cast("double")
+    dim = embedding_dim_stats(spark, sf_dir).select(
+        F.lit("dim").alias("section"),
+        F.col("pos").cast("int").alias("key"),
+        "n",
+        "mean_val",
+        "std_val",
+        "min_val",
+        "max_val",
+    )
+    norm = embedding_norm_stats(spark, sf_dir).select(
+        F.lit("label_norm").alias("section"),
+        F.col("label").cast("int").alias("key"),
+        F.col("n_vectors").cast("bigint").alias("n"),
+        F.col("avg_l2_norm").alias("mean_val"),
+        nd.alias("std_val"),
+        nd.alias("min_val"),
+        nd.alias("max_val"),
+    )
+    return dim.unionByName(norm).orderBy(
+        F.col("section").asc(), F.col("key").asc()
     )
 
 

@@ -237,10 +237,13 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("event_type").asc(), F.col("next_type").asc())
 
 
-@query(
-    "events_gapfill_stats",
-    oracle="""
-WITH obs AS (
+# --- gap-fill (hypertable-style) -------------------------------------------
+# The locf and interp gap-fills share the dense per-user hourly spine; their
+# CTE texts are factored here so the consolidated `events_gapfill_methods`
+# oracle (one multi-row surface, r14 capacity policy — the r13
+# dedup_simhash_methods pattern) is built from the SAME fragments the two
+# retired standalone oracles used, keeping every leg's values verbatim.
+_GAPFILL_SPINE_CTES = """obs AS (
     SELECT user_id, date_trunc('hour', ts) AS hr,
            CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
     FROM events GROUP BY user_id, date_trunc('hour', ts)
@@ -252,8 +255,9 @@ spine AS (
     SELECT user_id,
            unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
     FROM span
-),
-filled AS (
+)"""
+
+_GAPFILL_LOCF_CTES = """filled AS (
     SELECT s.user_id, s.hr, o.v,
            LAST_VALUE(o.v IGNORE NULLS) OVER (
                PARTITION BY s.user_id ORDER BY s.hr
@@ -270,25 +274,27 @@ gaps AS (
                  LAG(hr) OVER (PARTITION BY user_id ORDER BY hr) AS prev_hr
           FROM obs)
     GROUP BY user_id
-)
-SELECT f.user_id,
-       COUNT(*) AS n_hours,
-       COUNT(f.v) AS n_observed,
-       COUNT(*) - COUNT(f.v) AS n_filled,
-       g.longest_gap_hours,
-       CAST(SUM(f.fv) AS BIGINT) AS ffill_sum_cents
-FROM filled f JOIN gaps g ON g.user_id = f.user_id
-GROUP BY f.user_id, g.longest_gap_hours
-ORDER BY f.user_id ASC
-""",
-)
+),
+locf_rows AS (
+    SELECT f.user_id,
+           CAST(COUNT(f.v) AS BIGINT) AS n_observed,
+           CAST(COUNT(*) - COUNT(f.v) AS BIGINT) AS n_filled,
+           g.longest_gap_hours,
+           CAST(SUM(f.fv) AS BIGINT) AS fill_sum_cents
+    FROM filled f JOIN gaps g ON g.user_id = f.user_id
+    GROUP BY f.user_id, g.longest_gap_hours
+)"""
+
+
 def events_gapfill_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap-fill (hypertable-style `time_bucket_gapfill` +
     `locf`): build each user's dense hourly spine between their first and
     last observed hour, left-join the observed hourly averages, carry the
     last observation forward across the gaps, and report per-user fill
     statistics (spine size, observed/filled counts, longest gap run, sum
-    of the forward-filled series). The hourly metric is integer CENTS
+    of the forward-filled series). Since r14 this is the locf LEG of the
+    registered ``events_gapfill_methods`` surface (capacity-policy
+    consolidation); kept public for tests and the SCALE.md growth curves. The hourly metric is integer CENTS
     accumulated at the ROW grain (each event's value rounded to cents
     before any sum) — rounding a floating SUM whose addend order differs
     between engines can flip a .5-cent boundary (observed at sf0.001;
@@ -373,21 +379,7 @@ def _floor_div_sql(a: str, b: str, intdiv: str) -> str:
     return f"(({a}) - ((({a}) % ({b}) + ({b})) % ({b}))) {intdiv} ({b})"
 
 
-_GAPFILL_INTERP_SQL = """
-WITH obs AS (
-    SELECT user_id, date_trunc('hour', ts) AS hr,
-           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
-    FROM events GROUP BY user_id, date_trunc('hour', ts)
-),
-span AS (
-    SELECT user_id, MIN(hr) AS h0, MAX(hr) AS h1 FROM obs GROUP BY user_id
-),
-spine AS (
-    SELECT user_id,
-           unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
-    FROM span
-),
-seq AS (
+_GAPFILL_INTERP_CTES_T = """seq AS (
     SELECT s.user_id, s.hr, o.v,
            epoch_us(s.hr) {intdiv} 3600000000 AS idx
     FROM spine s
@@ -415,33 +407,52 @@ interp AS (
     SELECT user_id,
            prev_v + {fd} AS iv
     FROM bounded WHERE v IS NULL
-)
-SELECT user_id,
-       CAST(COUNT(*) AS BIGINT) AS n_interp,
-       CAST(SUM(iv) AS BIGINT) AS interp_sum_cents,
-       CAST(MIN(iv) AS BIGINT) AS interp_min_cents,
-       CAST(MAX(iv) AS BIGINT) AS interp_max_cents
-FROM interp
-GROUP BY user_id
-ORDER BY user_id ASC
-"""
+),
+interp_rows AS (
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_filled,
+           CAST(SUM(iv) AS BIGINT) AS fill_sum_cents,
+           CAST(MIN(iv) AS BIGINT) AS fill_min_cents,
+           CAST(MAX(iv) AS BIGINT) AS fill_max_cents
+    FROM interp
+    GROUP BY user_id
+)"""
 
 
-def _gapfill_interp_sql(intdiv: str) -> str:
+def _gapfill_interp_ctes(intdiv: str) -> str:
     fd = _floor_div_sql(
         "(next_v - prev_v) * (idx - prev_idx)", "next_idx - prev_idx", intdiv
     )
-    return _GAPFILL_INTERP_SQL.format(intdiv=intdiv, fd=fd)
+    return _GAPFILL_INTERP_CTES_T.format(intdiv=intdiv, fd=fd)
 
 
-@query("events_gapfill_interp", oracle=_gapfill_interp_sql("//"))
+def _gapfill_interp_sql(intdiv: str) -> str:
+    """Standalone interp statement (the Spark leg's shared template)."""
+    return (
+        "WITH "
+        + _GAPFILL_SPINE_CTES
+        + ",\n"
+        + _gapfill_interp_ctes(intdiv)
+        + """
+SELECT user_id,
+       n_filled AS n_interp,
+       fill_sum_cents AS interp_sum_cents,
+       fill_min_cents AS interp_min_cents,
+       fill_max_cents AS interp_max_cents
+FROM interp_rows
+ORDER BY user_id ASC
+"""
+    )
+
+
 def events_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear-interpolation gap-fill (hypertable `interpolate()`): for
     every missing hour on each user's dense spine, interpolate between the
     previous and next OBSERVED hourly values, in integer cents with an
     engine-portable floor division — so the oracle verifies the
     interpolated series value-exactly, not to a rounding tolerance.
-    Companion to ``events_gapfill_stats``'s locf.
+    Companion to ``events_gapfill_stats``'s locf; since r14 the interp LEG
+    of the registered ``events_gapfill_methods`` surface.
 
     Same scale shape as locf gap-fill (spine bounded by |users|×|hours|,
     one user_id exchange). The "next observed" bound is deliberately a
@@ -477,3 +488,73 @@ def events_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         sql,
     )
     return spark.sql(sql)
+
+
+def _gapfill_methods_sql() -> str:
+    return (
+        "WITH "
+        + _GAPFILL_SPINE_CTES
+        + ",\n"
+        + _GAPFILL_LOCF_CTES
+        + ",\n"
+        + _gapfill_interp_ctes("//")
+        + """
+SELECT 'locf' AS method, user_id, n_observed, n_filled, longest_gap_hours,
+       fill_sum_cents,
+       CAST(NULL AS BIGINT) AS fill_min_cents,
+       CAST(NULL AS BIGINT) AS fill_max_cents
+FROM locf_rows
+UNION ALL
+SELECT 'interp' AS method, user_id,
+       CAST(NULL AS BIGINT) AS n_observed,
+       n_filled,
+       CAST(NULL AS BIGINT) AS longest_gap_hours,
+       fill_sum_cents, fill_min_cents, fill_max_cents
+FROM interp_rows
+ORDER BY method ASC, user_id ASC
+"""
+    )
+
+
+@query("events_gapfill_methods", oracle=_gapfill_methods_sql())
+def events_gapfill_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill method surface: the locf (`events_gapfill_stats`) and
+    linear-interpolation (`events_gapfill_interp`) per-user fill summaries
+    side by side under a method column — the r13 ``dedup_simhash_methods``
+    consolidation pattern applied to the gap-fill pair (r14 capacity
+    policy), so the driver hash pins both methods in one row budget.
+
+    Every value is the retired standalone registration's value verbatim
+    (locf's redundant ``n_hours`` column dropped: it equals
+    ``n_observed + n_filled``; each leg's inapplicable columns are NULL —
+    interp rows fill min/max cents, locf rows fill observed/longest-gap).
+    The per-leg plans are untouched: the locf leg is the DataFrame-API
+    composition, the interp leg executes the shared SQL template through
+    ``spark.sql`` (both documented in the leg functions); this surface only
+    relabels and unions their outputs. The oracle is assembled from the
+    SAME CTE fragments the retired oracles used.
+    """
+    nl = F.lit(None).cast("long")
+    locf = events_gapfill_stats(spark, sf_dir).select(
+        F.lit("locf").alias("method"),
+        "user_id",
+        F.col("n_observed").cast("long").alias("n_observed"),
+        F.col("n_filled").cast("long").alias("n_filled"),
+        "longest_gap_hours",
+        F.col("ffill_sum_cents").alias("fill_sum_cents"),
+        nl.alias("fill_min_cents"),
+        nl.alias("fill_max_cents"),
+    )
+    interp = events_gapfill_interp(spark, sf_dir).select(
+        F.lit("interp").alias("method"),
+        "user_id",
+        nl.alias("n_observed"),
+        F.col("n_interp").alias("n_filled"),
+        nl.alias("longest_gap_hours"),
+        F.col("interp_sum_cents").alias("fill_sum_cents"),
+        F.col("interp_min_cents").alias("fill_min_cents"),
+        F.col("interp_max_cents").alias("fill_max_cents"),
+    )
+    return locf.unionByName(interp).orderBy(
+        F.col("method").asc(), F.col("user_id").asc()
+    )

@@ -62,164 +62,34 @@ def query(name: str, oracle: str | None = None):
 #     rotation already produces. tests/test_registry_order.py enforces the
 #     stand-in invariant.
 #
-# Round-13 window, in priority order (spends the r12-committed NEXT_WINDOW
-# exactly as pinned):
-#   0. new/changed this round (registered as they land; each displaces a
-#      fill name head-first, keeping the window at 50).
-#   1. the complete latest-r10-evidence oracle-backed cohort (46 names —
-#      the committed r12 NEXT_WINDOW, verbatim) — after this round's run
-#      no oracle-backed name has evidence older than two rounds.
-#   2. pulled-forward r11-cohort fill (the 4 cheapest stable names from
-#      the r14 rotation cohort, <=0.45 s each in the r12 driver sweep);
-#      these leave the r14 cohort correspondingly smaller.
+# Round-14 window, in priority order (spends the r13-committed NEXT_WINDOW
+# exactly as pinned, with this round's heads funded by CONSOLIDATION, not
+# displacement — the committed cohort was the COMPLETE 49-name r11-evidence
+# set plus events_json_nested, so displacing any fill would have pushed a
+# name past the 3-round evidence invariant):
+#   0. new/changed this round (4 heads, funded by the 4 slots the two
+#      consolidations freed).
+#   1. the committed r13 NEXT_WINDOW verbatim, minus the 4 names the two
+#      consolidations retired (events_gapfill_interp/stats live on as the
+#      legs of events_gapfill_methods; embedding_dim_stats/norm_stats as
+#      the legs of embedding_profile — leg functions stay public, every
+#      leg value appears verbatim in the consolidated surface's rows).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # 0: new/changed this round — Z-order zone-map file-skipping audit,
-    # SCD Type-2 dimension-history build, the two consolidated multi-row
-    # surfaces (similarity_ann_methods replaces the retired
-    # similarity_ivf/pq/ivfpq; dedup_simhash_methods replaces the retired
-    # dedup_simhash_pairs/_wide_pairs/_adaptive — capacity policy), the
-    # ADVICE-r12 empty-token guard on the BPE trainer (oracle text
-    # changed; output proven hash-identical at 3 SFs, re-windowed per the
-    # changed-query rule), the new BPE apply step, and the two round-13
-    # fuzz-parity oracle fixes (text_entropy gains the -0.0 "+ 0" guard,
-    # docs_weighted_sample gains nullif(w,0) + NULLS LAST in the shared
-    # A-ES key template; both hash-identical at 3 SFs on the clean
-    # fixtures, displacing the two section-2 fills back to the r14
-    # cohort they came from)
-    "text_entropy",
-    "docs_weighted_sample",
-    "zorder_file_skipping",
-    "scd2_customer_history",
-    "similarity_ann_methods",
-    "dedup_simhash_methods",
-    "corpus_bpe_merges",
-    "corpus_bpe_encode",
+    # 0: new/changed this round — the two capacity-policy consolidations
+    # (events_gapfill_methods replaces the retired events_gapfill_interp/
+    # _stats registrations; embedding_profile replaces the retired
+    # embedding_dim_stats/_norm_stats), the incremental SCD2 CDC apply
+    # (merged == full rebuild, pinned by registering the merge against
+    # the full-rebuild oracle — VERDICT r13 #5a), and customers_kmv_setops
+    # re-windowed per the changed-query rule (its sketch build moved to
+    # the production per-shard partial + merge, output proven
+    # hash-identical — VERDICT r13 #5b)
+    "events_gapfill_methods",
+    "embedding_profile",
+    "scd2_cdc_apply",
     "customers_kmv_setops",
-    # 1: the committed r13 cohort (registry.NEXT_WINDOW as of r12, 46,
-    # minus the 5 names the two consolidations retired mid-round)
-    "corpus_mixture_weights",
-    "corpus_privacy_pipeline",
-    "cube_order_summary",
-    "customer_rfm_segments_approx",
-    "customer_value_deciles",
-    "dashboard_day_assembly",
-    "dedup_ngram_containment",
-    "dedup_semantic_ivf",
-    "distinct_orders_kmv_rollup",
-    "docs_bm25_topk",
-    "docs_contamination_bloom",
-    "docs_dsir_weights",
-    "docs_perplexity_buckets",
-    "docs_pii_redact",
-    "docs_quality_classifier",
-    "docs_quality_tiers",
-    "embedding_quantize_int8",
-    "embedding_random_projection",
-    "events_asof_join",
-    "events_funnel_conversion",
-    "events_hourly_anomaly",
-    "events_json_extract",
-    "events_json_schema",
-    "events_range_join",
-    "events_retention_cohorts",
-    "events_rolling_7d_value",
-    "events_session_30m",
-    "events_sliding_1h_30m",
-    "events_time_rollup",
-    "events_tumbling_1h",
-    "events_type_transitions",
-    "jsonl_roundtrip_checksum",
-    "multimodal_bmp_parse",
-    "multimodal_frame_stats",
-    "multimodal_image_thumbnail",
-    "multimodal_png_roundtrip",
-    "multimodal_wav_parse",
-    "orc_roundtrip_checksum",
-    "orders_dq_audit",
-    "retrieval_hybrid_rrf",
-    "topk_products_cms",
-    # (the former section-2 fills — calendar_dim, orders_no_price —
-    # returned to the r14 cohort when the two fuzz-parity oracle fixes
-    # took the head; they were r14-due names pulled forward, so the
-    # displacement restores their original schedule)
-    # --- window boundary: 50 names above (tests/test_registry_order.py) ---
-)
-
-# Rows-only queries are rotation-exempt: each name's semantics are
-# hash-checked every rotation by the oracle-backed stand-in on the right
-# (the parity twins replay the SAME stateful pipeline against the batch
-# oracle; dedup_minhash_portable is the oracle-exact re-implementation of
-# the spark.ml MinHashLSH demo). tests/test_registry_order.py asserts every
-# rows-only name is listed here and every stand-in is registered WITH an
-# oracle, so the exemption can never silently widen.
-ROWS_ONLY_STAND_INS: dict[str, str] = {
-    "dedup_minhash_lsh": "dedup_minhash_portable",
-    "streaming_click_attribution": "streaming_parity_click_attribution",
-    "streaming_dedup_events": "streaming_parity_dedup",
-    "streaming_gap_monitor": "streaming_parity_gap_monitor",
-    "streaming_incremental_dedup": "streaming_parity_incremental_dedup",
-    "streaming_nation_activity": "streaming_parity_nation_activity",
-    "streaming_session_30m": "streaming_parity_session_30m",
-    "streaming_tumbling_1h": "streaming_parity_tumbling_1h",
-    "streaming_user_state": "streaming_parity_user_state",
-}
-
-# Committed round-14 window (the rotation the NEXT round starts from; the
-# phase-aware age gate uses this once CORRECTNESS_r13.json lands): the
-# complete latest-r11-evidence oracle-backed cohort (50 names) MINUS
-# pivot_status_by_priority's r13 pull-forward being undone (it bounced
-# back when customers_kmv_setops took a head slot) MINUS retired
-# dedup_simhash_wide_pairs, PLUS calendar_dim and orders_no_price (r11
-# evidence, due r14 — they were the r13 window's section-2 fills until
-# the two fuzz-parity oracle fixes displaced them) PLUS events_json_nested
-# (oracle changed in the r13 JSON-contract fix; pulled forward from its
-# r15 cadence into the last head slot) — 50 names, no free head slots:
-# round 14 funds its own new/changed heads by displacing stable fills,
-# as r13 did. The two r13
-# consolidations (similarity_ivf/pq/ivfpq → similarity_ann_methods;
-# dedup_simhash_pairs/_wide_pairs/_adaptive → dedup_simhash_methods)
-# keep the math feasible: 146 oracle-backed names / 3-round cadence
-# ≈ 48.7 refresh slots per round. The 3 r12 registrations and the r12
-# window's 3 pulled-forward fills rotate on the r15 cadence.
-#
-# Round-13 fuzz-parity Spark-side-only fixes (degenerate-document guards;
-# oracle text UNCHANGED, output proven hash-identical at all 3 fixture
-# SFs, regression-locked by tests/test_fuzz_parity.py): the 12 names
-# dedup_ngram_jaccard/_containment, dedup_minhash_portable,
-# docs_contamination{,_bloom,_incremental}, doc_rolling_fingerprint,
-# docs_repetition_stats, text_quality_stats, docs_quality_tiers,
-# corpus_filter_pipeline, corpus_dedup_pipeline keep their committed
-# rotation slots (3 are in the r13 window, 5 here, 4 on the r15 cadence)
-# rather than displacing the committed cohorts — the changed-query rule's
-# intent (driver-grade evidence for changed code) is met by the 3-SF
-# hash-identity proof plus the fuzz suite, and the driver re-hashes each
-# on its committed schedule. The relational fuzz
-# (tests/test_fuzz_parity_relational.py) extends the same treatment to
-# the zero-norm-cosine family (the shared functions/vectors.cosine()
-# helper gained DuckDB's -1.0 zero-vector convention: similarity_topk/
-# _ann_methods/_recall_audit/_pq_rerank, dedup_semantic_ivf/_sqrtk,
-# dedup_embedding_lsh_adaptive/_clusters, embedding_kmeans_refine,
-# retrieval_hybrid_rrf/_rrf_rerank, dedup_cluster_components,
-# dedup_keep_best) and to pivot_status_by_priority (coalesce moved after
-# the pivot) — every name re-proven hash-identical at 3 SFs;
-# events_rolling_7d_value (oracle changed: integer-cents window sums) is
-# already in the r13 window above. The streaming-twin fuzz extension
-# moved the whole events-value aggregation family to the same cents
-# grain (events_tumbling_1h/_sliding_1h_30m/_time_rollup/_session_30m —
-# all in the r13 window; streaming_parity_tumbling_1h/_session_30m/
-# _nation_activity/_click_attribution — committed here for r14) and
-# pinned the measured session-gap boundary (exactly prev+30m MERGES;
-# both session oracles moved from >= to strict >). All 8 oracle-backed
-# names re-proven hash-identical at 3 SFs; the three rows-only
-# streaming_* siblings changed identically (their twins hash-cover them).
-# The JSON fuzz probe pinned the integer-k payload contract
-# (events_json_extract/_schema in the r13 window, events_json_nested on
-# the r15 cadence — all three re-proven hash-identical at 3 SFs): Spark
-# extracts via from_json (get_json_object strips the quotes off a JSON
-# string, so "5" would leak in as 5), DuckDB gates on the raw
-# json_extract text under a json_valid CASE (bare json_extract aborts on
-# malformed payloads where every Spark JSON function is total).
-NEXT_WINDOW: tuple[str, ...] = (
+    # 1: the committed r14 cohort (registry.NEXT_WINDOW as of r13, minus
+    # the 4 consolidation retirements)
     "calendar_dim",
     "clean_orders",
     "copurchase_components",
@@ -237,15 +107,7 @@ NEXT_WINDOW: tuple[str, ...] = (
     "docs_contamination_incremental",
     "docs_substring_dedup",
     "embedding_centroids",
-    "embedding_dim_stats",
     "embedding_kmeans_refine",
-    "embedding_norm_stats",
-    "events_gapfill_interp",
-    "events_gapfill_stats",
-    # r14 head slot, consumed r13: events_json_nested's oracle changed in
-    # the JSON-contract fix (hash-identical at 3 SFs) but sat on the r15
-    # cadence — pulled forward one round so changed code never runs two
-    # rounds on stale green evidence (round-13 review #3)
     "events_json_nested",
     "launch_year_orders",
     "monthly_order_trend_lag",
@@ -274,6 +136,93 @@ NEXT_WINDOW: tuple[str, ...] = (
     "text_simhash",
     "text_token_stats",
     "valid_orders",
+    # --- window boundary: 50 names above (tests/test_registry_order.py) ---
+)
+
+# Rows-only queries are rotation-exempt: each name's semantics are
+# hash-checked every rotation by the oracle-backed stand-in on the right
+# (the parity twins replay the SAME stateful pipeline against the batch
+# oracle; dedup_minhash_portable is the oracle-exact re-implementation of
+# the spark.ml MinHashLSH demo). tests/test_registry_order.py asserts every
+# rows-only name is listed here and every stand-in is registered WITH an
+# oracle, so the exemption can never silently widen.
+ROWS_ONLY_STAND_INS: dict[str, str] = {
+    "dedup_minhash_lsh": "dedup_minhash_portable",
+    # the production repartitionByRange Z-order writer samples its range
+    # split points (nondeterministic file assignment — not oracle-
+    # reproducible); the ntile audit runs the identical zone-map pruning
+    # arithmetic deterministically and is hash-checked on the rotation
+    "zorder_range_writer": "zorder_file_skipping",
+    "streaming_click_attribution": "streaming_parity_click_attribution",
+    "streaming_dedup_events": "streaming_parity_dedup",
+    "streaming_gap_monitor": "streaming_parity_gap_monitor",
+    "streaming_incremental_dedup": "streaming_parity_incremental_dedup",
+    "streaming_nation_activity": "streaming_parity_nation_activity",
+    "streaming_session_30m": "streaming_parity_session_30m",
+    "streaming_tumbling_1h": "streaming_parity_tumbling_1h",
+    "streaming_user_state": "streaming_parity_user_state",
+}
+
+# Committed round-15 window (the rotation the NEXT round starts from; the
+# phase-aware age gate uses this once CORRECTNESS_r14.json lands): the
+# complete latest-r12-evidence oracle-backed cohort — 47 names minus
+# events_json_nested, which sits in the r14 window above (it was pulled
+# forward one round when its oracle changed in the r13 JSON-contract fix)
+# and so re-verifies at r14 — 46 names, leaving 4 free head slots for
+# round-15 additions/changes. Capacity math after this round's two
+# consolidations and one registration: 145 oracle-backed names / 3-round
+# cadence ≈ 48.3 refresh slots per round. The r13-head names
+# (text_entropy, docs_weighted_sample, zorder_file_skipping,
+# scd2_customer_history, similarity_ann_methods, dedup_simhash_methods,
+# corpus_bpe_merges/_encode) and this round's four heads rotate on the
+# r16 cadence.
+NEXT_WINDOW: tuple[str, ...] = (
+    "abandonment_by_day",
+    "abandonment_by_month",
+    "abandonment_mom_increase",
+    "abandonment_yoy_increase",
+    "approx_price_percentiles",
+    "approx_topk_products",
+    "copurchase_lift",
+    "copurchase_pagerank",
+    "copurchase_triangles",
+    "corpus_filter_pipeline",
+    "corpus_temperature_mixture",
+    "corpus_vocabulary",
+    "customer_rfm_segments",
+    "dedup_cluster_components",
+    "dedup_embedding_clusters",
+    "dedup_embedding_lsh_adaptive",
+    "doc_fingerprint",
+    "doc_rolling_fingerprint",
+    "docs_chunk_windows",
+    "docs_contamination",
+    "docs_lang_rebalance",
+    "docs_repetition_stats",
+    "docs_split_assign",
+    "docs_stratified_sample",
+    "lang_id_heuristic",
+    "lang_stats",
+    "launch_cohort_analysis",
+    "launch_month_orders",
+    "multimodal_audio_pcm_stats",
+    "multimodal_features",
+    "multimodal_flac_roundtrip",
+    "nations_by_customer",
+    "nations_by_expr_key",
+    "nations_by_supplier",
+    "orders_unpivot_metrics",
+    "partkey_skew_histogram",
+    "similarity_pq_rerank",
+    "similarity_recall_audit",
+    "similarity_topk",
+    "streaming_parity_lateness",
+    "text_tfidf_top_terms",
+    "tfidf_doc_neighbors",
+    "token_budget_pack",
+    "top_abandoned_pairs",
+    "top_abandoned_products",
+    "top_abandoned_products_salted",
 )
 
 

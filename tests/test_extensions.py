@@ -1089,3 +1089,129 @@ def test_kmv_setops_identities_and_estimator_sanity(spark):
                 est,
                 r.exact_intersection,
             )
+
+
+def test_scd2_cdc_apply_equals_full_rebuild(spark):
+    """The CDC merge's whole contract: applying the last month's batch to
+    the prior-history snapshot must reproduce the full rebuild row-for-row
+    (the same invariant the shared full-rebuild oracle hash-checks at the
+    driver, asserted here directly between the two Spark plans)."""
+    from databricks_spark_sql_challenge1_spark.operators.analytics_ext import (
+        scd2_cdc_apply,
+        scd2_customer_history,
+    )
+    from tests.conftest import SF_DIR
+
+    merged = sorted(map(tuple, scd2_cdc_apply(spark, SF_DIR).collect()))
+    rebuilt = sorted(map(tuple, scd2_customer_history(spark, SF_DIR).collect()))
+    assert merged == rebuilt
+    # and the merge actually exercised every branch worth having: some row
+    # is open (extended or appended) and some customer has >1 version
+    assert any(r[-1] for r in merged)
+    from collections import Counter
+
+    versions = Counter(r[0] for r in merged)
+    assert max(versions.values()) > 1
+
+
+def test_zorder_range_writer_prunes_and_covers(spark):
+    """The production repartitionByRange writer: its real files' zone maps
+    must cover every predicate's matches, agree with the ntile audit on
+    the true match counts, and actually prune the 2-D point probe (the
+    reason the writer exists)."""
+    from databricks_spark_sql_challenge1_spark.operators.layout import (
+        N_FILES,
+        PREDICATES,
+        zorder_file_skipping,
+        zorder_range_writer,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = {r.predicate: r for r in zorder_range_writer(spark, SF_DIR).collect()}
+    assert set(rows) == {p[0] for p in PREDICATES}
+    audit_matches = {
+        r.predicate: r.match_rows
+        for r in zorder_file_skipping(spark, SF_DIR).collect()
+        if r.layout == "zorder"
+    }
+    for pred, r in rows.items():
+        assert r.layout == "zorder_range"
+        assert 1 <= r.files_scanned <= N_FILES, pred
+        assert r.rows_scanned >= r.match_rows, pred
+        assert r.match_rows == audit_matches[pred], pred
+    assert rows["point_both_dims"].files_scanned < N_FILES
+
+
+def test_gapfill_methods_covers_both_legs(spark):
+    """Consolidation contract (r14 capacity policy): every retired
+    standalone value appears verbatim in the consolidated surface —
+    locf rows carry events_gapfill_stats' values (n_hours dropped as
+    n_observed + n_filled), interp rows carry events_gapfill_interp's."""
+    from databricks_spark_sql_challenge1_spark.operators.temporal import (
+        events_gapfill_interp,
+        events_gapfill_methods,
+        events_gapfill_stats,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = events_gapfill_methods(spark, SF_DIR).collect()
+    locf = {r.user_id: r for r in rows if r.method == "locf"}
+    interp = {r.user_id: r for r in rows if r.method == "interp"}
+    stats = {r.user_id: r for r in events_gapfill_stats(spark, SF_DIR).collect()}
+    interp_leg = {
+        r.user_id: r for r in events_gapfill_interp(spark, SF_DIR).collect()
+    }
+    assert locf.keys() == stats.keys()
+    for uid, s in stats.items():
+        m = locf[uid]
+        assert (m.n_observed, m.n_filled, m.longest_gap_hours) == (
+            s.n_observed,
+            s.n_filled,
+            s.longest_gap_hours,
+        )
+        assert m.fill_sum_cents == s.ffill_sum_cents
+        assert s.n_hours == m.n_observed + m.n_filled
+        assert m.fill_min_cents is None and m.fill_max_cents is None
+    assert interp.keys() == interp_leg.keys()
+    for uid, i in interp_leg.items():
+        m = interp[uid]
+        assert (m.n_filled, m.fill_sum_cents, m.fill_min_cents, m.fill_max_cents) == (
+            i.n_interp,
+            i.interp_sum_cents,
+            i.interp_min_cents,
+            i.interp_max_cents,
+        )
+        assert m.n_observed is None and m.longest_gap_hours is None
+
+
+def test_embedding_profile_covers_both_legs(spark):
+    """Same consolidation contract for the embedding stat pair: dim rows
+    carry embedding_dim_stats verbatim, label_norm rows carry
+    embedding_norm_stats (its avg_l2_norm under mean_val)."""
+    from databricks_spark_sql_challenge1_spark.operators.similarity import (
+        embedding_dim_stats,
+        embedding_norm_stats,
+        embedding_profile,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = embedding_profile(spark, SF_DIR).collect()
+    dim = {r.key: r for r in rows if r.section == "dim"}
+    norm = {r.key: r for r in rows if r.section == "label_norm"}
+    dim_leg = {r.pos: r for r in embedding_dim_stats(spark, SF_DIR).collect()}
+    norm_leg = {r.label: r for r in embedding_norm_stats(spark, SF_DIR).collect()}
+    assert dim.keys() == dim_leg.keys()
+    for pos, d in dim_leg.items():
+        m = dim[pos]
+        assert (m.n, m.mean_val, m.std_val, m.min_val, m.max_val) == (
+            d.n,
+            d.mean_val,
+            d.std_val,
+            d.min_val,
+            d.max_val,
+        )
+    assert norm.keys() == norm_leg.keys()
+    for label, nrm in norm_leg.items():
+        m = norm[label]
+        assert (m.n, m.mean_val) == (nrm.n_vectors, nrm.avg_l2_norm)
+        assert m.std_val is None and m.min_val is None and m.max_val is None

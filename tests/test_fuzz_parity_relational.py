@@ -340,7 +340,10 @@ def _relational_names():
 
 
 def test_fuzz_fixture_covers_the_relational_surface():
-    assert len(_relational_names()) >= 86
+    # 85 after the r14 consolidations (4 standalone registrations became
+    # 2 multi-row surfaces) plus scd2_cdc_apply — every leg still runs,
+    # inside its consolidated surface
+    assert len(_relational_names()) >= 85
 
 
 def test_adversarial_relational_oracle_parity(spark, fuzz_rel_dir):

@@ -321,6 +321,11 @@ BNLJ_ALLOWED = {
     # r13 audit: per-pair assembly crossJoins seven 1-row broadcast
     # aggregates (the scalar-spread pattern); sketches are 64-row frames
     "customers_kmv_setops",
+    # r14 audit: the production range writer runs zorder_file_skipping's
+    # audited pruning shape over its real files — the N_FILES-row
+    # zone-map table and the (x, y) read-back join the broadcast 3-row
+    # predicate table on rectangle-overlap inequalities
+    "zorder_range_writer",
 }
 
 # Streaming queries run a real stream to a memory sink; their returned

@@ -22,49 +22,21 @@ DRIVER_WINDOW = 50
 # was accidentally left out of the window). Update this literal whenever
 # a query is added or its output/oracle changes.
 MUST_VERIFY = {
-    # new r13: Z-order zone-map file-skipping audit, the SCD Type-2
-    # dimension-history build, and the consolidated one-stage ANN surface
-    # (replaces the retired similarity_ivf/pq/ivfpq registrations)
-    "zorder_file_skipping",
-    "scd2_customer_history",
-    "similarity_ann_methods",
-    # consolidated SimHash pair surface (replaces the retired
-    # dedup_simhash_pairs/_wide_pairs/_adaptive registrations)
-    "dedup_simhash_methods",
-    # BPE tokenizer APPLY step (pairs with the trainer below)
-    "corpus_bpe_encode",
-    # KMV sketch set algebra (merge-union + two intersection estimators)
+    # new r14: the two capacity-policy consolidations — gap-fill method
+    # surface (replaces the retired events_gapfill_interp/_stats
+    # registrations; legs stay public) and the embedding-corpus QA profile
+    # (replaces the retired embedding_dim_stats/_norm_stats)
+    "events_gapfill_methods",
+    "embedding_profile",
+    # new r14: incremental SCD2 CDC apply, registered against the
+    # FULL-REBUILD oracle so the driver hash is the merged==rebuilt
+    # invariant (VERDICT r13 #5a)
+    "scd2_cdc_apply",
+    # changed r14 (VERDICT r13 #5b): sketch build moved from the global
+    # single-partition window to the production per-shard bottom-K
+    # partial + merge (oracle unchanged; bottom-K is associative so the
+    # output is proven hash-identical at all three fixture SFs)
     "customers_kmv_setops",
-    # changed r13 (ADVICE r12): empty-token guard added to the BPE
-    # trainer's word model on both engines (output hash-identical at all
-    # three fixture SFs — re-windowed per the changed-query rule)
-    "corpus_bpe_merges",
-    # changed r13 (fuzz-parity): ORACLE text changed — text_entropy gains
-    # the -0.0 "+ 0" guard, docs_weighted_sample gains nullif(w,0) +
-    # NULLS LAST in the shared A-ES key template (both hash-identical at
-    # 3 SFs on the clean fixtures; the degenerate paths are pinned by
-    # tests/test_fuzz_parity.py)
-    "text_entropy",
-    "docs_weighted_sample",
-    # changed r13 (relational fuzz-parity): oracle AND Spark side moved to
-    # integer-cents window sums (Spark ROUND(double,2) rounds the shortest
-    # decimal repr, DuckDB the exact binary value; hash-identical at 3 SFs
-    # on the clean fixtures, divergent on a -1.005 event — pinned by
-    # tests/test_fuzz_parity_relational.py); already in the r13 cohort
-    "events_rolling_7d_value",
-    # same cents treatment, same cohort; events_session_30m's oracle also
-    # gains the measured strict-> session-gap rule (an event at exactly
-    # prev+30m MERGES in Spark's session_window — the old >= split it)
-    "events_tumbling_1h",
-    "events_sliding_1h_30m",
-    "events_time_rollup",
-    "events_session_30m",
-    # changed r13 (JSON fuzz-parity): the integer-k contract — Spark
-    # extraction via from_json (get_json_object strips quotes off JSON
-    # strings), DuckDB gate on raw json_extract text under json_valid
-    # (events_json_nested shares the fix on the r15 cadence)
-    "events_json_extract",
-    "events_json_schema",
 }
 
 
