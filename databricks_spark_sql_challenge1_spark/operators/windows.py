@@ -299,7 +299,11 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = h.groupBy("event_type").agg(
         F.avg("n").alias("mu"), F.stddev_samp("n").alias("sd")
     )
-    z = F.round((F.col("n") - F.col("mu")) / F.col("sd"), 3)
+    # sd = 0 whenever a type's hourly counts are all equal (>= 2 identical
+    # hours — r14 events fuzz): Spark / is an ANSI job-kill where DuckDB
+    # yields NULL, so z, and both columns derived from it, go NULL on both
+    # engines (CLAUDE.md degenerate-input rule).
+    z = F.round(F.try_divide(F.col("n") - F.col("mu"), F.col("sd")), 3)
     return (
         h.join(F.broadcast(s), "event_type")
         .select(

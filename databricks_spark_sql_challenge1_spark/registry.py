@@ -163,6 +163,17 @@ ROWS_ONLY_STAND_INS: dict[str, str] = {
     "streaming_user_state": "streaming_parity_user_state",
 }
 
+# Round-14 fuzz-parity Spark-side-only fix (r13-precedent treatment —
+# oracle text UNCHANGED, output proven hash-identical at all 3 fixture
+# SFs, regression-locked by the extended relational fuzz corpus):
+# events_hourly_anomaly moved its z-score to try_divide (a type whose
+# hourly counts are constant across >= 2 hours has sample-stddev exactly
+# 0 — ANSI job-kill vs DuckDB NULL); it keeps its committed r16-cadence
+# slot rather than displacing an r11-evidence name from the full r14
+# window. The non-finite-embedding findings changed NO query: they are
+# pinned as an ingest-side input contract (CLAUDE.md alignment rules;
+# tests/test_fuzz_parity_relational.py).
+#
 # Committed round-15 window (the rotation the NEXT round starts from; the
 # phase-aware age gate uses this once CORRECTNESS_r14.json lands): the
 # complete latest-r12-evidence oracle-backed cohort — 47 names minus

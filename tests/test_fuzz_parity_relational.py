@@ -19,6 +19,16 @@ What this caught when first run (all fixed):
   events_rolling_7d_value moved to integer cents — the CLAUDE.md rule);
 - a pivot cell NULL where the oracle's SUM(CASE)+COALESCE emits 0 for an
   absent (priority, status) combination.
+
+Round-14 extension (VERDICT r13 #4) — embeddings and events surfaces:
+float32-denormal and exactly-representable-extreme vectors with
+duplicates across labels; events exactly ON session-gap/hour boundaries,
+a 30m+1us split, and an all-one-timestamp user. Caught and fixed:
+events_hourly_anomaly divided by a zero sample-stddev (a type whose
+hourly counts are constant across >= 2 hours) — ANSI job-kill vs DuckDB
+NULL, now try_divide. Non-finite/NULL components are OUT OF CONTRACT
+(ingest-side validation), with the measured engine behaviors pinned in
+test_nonfinite_embedding_components_are_out_of_contract below.
 """
 from __future__ import annotations
 
@@ -268,6 +278,34 @@ def build_fixture(path: str) -> None:
          '{"k": 9223372036854775808}']
     ):
         e(B + timedelta(days=6, hours=15, minutes=i), 107, "view", 1.0, props)
+    # u108 (r14 fuzz): session-gap boundary chain — each next event EXACTLY
+    # prev+30m (MERGES, the measured strict-> rule r13 pinned), then one
+    # 30m+1us later (SPLITS); the 12:00/12:30 pair also lands in one hour
+    # bucket while 13:00 sits exactly ON the next hour boundary
+    t30 = B + timedelta(days=2, hours=12)
+    e(t30, 108, "view", 1.0)
+    e(t30 + timedelta(minutes=30), 108, "click", 2.0)
+    e(t30 + timedelta(minutes=60), 108, "purchase", 3.0)
+    e(t30 + timedelta(minutes=90, microseconds=1), 108, "view", 4.0)
+    # u109 (r14 fuzz): duplicate rows EXACTLY on an hour boundary (window
+    # edge) with tied values, plus the negated tie
+    hb = B + timedelta(days=2, hours=15)
+    e(hb, 109, "view", 7.25)
+    e(hb, 109, "view", 7.25)
+    e(hb, 109, "click", -7.25)
+    # u110 (r14 fuzz): ALL events share one timestamp — total ties across
+    # type/session/window paths, with cents-boundary values; the second
+    # signup hour this adds makes signup's hourly counts CONSTANT across
+    # hours (stddev_samp = 0), the case that caught events_hourly_anomaly
+    # dividing by zero under ANSI where DuckDB yields NULL
+    t1 = B + timedelta(days=3, hours=3, minutes=33)
+    for typ, v in [
+        ("view", 0.005),
+        ("click", 0.005),
+        ("purchase", -0.005),
+        ("signup", 1.115),
+    ]:
+        e(t1, 110, typ, v)
     for row in ev:
         con.execute("INSERT INTO events VALUES (?, ?, ?, ?, ?, ?)", list(row))
 
@@ -288,6 +326,18 @@ def build_fixture(path: str) -> None:
     ] + [
         (i, [(((i * 7 + j * 13) % 19) - 9) / 9.0 for j in range(DIM)], i % 10)
         for i in range(6, 60)
+    ] + [
+        # r14 fuzz: float32-DENORMAL components (duplicate pair + negated)
+        # and the int8-quantizer extremes as exactly-representable
+        # constants (duplicate under another label). Non-FINITE and
+        # NULL components are OUT OF CONTRACT — see
+        # test_nonfinite_embedding_components_are_out_of_contract.
+        (60, [1e-42] * DIM, 7),
+        (61, [1e-42] * DIM, 7),
+        (62, [127.0] * DIM, 8),
+        (63, [-1e-42] * DIM, 8),
+        (64, [127.0] * DIM, 9),
+        (65, [-127.0] * DIM, 9),
     ]
     for vid, v, lab in vecs:
         con.execute("INSERT INTO embeddings VALUES (?, ?, ?)", [vid, v, lab])
@@ -376,3 +426,54 @@ def test_adversarial_relational_oracle_parity(spark, fuzz_rel_dir):
             bad.append((name, f"diff: {first}"))
     con.close()
     assert bad == []
+
+
+def test_nonfinite_embedding_components_are_out_of_contract():
+    """Why the r14 embedding fuzz stops at denormals: non-finite and NULL
+    vector components have no oracle-alignable semantics, measured (an
+    sf-style probe with NaN/Inf vectors spliced in diverged on 10 of the
+    16 embedding-reading queries at once):
+
+    - NULL components ABORT DuckDB's cosine kernel outright and Inf
+      components abort its STDDEV — engine-level errors like bare
+      json_extract on malformed JSON (r13), but here un-gateable without
+      rewriting every embedding oracle;
+    - NaN components do NOT abort: DuckDB's list_cosine_similarity CLAMPS
+      the result to -1.0 while Spark's expression arithmetic propagates
+      NaN, numpy kernels rank NaN below every threshold while both SQL
+      engines rank it ABOVE (NaN >= 0.4 is TRUE in both) — three
+      mutually-incompatible semantics across the plan's layers.
+
+    The contract is therefore INGEST-side: embedding components must be
+    finite and non-NULL (the driver fixtures satisfy it — FIXTURES.md; a
+    production pipeline enforces it at ingest, the approx_price_percentiles
+    group-size-contract precedent). This test pins the measured engine
+    behaviors the decision is built on, so a DuckDB upgrade that changes
+    any of them reopens the decision visibly."""
+    import duckdb
+
+    con = duckdb.connect()
+    # NaN / Inf do not abort — they CLAMP to -1.0 (un-alignable with
+    # Spark's NaN propagation)
+    assert con.execute(
+        "SELECT list_cosine_similarity(['NaN'::FLOAT, 1.0::FLOAT], "
+        "[1.0::FLOAT, 1.0::FLOAT])"
+    ).fetchone() == (-1.0,)
+    assert con.execute(
+        "SELECT list_cosine_similarity(['Infinity'::FLOAT, 1.0::FLOAT], "
+        "[1.0::FLOAT, 1.0::FLOAT])"
+    ).fetchone() == (-1.0,)
+    # both SQL engines order NaN above every threshold (numpy does not)
+    assert con.execute("SELECT 'NaN'::DOUBLE >= 0.4").fetchone() == (True,)
+    # NULL components abort the cosine kernel
+    with pytest.raises(duckdb.Error, match="can not contain NULL"):
+        con.execute(
+            "SELECT list_cosine_similarity([NULL::FLOAT, 1.0::FLOAT], "
+            "[1.0::FLOAT, 0.0::FLOAT])"
+        ).fetchall()
+    # Inf components abort aggregate moments
+    with pytest.raises(duckdb.Error, match="out of range"):
+        con.execute(
+            "SELECT stddev_pop(x) FROM "
+            "(SELECT unnest(['Infinity'::FLOAT, 1.0::FLOAT]) AS x)"
+        ).fetchall()
