@@ -123,6 +123,79 @@ ORDER BY s.layout ASC, s.predicate ASC
 """
 
 
+def _prune_audit(
+    spark: SparkSession,
+    files: DataFrame,
+    base: DataFrame,
+    grid: DataFrame | None = None,
+) -> DataFrame:
+    """The zone-map pruning arithmetic shared VERBATIM by the ntile audit
+    and the production range writer — the module's "identical pruning
+    arithmetic" claim, pinned structurally in one function: overlap-join
+    the per-file min/max table against the broadcast predicate rectangles,
+    count surviving files and rows per (layout, predicate), and join the
+    true per-predicate match counts.
+
+    ``files`` must carry (layout, min_x, max_x, min_y, max_y, n_rows);
+    ``base`` must carry (x, y). With ``grid`` (layout × predicate rows)
+    every grid row is preserved with zero counts even when no file
+    overlaps or no row matches a predicate — the rows-only writer's fixed
+    row-count contract. Without it, the inner-join shape is kept because
+    that is exactly what the oracle-backed audit's DuckDB SQL mirrors
+    (both engines drop a zero-match predicate identically, so they stay
+    aligned).
+    """
+    preds = spark.createDataFrame(
+        list(PREDICATES), "predicate string, x0 long, x1 long, y0 long, y1 long"
+    )
+    scanned = (
+        files.join(
+            F.broadcast(preds),
+            (F.col("max_x") >= F.col("x0"))
+            & (F.col("min_x") <= F.col("x1"))
+            & (F.col("max_y") >= F.col("y0"))
+            & (F.col("min_y") <= F.col("y1")),
+        )
+        .groupBy("layout", "predicate")
+        .agg(
+            F.count(F.lit(1)).alias("files_scanned"),
+            F.sum("n_rows").alias("rows_scanned"),
+        )
+    )
+    matches = (
+        base.join(
+            F.broadcast(preds),
+            F.col("x").between(F.col("x0"), F.col("x1"))
+            & F.col("y").between(F.col("y0"), F.col("y1")),
+        )
+        .groupBy("predicate")
+        .agg(F.count(F.lit(1)).alias("match_rows"))
+    )
+    if grid is None:
+        joined = scanned.join(F.broadcast(matches), "predicate")
+    else:
+        joined = (
+            # scanned is at most layouts x predicates rows — broadcast it
+            # so the tiny grid join never plans a sort-merge exchange
+            grid.join(F.broadcast(scanned), ["layout", "predicate"], "left")
+            .join(F.broadcast(matches), "predicate", "left")
+            .select(
+                "layout",
+                "predicate",
+                F.coalesce("files_scanned", F.lit(0)).alias("files_scanned"),
+                F.coalesce("rows_scanned", F.lit(0)).alias("rows_scanned"),
+                F.coalesce("match_rows", F.lit(0)).alias("match_rows"),
+            )
+        )
+    return joined.select(
+        "layout",
+        "predicate",
+        F.col("files_scanned").cast("bigint").alias("files_scanned"),
+        F.col("rows_scanned").cast("bigint").alias("rows_scanned"),
+        F.col("match_rows").cast("bigint").alias("match_rows"),
+    ).orderBy(F.col("layout").asc(), F.col("predicate").asc())
+
+
 @query("zorder_file_skipping", oracle=_oracle_sql())
 def zorder_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map file-skipping audit: for each layout (Z-order vs insertion
@@ -167,43 +240,7 @@ def zorder_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
-    preds = spark.createDataFrame(
-        list(PREDICATES), "predicate string, x0 long, x1 long, y0 long, y1 long"
-    )
-    scanned = (
-        files.join(
-            F.broadcast(preds),
-            (F.col("max_x") >= F.col("x0"))
-            & (F.col("min_x") <= F.col("x1"))
-            & (F.col("max_y") >= F.col("y0"))
-            & (F.col("min_y") <= F.col("y1")),
-        )
-        .groupBy("layout", "predicate")
-        .agg(
-            F.count(F.lit(1)).alias("files_scanned"),
-            F.sum("n_rows").alias("rows_scanned"),
-        )
-    )
-    matches = (
-        base.join(
-            F.broadcast(preds),
-            F.col("x").between(F.col("x0"), F.col("x1"))
-            & F.col("y").between(F.col("y0"), F.col("y1")),
-        )
-        .groupBy("predicate")
-        .agg(F.count(F.lit(1)).alias("match_rows"))
-    )
-    return (
-        scanned.join(F.broadcast(matches), "predicate")
-        .select(
-            "layout",
-            "predicate",
-            F.col("files_scanned").cast("bigint").alias("files_scanned"),
-            F.col("rows_scanned").cast("bigint").alias("rows_scanned"),
-            F.col("match_rows").cast("bigint").alias("match_rows"),
-        )
-        .orderBy(F.col("layout").asc(), F.col("predicate").asc())
-    )
+    return _prune_audit(spark, files, base)
 
 
 @query("zorder_range_writer")  # rows-only: see docstring
@@ -228,8 +265,16 @@ def zorder_range_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB table runs once per rewrite), an embarrassingly-parallel sorted
     write, then the audit reads back only (x, y) columns — the zone-map
     groupBy is N_FILES groups, the pruning join is broadcast 3 rows.
+
+    NOTE: calling this function RUNS the write — it IS a writer, so unlike
+    every other registered query the call itself executes one range
+    shuffle + parquet write before the returned audit DataFrame is even
+    planned (plan-only consumers like tests/test_plans.py pay that cost
+    once per call). The per-pid output dir keeps concurrent callers from
+    racing on overwrite; dirs left by exited pids are reaped on entry.
     """
     import os
+    import shutil
     import tempfile
 
     orders = load_table(spark, sf_dir, "orders")
@@ -238,11 +283,27 @@ def zorder_range_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_X_SQL).cast("bigint").alias("x"),
         F.expr(_Y_SQL).cast("bigint").alias("y"),
     ).withColumn("z", F.expr(_bit_interleave("x", "y", "div")))
-    # deterministic per-(sf,pid) path: rerunnable via overwrite, and the
-    # returned (lazy) DataFrame keeps reading valid files after return
+    # Deterministic per-(pid, sf) path: a pid suffix isolates concurrent
+    # callers (two processes overwriting one dir would corrupt it), and the
+    # returned (lazy) DataFrame keeps reading valid files after return.
+    # Reap siblings left by pids that no longer exist so repeated
+    # bench/pytest/plan runs don't grow /tmp monotonically across rounds.
+    tmp = tempfile.gettempdir()
+    prefix = "zorder_range_writer_"
+    for entry in os.listdir(tmp):
+        if not entry.startswith(prefix):
+            continue
+        pid_part = entry[len(prefix):].split("_", 1)[0]
+        if pid_part.isdigit() and int(pid_part) != os.getpid():
+            try:
+                os.kill(int(pid_part), 0)
+            except ProcessLookupError:
+                shutil.rmtree(os.path.join(tmp, entry), ignore_errors=True)
+            except PermissionError:
+                pass  # live pid owned by someone else — leave its dir alone
     out_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"zorder_range_writer_{os.getpid()}_{os.path.basename(sf_dir.rstrip('/'))}",
+        tmp,
+        f"{prefix}{os.getpid()}_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     (
         keyed.repartitionByRange(N_FILES, "z")
@@ -259,41 +320,12 @@ def zorder_range_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("y").alias("min_y"),
         F.max("y").alias("max_y"),
         F.count(F.lit(1)).alias("n_rows"),
+    ).withColumn("layout", F.lit("zorder_range"))
+    # Fixed (layouts x predicates) row contract (the docstring's claim the
+    # driver's rows-only count rides on): preserve a predicate even when no
+    # file overlaps or no row matches it, with zero counts.
+    grid = spark.createDataFrame(
+        [("zorder_range", name) for name, *_ in PREDICATES],
+        "layout string, predicate string",
     )
-    preds = spark.createDataFrame(
-        list(PREDICATES), "predicate string, x0 long, x1 long, y0 long, y1 long"
-    )
-    scanned = (
-        files.join(
-            F.broadcast(preds),
-            (F.col("max_x") >= F.col("x0"))
-            & (F.col("min_x") <= F.col("x1"))
-            & (F.col("max_y") >= F.col("y0"))
-            & (F.col("min_y") <= F.col("y1")),
-        )
-        .groupBy("predicate")
-        .agg(
-            F.count(F.lit(1)).alias("files_scanned"),
-            F.sum("n_rows").alias("rows_scanned"),
-        )
-    )
-    matches = (
-        keyed.join(
-            F.broadcast(preds),
-            F.col("x").between(F.col("x0"), F.col("x1"))
-            & F.col("y").between(F.col("y0"), F.col("y1")),
-        )
-        .groupBy("predicate")
-        .agg(F.count(F.lit(1)).alias("match_rows"))
-    )
-    return (
-        scanned.join(F.broadcast(matches), "predicate")
-        .select(
-            F.lit("zorder_range").alias("layout"),
-            "predicate",
-            F.col("files_scanned").cast("bigint").alias("files_scanned"),
-            F.col("rows_scanned").cast("bigint").alias("rows_scanned"),
-            F.col("match_rows").cast("bigint").alias("match_rows"),
-        )
-        .orderBy(F.col("predicate").asc())
-    )
+    return _prune_audit(spark, files, keyed, grid=grid)

@@ -1142,6 +1142,31 @@ def test_zorder_range_writer_prunes_and_covers(spark):
     assert rows["point_both_dims"].files_scanned < N_FILES
 
 
+def test_zorder_range_writer_keeps_zero_match_predicates(spark, monkeypatch):
+    """Fixed row-count contract (r14 review): a predicate rectangle that
+    matches no rows (and overlaps no file zone map) must still appear in
+    the writer's output with zero counts — the driver's rows-only
+    evidence is the row count, so a dropped row would silently change it.
+    The oracle-backed ntile audit deliberately keeps the inner-join shape
+    its DuckDB oracle mirrors, so only the writer gets this pin."""
+    from databricks_spark_sql_challenge1_spark.operators import layout
+    from tests.conftest import SF_DIR
+
+    impossible = ("outside_data", 300, 310, 300, 310)  # x,y live in [0,127]
+    monkeypatch.setattr(
+        layout, "PREDICATES", layout.PREDICATES + (impossible,)
+    )
+    rows = {
+        r.predicate: r
+        for r in layout.zorder_range_writer(spark, SF_DIR).collect()
+    }
+    assert set(rows) == {p[0] for p in layout.PREDICATES}
+    ghost = rows["outside_data"]
+    assert ghost.files_scanned == 0
+    assert ghost.rows_scanned == 0
+    assert ghost.match_rows == 0
+
+
 def test_gapfill_methods_covers_both_legs(spark):
     """Consolidation contract (r14 capacity policy): every retired
     standalone value appears verbatim in the consolidated surface —
