@@ -1613,7 +1613,15 @@ def _jpeg_decode_inner(blob: bytes):
     prev_dc = 0
     for bi in range(n_blocks):
         size = _read_symbol(br, dc_tree)
+        if size > 11:  # T.81 F.1.2.1.2: 8-bit baseline DC category <= 11
+            raise ValueError(f"DC size category {size} out of range")
         prev_dc += _extend(br.read(size), size)
+        if not -2047 <= prev_dc <= 2047:
+            # T.81 bounds the decoded DC value to 11 bits + sign; a
+            # corrupted stream can otherwise accumulate past int32 and
+            # turn the qblocks store into a numpy OverflowError instead
+            # of this module's ValueError contract.
+            raise ValueError(f"DC prediction {prev_dc} out of range")
         zz = [0] * 64
         zz[0] = prev_dc
         k = 1
