@@ -94,3 +94,17 @@ def test_delta_degrades_gracefully(tmp_path):
         _detail({"a": 1.0}, 0.5), {"queries": {"a": 1.0}}, notes
     )
     assert bench._DELTA_BEGIN not in open(notes).read()
+
+
+def test_anchor_names_selects_tail_and_leads_with_calibration():
+    """--anchors default set: the >= ANCHOR_MIN_SEC tail of the last
+    sweep, sorted, always led by the calibration probe exactly once —
+    explicit names keep their order behind the probe."""
+    picked = bench._anchor_names(
+        {"heavy_b": 4.0, "heavy_a": 3.0, "light": 2.9,
+         bench.CALIBRATION_QUERY: 5.0}
+    )
+    assert picked == [bench.CALIBRATION_QUERY, "heavy_a", "heavy_b"]
+    assert bench._anchor_names({}) == [bench.CALIBRATION_QUERY]
+    assert bench._anchor_names({}, explicit=["x", bench.CALIBRATION_QUERY]) \
+        == [bench.CALIBRATION_QUERY, "x"]
