@@ -297,7 +297,10 @@ def zorder_range_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
         if pid_part.isdigit() and int(pid_part) != os.getpid():
             try:
                 os.kill(int(pid_part), 0)
-            except ProcessLookupError:
+            except (ProcessLookupError, OverflowError):
+                # dead pid, or a digit string too large to BE a pid (/tmp
+                # is world-writable — a crafted entry must not crash us):
+                # either way the dir is not a live caller's, reap it
                 shutil.rmtree(os.path.join(tmp, entry), ignore_errors=True)
             except PermissionError:
                 pass  # live pid owned by someone else — leave its dir alone

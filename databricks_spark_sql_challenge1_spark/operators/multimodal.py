@@ -1617,10 +1617,14 @@ def _jpeg_decode_inner(blob: bytes):
             raise ValueError(f"DC size category {size} out of range")
         prev_dc += _extend(br.read(size), size)
         if not -2047 <= prev_dc <= 2047:
-            # T.81 bounds the decoded DC value to 11 bits + sign; a
-            # corrupted stream can otherwise accumulate past int32 and
-            # turn the qblocks store into a numpy OverflowError instead
-            # of this module's ValueError contract.
+            # T.81 bounds the decoded DC value to 11 bits + sign. Without
+            # this check a corrupted stream can accumulate past int32, and
+            # on numpy 1.x the qblocks store then WRAPS silently (only a
+            # DeprecationWarning), yielding wrong coefficients instead of
+            # a rejection; on future numpy it raises OverflowError, which
+            # jpeg_decode_gray's boundary re-raise would normalize to
+            # ValueError — so the wrapper keeps the contract, but only
+            # this bound keeps wrong-coefficient decodes out.
             raise ValueError(f"DC prediction {prev_dc} out of range")
         zz = [0] * 64
         zz[0] = prev_dc

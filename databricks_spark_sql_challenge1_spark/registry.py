@@ -179,15 +179,26 @@ ROWS_ONLY_STAND_INS: dict[str, str] = {
 # complete latest-r12-evidence oracle-backed cohort — 47 names minus
 # events_json_nested, which sits in the r14 window above (it was pulled
 # forward one round when its oracle changed in the r13 JSON-contract fix)
-# and so re-verifies at r14 — 46 names, leaving 4 free head slots for
-# round-15 additions/changes. Capacity math after this round's two
-# consolidations and one registration: 145 oracle-backed names / 3-round
-# cadence ≈ 48.3 refresh slots per round. The r13-head names
-# (text_entropy, docs_weighted_sample, zorder_file_skipping,
-# scd2_customer_history, similarity_ann_methods, dedup_simhash_methods,
-# corpus_bpe_merges/_encode) and this round's four heads rotate on the
-# r16 cadence.
+# and so re-verifies at r14 — 46 names, plus the two round-14-end head
+# placements below, leaving 2 free head slots for round-15
+# additions/changes. Capacity math after this round's two consolidations
+# and one registration: 145 oracle-backed names / 3-round cadence ≈ 48.3
+# refresh slots per round. The r13-head names (text_entropy,
+# docs_weighted_sample, scd2_customer_history, similarity_ann_methods,
+# dedup_simhash_methods, corpus_bpe_merges/_encode) and this round's four
+# heads rotate on the r16 cadence.
+#
+# Round-14-end heads (changed-query rule, r12 precedent — changed after
+# the r14 window was spent, so they lead the NEXT window): the round-end
+# review extracted both layout queries' pruning arithmetic into the
+# shared _prune_audit helper; zorder_file_skipping is output-proven
+# hash-identical at all 3 fixture SFs, and zorder_range_writer
+# additionally CHANGED its row contract (zero-match predicates now
+# survive with zero counts), so its rows-only driver count must be
+# re-witnessed on the new code.
 NEXT_WINDOW: tuple[str, ...] = (
+    "zorder_range_writer",
+    "zorder_file_skipping",
     "abandonment_by_day",
     "abandonment_by_month",
     "abandonment_mom_increase",
