@@ -294,16 +294,28 @@ def zorder_range_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not entry.startswith(prefix):
             continue
         pid_part = entry[len(prefix):].split("_", 1)[0]
-        if pid_part.isdigit() and int(pid_part) != os.getpid():
-            try:
-                os.kill(int(pid_part), 0)
-            except (ProcessLookupError, OverflowError):
-                # dead pid, or a digit string too large to BE a pid (/tmp
-                # is world-writable — a crafted entry must not crash us):
-                # either way the dir is not a live caller's, reap it
-                shutil.rmtree(os.path.join(tmp, entry), ignore_errors=True)
-            except PermissionError:
-                pass  # live pid owned by someone else — leave its dir alone
+        # isdecimal, not isdigit: superscript digits pass isdigit() but
+        # make int() raise — a crafted entry in world-writable /tmp must
+        # not crash the reaper (and every caller with it)
+        if not pid_part.isdecimal():
+            continue
+        pid = int(pid_part)
+        if pid == os.getpid():
+            continue
+        if pid <= 1:
+            # os.kill(0, 0) signals our OWN process group and always
+            # succeeds, and pid 1 is init — neither can be a caller, so
+            # such an entry would otherwise sit unreapable forever
+            shutil.rmtree(os.path.join(tmp, entry), ignore_errors=True)
+            continue
+        try:
+            os.kill(pid, 0)
+        except (ProcessLookupError, OverflowError):
+            # dead pid, or a decimal string too large to BE a pid: either
+            # way the dir is not a live caller's, reap it
+            shutil.rmtree(os.path.join(tmp, entry), ignore_errors=True)
+        except PermissionError:
+            pass  # live pid owned by someone else — leave its dir alone
     out_dir = os.path.join(
         tmp,
         f"{prefix}{os.getpid()}_{os.path.basename(sf_dir.rstrip('/'))}",

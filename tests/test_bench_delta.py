@@ -108,3 +108,6 @@ def test_anchor_names_selects_tail_and_leads_with_calibration():
     assert bench._anchor_names({}) == [bench.CALIBRATION_QUERY]
     assert bench._anchor_names({}, explicit=["x", bench.CALIBRATION_QUERY]) \
         == [bench.CALIBRATION_QUERY, "x"]
+    # repeated explicit names run the median-of-3 protocol once, not twice
+    assert bench._anchor_names({}, explicit=["x", "x"]) \
+        == [bench.CALIBRATION_QUERY, "x"]
