@@ -23,5 +23,6 @@ from databricks_spark_sql_challenge1_spark.operators import (  # noqa: F401
 )
 from databricks_spark_sql_challenge1_spark.streaming import (  # noqa: F401
     events_stream,
+    ingest_sink,
     parity,
 )

@@ -62,143 +62,28 @@ def query(name: str, oracle: str | None = None):
 #     rotation already produces. tests/test_registry_order.py enforces the
 #     stand-in invariant.
 #
-# Round-14 window, in priority order (spends the r13-committed NEXT_WINDOW
-# exactly as pinned, with this round's heads funded by CONSOLIDATION, not
-# displacement — the committed cohort was the COMPLETE 49-name r11-evidence
-# set plus events_json_nested, so displacing any fill would have pushed a
-# name past the 3-round evidence invariant):
-#   0. new/changed this round (4 heads, funded by the 4 slots the two
-#      consolidations freed).
-#   1. the committed r13 NEXT_WINDOW verbatim, minus the 4 names the two
-#      consolidations retired (events_gapfill_interp/stats live on as the
-#      legs of events_gapfill_methods; embedding_dim_stats/norm_stats as
-#      the legs of embedding_profile — leg functions stay public, every
-#      leg value appears verbatim in the consolidated surface's rows).
+# Round-15 window, in priority order (spends the r14-committed NEXT_WINDOW
+# exactly as pinned — VERDICT r14 #1 — with the 2 free head slots placed
+# per VERDICT r14 #2/#5):
+#   0. changed/new this round, changed-query rule first: the zorder pair
+#      (round-14-end _prune_audit extraction; zorder_range_writer
+#      additionally changed its row contract — zero-match predicates now
+#      survive with zero counts), events_hourly_anomaly (r14 try_divide
+#      fuzz fix, windows.py — changed code must not wait for its r16
+#      cadence slot on local-only evidence), and the new r15
+#      streaming_parity_ingest_e2e (raw arrivals + full replay →
+#      idempotent bronze landing → sessionized silver → gold rollup,
+#      hash-checked against the batch oracle — the pipeline shape the
+#      parity twins covered only piecewise).
+#   1. the committed r15 cohort: the complete 46-name
+#      latest-r12-evidence set (NEXT_WINDOW as committed at r14).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # 0: new/changed this round — the two capacity-policy consolidations
-    # (events_gapfill_methods replaces the retired events_gapfill_interp/
-    # _stats registrations; embedding_profile replaces the retired
-    # embedding_dim_stats/_norm_stats), the incremental SCD2 CDC apply
-    # (merged == full rebuild, pinned by registering the merge against
-    # the full-rebuild oracle — VERDICT r13 #5a), and customers_kmv_setops
-    # re-windowed per the changed-query rule (its sketch build moved to
-    # the production per-shard partial + merge, output proven
-    # hash-identical — VERDICT r13 #5b)
-    "events_gapfill_methods",
-    "embedding_profile",
-    "scd2_cdc_apply",
-    "customers_kmv_setops",
-    # 1: the committed r14 cohort (registry.NEXT_WINDOW as of r13, minus
-    # the 4 consolidation retirements)
-    "calendar_dim",
-    "clean_orders",
-    "copurchase_components",
-    "corpus_dedup_pipeline",
-    "count_distinct_orders",
-    "dashboard_month_assembly",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_fingerprint",
-    "dedup_incremental",
-    "dedup_keep_best",
-    "dedup_minhash_portable",
-    "dedup_ngram_jaccard",
-    "dedup_semantic_sqrtk",
-    "docs_contamination_incremental",
-    "docs_substring_dedup",
-    "embedding_centroids",
-    "embedding_kmeans_refine",
-    "events_json_nested",
-    "launch_year_orders",
-    "monthly_order_trend_lag",
-    "multimodal_avi_frames",
-    "multimodal_gif_roundtrip",
-    "multimodal_h264_nal",
-    "multimodal_jpeg_roundtrip",
-    "multimodal_mp3_frames",
-    "order_export_denorm",
-    "orders_incremental_merge",
-    "orders_no_price",
-    "pivot_status_by_priority",
-    "price_percentiles",
-    "retrieval_rrf_rerank",
-    "rollup_order_values",
-    "set_ops_customers",
-    "streaming_parity_click_attribution",
-    "streaming_parity_dedup",
-    "streaming_parity_gap_monitor",
-    "streaming_parity_incremental_dedup",
-    "streaming_parity_nation_activity",
-    "streaming_parity_session_30m",
-    "streaming_parity_tumbling_1h",
-    "streaming_parity_user_state",
-    "text_quality_stats",
-    "text_simhash",
-    "text_token_stats",
-    "valid_orders",
-    # --- window boundary: 50 names above (tests/test_registry_order.py) ---
-)
-
-# Rows-only queries are rotation-exempt: each name's semantics are
-# hash-checked every rotation by the oracle-backed stand-in on the right
-# (the parity twins replay the SAME stateful pipeline against the batch
-# oracle; dedup_minhash_portable is the oracle-exact re-implementation of
-# the spark.ml MinHashLSH demo). tests/test_registry_order.py asserts every
-# rows-only name is listed here and every stand-in is registered WITH an
-# oracle, so the exemption can never silently widen.
-ROWS_ONLY_STAND_INS: dict[str, str] = {
-    "dedup_minhash_lsh": "dedup_minhash_portable",
-    # the production repartitionByRange Z-order writer samples its range
-    # split points (nondeterministic file assignment — not oracle-
-    # reproducible); the ntile audit runs the identical zone-map pruning
-    # arithmetic deterministically and is hash-checked on the rotation
-    "zorder_range_writer": "zorder_file_skipping",
-    "streaming_click_attribution": "streaming_parity_click_attribution",
-    "streaming_dedup_events": "streaming_parity_dedup",
-    "streaming_gap_monitor": "streaming_parity_gap_monitor",
-    "streaming_incremental_dedup": "streaming_parity_incremental_dedup",
-    "streaming_nation_activity": "streaming_parity_nation_activity",
-    "streaming_session_30m": "streaming_parity_session_30m",
-    "streaming_tumbling_1h": "streaming_parity_tumbling_1h",
-    "streaming_user_state": "streaming_parity_user_state",
-}
-
-# Round-14 fuzz-parity Spark-side-only fix (r13-precedent treatment —
-# oracle text UNCHANGED, output proven hash-identical at all 3 fixture
-# SFs, regression-locked by the extended relational fuzz corpus):
-# events_hourly_anomaly moved its z-score to try_divide (a type whose
-# hourly counts are constant across >= 2 hours has sample-stddev exactly
-# 0 — ANSI job-kill vs DuckDB NULL); it keeps its committed r16-cadence
-# slot rather than displacing an r11-evidence name from the full r14
-# window. The non-finite-embedding findings changed NO query: they are
-# pinned as an ingest-side input contract (CLAUDE.md alignment rules;
-# tests/test_fuzz_parity_relational.py).
-#
-# Committed round-15 window (the rotation the NEXT round starts from; the
-# phase-aware age gate uses this once CORRECTNESS_r14.json lands): the
-# complete latest-r12-evidence oracle-backed cohort — 47 names minus
-# events_json_nested, which sits in the r14 window above (it was pulled
-# forward one round when its oracle changed in the r13 JSON-contract fix)
-# and so re-verifies at r14 — 46 names, plus the two round-14-end head
-# placements below, leaving 2 free head slots for round-15
-# additions/changes. Capacity math after this round's two consolidations
-# and one registration: 145 oracle-backed names / 3-round cadence ≈ 48.3
-# refresh slots per round. The r13-head names (text_entropy,
-# docs_weighted_sample, scd2_customer_history, similarity_ann_methods,
-# dedup_simhash_methods, corpus_bpe_merges/_encode) and this round's four
-# heads rotate on the r16 cadence.
-#
-# Round-14-end heads (changed-query rule, r12 precedent — changed after
-# the r14 window was spent, so they lead the NEXT window): the round-end
-# review extracted both layout queries' pruning arithmetic into the
-# shared _prune_audit helper; zorder_file_skipping is output-proven
-# hash-identical at all 3 fixture SFs, and zorder_range_writer
-# additionally CHANGED its row contract (zero-match predicates now
-# survive with zero counts), so its rows-only driver count must be
-# re-witnessed on the new code.
-NEXT_WINDOW: tuple[str, ...] = (
+    # 0: changed/new this round
     "zorder_range_writer",
     "zorder_file_skipping",
+    "events_hourly_anomaly",
+    "streaming_parity_ingest_e2e",
+    # 1: the committed r15 cohort (registry.NEXT_WINDOW as of r14)
     "abandonment_by_day",
     "abandonment_by_month",
     "abandonment_mom_increase",
@@ -245,6 +130,95 @@ NEXT_WINDOW: tuple[str, ...] = (
     "top_abandoned_pairs",
     "top_abandoned_products",
     "top_abandoned_products_salted",
+    # --- window boundary: 50 names above (tests/test_registry_order.py) ---
+)
+
+# Rows-only queries are rotation-exempt: each name's semantics are
+# hash-checked every rotation by the oracle-backed stand-in on the right
+# (the parity twins replay the SAME stateful pipeline against the batch
+# oracle; dedup_minhash_portable is the oracle-exact re-implementation of
+# the spark.ml MinHashLSH demo). tests/test_registry_order.py asserts every
+# rows-only name is listed here and every stand-in is registered WITH an
+# oracle, so the exemption can never silently widen.
+ROWS_ONLY_STAND_INS: dict[str, str] = {
+    "dedup_minhash_lsh": "dedup_minhash_portable",
+    # the production repartitionByRange Z-order writer samples its range
+    # split points (nondeterministic file assignment — not oracle-
+    # reproducible); the ntile audit runs the identical zone-map pruning
+    # arithmetic deterministically and is hash-checked on the rotation
+    "zorder_range_writer": "zorder_file_skipping",
+    "streaming_click_attribution": "streaming_parity_click_attribution",
+    "streaming_dedup_events": "streaming_parity_dedup",
+    "streaming_gap_monitor": "streaming_parity_gap_monitor",
+    "streaming_incremental_dedup": "streaming_parity_incremental_dedup",
+    "streaming_nation_activity": "streaming_parity_nation_activity",
+    "streaming_session_30m": "streaming_parity_session_30m",
+    "streaming_tumbling_1h": "streaming_parity_tumbling_1h",
+    "streaming_user_state": "streaming_parity_user_state",
+}
+
+# Committed round-16 window (the rotation the NEXT round starts from; the
+# phase-aware age gate uses this once CORRECTNESS_r15.json lands): the
+# complete latest-r13-evidence oracle-backed cohort — 47 names (computed
+# from the CORRECTNESS_r01..r15 ledger assuming the r15 window above runs
+# green; includes the r13 heads text_entropy, docs_weighted_sample,
+# scd2_customer_history, similarity_ann_methods, dedup_simhash_methods,
+# corpus_bpe_merges/_encode) — leaving 3 free head slots for round-16
+# additions/changes. Capacity math after this round's one registration
+# (streaming_parity_ingest_e2e): 146 oracle-backed names / 3-round cadence
+# ≈ 48.7 refresh slots per round. The four r14 heads
+# (events_gapfill_methods, embedding_profile, scd2_cdc_apply,
+# customers_kmv_setops) carry r14 evidence and rotate on the r17 cadence;
+# this round's four heads (the zorder pair, events_hourly_anomaly,
+# streaming_parity_ingest_e2e) rotate on the r18 cadence.
+NEXT_WINDOW: tuple[str, ...] = (
+    "corpus_bpe_encode",
+    "corpus_bpe_merges",
+    "corpus_mixture_weights",
+    "corpus_privacy_pipeline",
+    "cube_order_summary",
+    "customer_rfm_segments_approx",
+    "customer_value_deciles",
+    "dashboard_day_assembly",
+    "dedup_ngram_containment",
+    "dedup_semantic_ivf",
+    "dedup_simhash_methods",
+    "distinct_orders_kmv_rollup",
+    "docs_bm25_topk",
+    "docs_contamination_bloom",
+    "docs_dsir_weights",
+    "docs_perplexity_buckets",
+    "docs_pii_redact",
+    "docs_quality_classifier",
+    "docs_quality_tiers",
+    "docs_weighted_sample",
+    "embedding_quantize_int8",
+    "embedding_random_projection",
+    "events_asof_join",
+    "events_funnel_conversion",
+    "events_json_extract",
+    "events_json_schema",
+    "events_range_join",
+    "events_retention_cohorts",
+    "events_rolling_7d_value",
+    "events_session_30m",
+    "events_sliding_1h_30m",
+    "events_time_rollup",
+    "events_tumbling_1h",
+    "events_type_transitions",
+    "jsonl_roundtrip_checksum",
+    "multimodal_bmp_parse",
+    "multimodal_frame_stats",
+    "multimodal_image_thumbnail",
+    "multimodal_png_roundtrip",
+    "multimodal_wav_parse",
+    "orc_roundtrip_checksum",
+    "orders_dq_audit",
+    "retrieval_hybrid_rrf",
+    "scd2_customer_history",
+    "similarity_ann_methods",
+    "text_entropy",
+    "topk_products_cms",
 )
 
 

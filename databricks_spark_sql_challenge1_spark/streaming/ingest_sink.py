@@ -10,11 +10,22 @@ which is the same dataflow.
 
 from __future__ import annotations
 
+import glob
 import os
+import shutil
+import tempfile
+import time as _time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from databricks_spark_sql_challenge1_spark.catalog import (
+    ensure_session_confs,
+    load_table,
+)
+from databricks_spark_sql_challenge1_spark.registry import query
 from databricks_spark_sql_challenge1_spark.streaming.events_stream import (
+    _drain_to_memory,
     _events_stream,
 )
 
@@ -44,3 +55,157 @@ def ingest_events_idempotent(
     )
     q.awaitTermination()
     return spark.read.parquet(sink_dir).count()
+
+
+def _land_events_with_replay(
+    spark: SparkSession, sf_dir: str, scratch: str
+) -> str:
+    """Stage the events fixture as TWO arrival shards — the original batch
+    and a byte-identical full replay (the crash/retry worst case: every
+    event arrives twice, in a later micro-batch, beyond any watermark
+    horizon) — then drain them through the idempotent ``foreachBatch``
+    landing (anti-join on ``event_id`` against the already-landed set) into
+    a bronze parquet dir, one file per micro-batch (``maxFilesPerTrigger=1``,
+    mtime-ordered). Returns the bronze dir; the replay shard must land ZERO
+    rows, so bronze holds each event exactly once.
+
+    Scale shape: the per-batch anti-join here reads the sink directly; at
+    100 TB the landed-key lookup is a Delta MERGE / key-index anti-join
+    (bucketed by event_id), same dataflow — O(batch) probe work either way,
+    never O(history) rewrite.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    raw_dir = os.path.join(scratch, "raw")
+    os.makedirs(raw_dir)
+    for i in range(2):  # arrival 0 = original batch, arrival 1 = full replay
+        phase_dir = os.path.join(scratch, f"phase{i}")
+        events.coalesce(1).write.parquet(phase_dir)
+        (part,) = glob.glob(os.path.join(phase_dir, "part-*.parquet"))
+        dst = os.path.join(raw_dir, f"arrival{i}.parquet")
+        shutil.move(part, dst)
+        # distinct mtimes pin the file-source processing order (oldest first)
+        os.utime(dst, (_time.time() - 120 + 60 * i,) * 2)
+    bronze_dir = os.path.join(scratch, "bronze")
+    raw_schema = "event_id bigint, user_id bigint, ts timestamp, cents bigint"
+    raw_stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(raw_dir)
+    )
+
+    def land(batch: DataFrame, batch_id: int) -> None:
+        out = batch
+        if os.path.isdir(bronze_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(bronze_dir)
+        ):
+            landed = batch.sparkSession.read.parquet(bronze_dir).select("event_id")
+            out = batch.join(landed, "event_id", "left_anti")
+        out.write.mode("append").parquet(bronze_dir)
+
+    q = (
+        raw_stream.writeStream.foreachBatch(land)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return bronze_dir
+
+
+@query(
+    "streaming_parity_ingest_e2e",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, ts, event_id,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents,
+           CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        > INTERVAL '30 minutes'
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+sessions AS (
+    SELECT user_id, cents,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+)
+SELECT user_id,
+       CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM sessions
+GROUP BY user_id
+ORDER BY user_id ASC
+""",
+)
+def streaming_parity_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ingest-pipeline witness (VERDICT r14 #5): the one shape
+    the parity twins cover only piecewise, chained for real —
+
+      raw arrivals (original batch + a FULL byte-identical replay shard,
+      two mtime-ordered micro-batches)
+        → idempotent ``foreachBatch`` landing into a bronze parquet sink
+          (anti-join on event_id — the replay lands zero rows)
+        → a second streaming stage over the bronze sink: watermarked
+          30-minute session windows per user (real session state,
+          availableNow drain)
+        → per-user gold rollup (n_sessions, n_events, sum_cents)
+
+    hash-checked against the gaps-and-islands batch oracle over the
+    ORIGINAL events table. The hash is the end-to-end invariant: a replay
+    leaking through the idempotent sink doubles n_events/sum_cents (and can
+    only merge sessions, never split), a session-state fault shifts
+    n_sessions, so a green row certifies ingest idempotence AND the
+    sessionization together, not each in isolation.
+
+    Value sums ride as integer cents computed JVM-side before staging
+    (CLAUDE.md rule) so cross-stage accumulation is exact. The watermarked
+    dedup-by-key capability itself is covered by ``streaming_parity_dedup``;
+    this pipeline deliberately replays BEYOND the watermark horizon, which
+    is exactly what the sink-side anti-join (Delta MERGE at scale) exists
+    for — see ``_land_events_with_replay`` for the 100 TB shape.
+    """
+    ensure_session_confs(spark)
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    scratch_base = os.path.join(repo_root, "spark-warehouse")
+    os.makedirs(scratch_base, exist_ok=True)
+    scratch = tempfile.mkdtemp(prefix="ingest_e2e_", dir=scratch_base)
+    try:
+        bronze_dir = _land_events_with_replay(spark, sf_dir, scratch)
+        silver = (
+            spark.readStream.schema(
+                "event_id bigint, user_id bigint, ts timestamp, cents bigint"
+            )
+            .parquet(bronze_dir)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("cents").alias("sum_cents"),
+            )
+        )
+        drained = _drain_to_memory(silver, spark)
+        gold = (
+            drained.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+                F.sum("n_events").cast("bigint").alias("n_events"),
+                F.sum("sum_cents").cast("bigint").alias("sum_cents"),
+            )
+            .orderBy(F.col("user_id").asc())
+            # memory-sink rows live in driver memory, but checkpoint before
+            # the scratch (bronze) dir is removed so nothing lazily re-reads
+            # deleted files
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return gold

@@ -1167,6 +1167,26 @@ def test_zorder_range_writer_keeps_zero_match_predicates(spark, monkeypatch):
     assert ghost.match_rows == 0
 
 
+def test_zorder_range_writer_earlier_result_survives_next_call(spark):
+    """ADVICE r14: a second same-process call must NOT invalidate the
+    DataFrame returned by the first (the old per-pid dir was overwritten
+    in place; now each call writes a per-(pid, call-seq) dir that lives
+    until process exit). Both results must stay independently collectable
+    AFTER the later call ran."""
+    from databricks_spark_sql_challenge1_spark.operators.layout import (
+        zorder_range_writer,
+    )
+    from tests.conftest import SF_DIR
+
+    first = zorder_range_writer(spark, SF_DIR)
+    second = zorder_range_writer(spark, SF_DIR)
+    second_rows = sorted(map(tuple, second.collect()))
+    # the first result is collected LAST — with the old overwrite-in-place
+    # layout this read deleted/replaced files
+    first_rows = sorted(map(tuple, first.collect()))
+    assert [r[:2] for r in first_rows] == [r[:2] for r in second_rows]
+
+
 def test_gapfill_methods_covers_both_legs(spark):
     """Consolidation contract (r14 capacity policy): every retired
     standalone value appears verbatim in the consolidated surface —

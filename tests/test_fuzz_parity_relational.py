@@ -477,3 +477,12 @@ def test_nonfinite_embedding_components_are_out_of_contract():
             "SELECT stddev_pop(x) FROM "
             "(SELECT unnest(['Infinity'::FLOAT, 1.0::FLOAT]) AS x)"
         ).fetchall()
+    # Division semantics the try_divide parity fixes ride on (ADVICE r14):
+    # the installed DuckDB returns NULL for x/0 — matching Spark's
+    # try_divide — but newer DuckDB defaults ieee_floating_point_ops=true,
+    # making 0.0/0.0 NaN and 1.0/0.0 Inf. If an upgrade flips these, the
+    # events_hourly_anomaly / gapfill / textstats try_divide alignments
+    # need re-adjudication — fail HERE with a clear signal, not via a
+    # fuzz-parity hash diff.
+    assert con.execute("SELECT 1.0/0.0 IS NULL").fetchone() == (True,)
+    assert con.execute("SELECT 0.0/0.0 IS NULL").fetchone() == (True,)

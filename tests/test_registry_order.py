@@ -22,21 +22,20 @@ DRIVER_WINDOW = 50
 # was accidentally left out of the window). Update this literal whenever
 # a query is added or its output/oracle changes.
 MUST_VERIFY = {
-    # new r14: the two capacity-policy consolidations — gap-fill method
-    # surface (replaces the retired events_gapfill_interp/_stats
-    # registrations; legs stay public) and the embedding-corpus QA profile
-    # (replaces the retired embedding_dim_stats/_norm_stats)
-    "events_gapfill_methods",
-    "embedding_profile",
-    # new r14: incremental SCD2 CDC apply, registered against the
-    # FULL-REBUILD oracle so the driver hash is the merged==rebuilt
-    # invariant (VERDICT r13 #5a)
-    "scd2_cdc_apply",
-    # changed r14 (VERDICT r13 #5b): sketch build moved from the global
-    # single-partition window to the production per-shard bottom-K
-    # partial + merge (oracle unchanged; bottom-K is associative so the
-    # output is proven hash-identical at all three fixture SFs)
-    "customers_kmv_setops",
+    # changed r14-end (changed-query rule, VERDICT r14 #1): the round-14-end
+    # review extracted both layout queries' pruning arithmetic into the
+    # shared _prune_audit helper; zorder_range_writer additionally changed
+    # its row contract (zero-match predicates now survive with zero counts)
+    "zorder_range_writer",
+    "zorder_file_skipping",
+    # changed r14 (VERDICT r14 #2): the try_divide fuzz fix (constant-group
+    # sample-stddev=0 ANSI-kill) landed after its r14 cadence slot — pulled
+    # into an r15 head slot so the changed code gets a driver row now
+    "events_hourly_anomaly",
+    # new r15 (VERDICT r14 #5): end-to-end ingest witness — raw arrivals +
+    # full replay -> idempotent bronze landing -> sessionized silver ->
+    # per-user gold rollup, hash-checked against the batch oracle
+    "streaming_parity_ingest_e2e",
 }
 
 
