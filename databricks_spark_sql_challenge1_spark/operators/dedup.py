@@ -124,10 +124,12 @@ _SHINGLES_SQL = f"""
 """
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-WITH sh0 AS ({_SHINGLES_SQL}),
+# Shared inverted-index CTE chain (hot-shingle DF-cut applied to BOTH the
+# index and the per-doc set sizes) ending in ``scored`` — one unrounded
+# (doc_1, doc_2, cont, jac) row per shingle-sharing pair. Both n-gram
+# metrics and the consolidated method surface's oracle read from it, so
+# the legs can never desync.
+_NGRAM_SCORED_SQL = f"""sh0 AS ({_SHINGLES_SQL}),
 hot AS (SELECT shingle FROM sh0 GROUP BY shingle
         HAVING COUNT(*) > {NGRAM_DF_CAP}),
 sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 ANTI JOIN hot USING (shingle)),
@@ -136,16 +138,22 @@ common AS (
     SELECT a.doc_id AS doc_1, b.doc_id AS doc_2, COUNT(*) AS c
     FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
-)
-SELECT doc_1, doc_2,
-       ROUND(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 4) AS jaccard
-FROM common
-JOIN sizes s1 ON s1.doc_id = doc_1
-JOIN sizes s2 ON s2.doc_id = doc_2
-WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= {JACCARD_THRESHOLD}
-ORDER BY jaccard DESC, doc_1 ASC, doc_2 ASC
-""",
-)
+),
+scored AS (
+    SELECT doc_1, doc_2,
+           CAST(c AS DOUBLE) / least(s1.n, s2.n) AS cont,
+           CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jac
+    FROM common
+    JOIN sizes s1 ON s1.doc_id = doc_1
+    JOIN sizes s2 ON s2.doc_id = doc_2
+)"""
+
+
+# Round-15 capacity policy: DEREGISTERED as a standalone name — its rows
+# ride verbatim as the ``jaccard`` leg of ``dedup_ngram_methods`` (which
+# shares the scored-pair pipeline bit-for-bit), freeing a rotation slot.
+# The callable stays importable for the plan sweep and the leg-equality
+# pin in tests/test_extensions.py.
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup: shingle → inverted-index self-join →
     |∩| / |∪|. The shingle equi-join IS the blocking step: only documents
@@ -162,8 +170,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ngram_jaccard(docs, NGRAM_DF_CAP)
 
 
-def _ngram_jaccard(docs: DataFrame, df_cap: int) -> DataFrame:
-    """Core of dedup_ngram_jaccard, factored out so the binding-cap path
+def _ngram_scored(docs: DataFrame, df_cap: int) -> DataFrame:
+    """The shared n-gram pair pipeline (mirror of _NGRAM_SCORED_SQL): DF-cut
+    inverted index → shingle equi-join → one UNROUNDED (doc_1, doc_2, cont,
+    jac) row per shingle-sharing pair. Both metric legs and the registered
+    method surface filter/round from this single plan, so consolidating
+    the two retired standalone names also removed a full second pass over
+    the shingle index. Factored on ``df_cap`` so the binding-cap path
     (non-binding on the fixture corpus, max shingle df ≪ CAP) is unit-
     testable on synthetic hot-shingle data (tests/test_extensions.py)."""
     sh0 = _shingles_spark(docs)
@@ -190,12 +203,21 @@ def _ngram_jaccard(docs: DataFrame, df_cap: int) -> DataFrame:
     )
     s1 = sizes.alias("s1")
     s2 = sizes.alias("s2")
+    cont = F.col("c").cast("double") / F.least(F.col("s1.n"), F.col("s2.n"))
     jac = F.col("c").cast("double") / (F.col("s1.n") + F.col("s2.n") - F.col("c"))
     return (
         common.join(s1, F.col("s1.doc_id") == F.col("doc_1"))
         .join(s2, F.col("s2.doc_id") == F.col("doc_2"))
-        .where(jac >= JACCARD_THRESHOLD)
-        .select("doc_1", "doc_2", F.round(jac, 4).alias("jaccard"))
+        .select("doc_1", "doc_2", cont.alias("cont"), jac.alias("jac"))
+    )
+
+
+def _ngram_jaccard(docs: DataFrame, df_cap: int) -> DataFrame:
+    """The jaccard leg in its retired standalone shape (kept for tests)."""
+    s = _ngram_scored(docs, df_cap)
+    return (
+        s.where(F.col("jac") >= JACCARD_THRESHOLD)
+        .select("doc_1", "doc_2", F.round("jac", 4).alias("jaccard"))
         .orderBy(F.col("jaccard").desc(), F.col("doc_1").asc(), F.col("doc_2").asc())
     )
 
@@ -1049,14 +1071,14 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _emb_lsh_pairs(spark, e, _lsh_planes(dim), EMB_LSH_BITS)
 
 
-def _emb_lsh_pairs(
+def _emb_signatures(
     spark: SparkSession, e: DataFrame, planes, bits: int
 ) -> DataFrame:
-    """Shared hyperplane-LSH kernel: signatures = sign bits of ``v @ planes``
-    (band-major columns: EMB_LSH_BANDS bands × ``bits`` planes each), band
-    equi-join candidates, exact DOUBLE-cosine verify at EMB_DUP_THRESHOLD.
-    Used by ``dedup_embedding_lsh`` (fixed 6-bit bands) and
-    ``dedup_embedding_lsh_adaptive`` (count-derived band width)."""
+    """Hyperplane signature pass: sign bits of ``v @ planes`` (band-major
+    columns: EMB_LSH_BANDS bands × ``bits`` planes each) → one
+    (vec_id, band, band_val) row per band, materialized once via
+    localCheckpoint so the Arrow/numpy kernel never reruns on both sides
+    of the downstream band equi-joins."""
     import numpy as np
     import pandas as pd
 
@@ -1084,11 +1106,20 @@ def _emb_lsh_pairs(
                 )
             yield pd.concat(out)
 
-    # materialize the signature pass once: without this the Arrow/numpy
-    # kernel runs on BOTH sides of the self-join below
-    sigs = e.mapInPandas(
+    return e.mapInPandas(
         signatures, "vec_id long, band int, band_val long"
     ).localCheckpoint()
+
+
+def _emb_lsh_pairs(
+    spark: SparkSession, e: DataFrame, planes, bits: int
+) -> DataFrame:
+    """Shared hyperplane-LSH kernel: signatures = sign bits of ``v @ planes``
+    (band-major columns: EMB_LSH_BANDS bands × ``bits`` planes each), band
+    equi-join candidates, exact DOUBLE-cosine verify at EMB_DUP_THRESHOLD.
+    Used by ``dedup_embedding_lsh`` (fixed 6-bit bands) and
+    ``dedup_embedding_lsh_adaptive`` (count-derived band width)."""
+    sigs = _emb_signatures(spark, e, planes, bits)
     a, b_ = sigs.alias("a"), sigs.alias("b")
     candidates = (
         a.join(
@@ -1283,6 +1314,156 @@ def dedup_embedding_lsh_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
 dedup_embedding_lsh_adaptive.__doc__ = dedup_embedding_lsh_adaptive.__doc__.format(
     off=EMB_LSH_BITS_OFFSET, lo=EMB_LSH_BITS, hi=EMB_LSH_MAX_BITS
 )
+
+
+def _emb_inc_oracle_sql() -> str:
+    """DuckDB oracle for the embedding-side incremental admission: the wide
+    plane matrix baked as full-precision double literals (repr round-trips
+    exactly — the ``_emb_lsh_adaptive_oracle_sql`` technique), band width
+    derived in a params CTE from the EXISTING-side count (the index's own
+    size is the index parameter, never the batch's), every bit term gated
+    on ``k < p.bits`` so the same SQL is correct at every corpus size."""
+    planes = _lsh_planes_wide()
+    bands, maxb, mod = EMB_LSH_BANDS, EMB_LSH_MAX_BITS, INCREMENTAL_MOD
+
+    def plane_lit(c: int) -> str:
+        return "[" + ",".join(repr(float(x)) for x in planes[:, c]) + "]"
+
+    band_exprs = []
+    for b in range(bands):
+        terms = " + ".join(
+            f"(CASE WHEN {k} < p.bits AND"
+            f" list_dot_product(v, {plane_lit(b * maxb + k)}) >= 0"
+            f" THEN {1 << k} ELSE 0 END)"
+            for k in range(maxb)
+        )
+        band_exprs.append(f"({terms}) AS bv{b}")
+    bands_list = ",".join(str(b) for b in range(bands))
+    bv_list = ",".join(f"bv{b}" for b in range(bands))
+    return f"""
+WITH params AS (
+    SELECT LEAST({maxb}, GREATEST({EMB_LSH_BITS},
+           2 * CAST(ceil(log2(GREATEST(COUNT(*), 2))) AS INTEGER)
+           - {EMB_LSH_BITS_OFFSET})) AS bits
+    FROM embeddings WHERE vec_id % {mod} <> 0
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sigw AS (SELECT vec_id, {", ".join(band_exprs)} FROM e CROSS JOIN params p),
+sig AS (
+    SELECT vec_id, unnest([{bands_list}]) AS band,
+           unnest([{bv_list}]) AS band_val
+    FROM sigw
+),
+cand AS (
+    SELECT DISTINCT i.vec_id AS vec_id, x.vec_id AS vec_ex
+    FROM sig i
+    JOIN sig x ON i.band = x.band AND i.band_val = x.band_val
+    WHERE i.vec_id % {mod} = 0 AND x.vec_id % {mod} <> 0
+),
+ee AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+hits AS (
+    SELECT c.vec_id, COUNT(*) AS n,
+           MAX(ROUND(list_cosine_similarity(a.emb, b.emb), 6)) AS mc
+    FROM cand c
+    JOIN ee a ON a.vec_id = c.vec_id
+    JOIN ee b ON b.vec_id = c.vec_ex
+    WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 6)
+          >= {EMB_DUP_THRESHOLD}
+    GROUP BY c.vec_id
+)
+SELECT i.vec_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_near_dups,
+       COALESCE(h.n, 0) > 0 AS is_dup,
+       h.mc AS max_cosine
+FROM (SELECT vec_id FROM embeddings WHERE vec_id % {mod} = 0) i
+LEFT JOIN hits h ON h.vec_id = i.vec_id
+ORDER BY i.vec_id ASC
+"""
+
+
+@query("dedup_embedding_incremental", oracle=_emb_inc_oracle_sql())
+def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding-side admission control (VERDICT r14 #5): flag
+    incoming vectors whose near-dup (exact DOUBLE cosine ≥
+    EMB_DUP_THRESHOLD) already sits in the ingested corpus — the embedding
+    twin of ``dedup_incremental``'s SimHash check, completing the
+    incremental family (text shingles → Bloom, SimHash bands, now
+    hyperplane-LSH bands).
+
+    Plan shape: ONE adaptive-band signature pass over the corpus
+    (``_emb_signatures`` — Arrow-batched sign-bit GEMM, materialized once,
+    the dedup_incremental push-below-the-split idiom), the ``vec_id % mod``
+    split applied to the signature table, then an incoming×existing band
+    equi-join for candidates and an exact DOUBLE-cosine verify on the
+    collisions only. Band width derives from the EXISTING side's count —
+    the index's own size is the index parameter; a small batch against a
+    large corpus must probe the corpus's band space, not shrink it.
+
+    At 100 TB the existing side's (band, band_val) table is the
+    precomputed, bucketed LSH index maintained alongside the corpus; the
+    daily batch GEMMs its own signatures (O(batch)) and equi-joins the
+    index buckets it collides with — no full-corpus rescan, no N² term,
+    the same O(batch) admission cost as the text-side check.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = len(e.select("embedding").head()[0])
+    bits = _emb_lsh_bits(
+        e.where(F.col("vec_id") % INCREMENTAL_MOD != 0).count()
+    )
+    wide = _lsh_planes_wide(dim)
+    cols = [
+        b * EMB_LSH_MAX_BITS + k
+        for b in range(EMB_LSH_BANDS)
+        for k in range(bits)
+    ]
+    sigs = _emb_signatures(spark, e, wide[:, cols], bits)
+    i = sigs.where(F.col("vec_id") % INCREMENTAL_MOD == 0).alias("i")
+    x = sigs.where(F.col("vec_id") % INCREMENTAL_MOD != 0).alias("x")
+    cand = (
+        i.join(
+            x,
+            (F.col("i.band") == F.col("x.band"))
+            & (F.col("i.band_val") == F.col("x.band_val")),
+        )
+        .select(
+            F.col("i.vec_id").alias("vec_id"),
+            F.col("x.vec_id").alias("vec_ex"),
+        )
+        .distinct()  # a pair may collide in several bands
+    )
+    ea = e.select(
+        F.col("vec_id"),
+        F.col("embedding").cast("array<double>").alias("emb_i"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("vec_ex"),
+        F.col("embedding").cast("array<double>").alias("emb_x"),
+    )
+    from databricks_spark_sql_challenge1_spark.functions.vectors import cosine
+
+    hits = (
+        cand.join(ea, "vec_id")
+        .join(eb, "vec_ex")
+        .withColumn("cosine", F.round(cosine(F.col("emb_i"), F.col("emb_x")), 6))
+        .where(F.col("cosine") >= EMB_DUP_THRESHOLD)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("cosine").alias("max_cosine"),
+        )
+    )
+    return (
+        e.where(F.col("vec_id") % INCREMENTAL_MOD == 0)
+        .select("vec_id")
+        .join(hits, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_near_dups"),
+            (F.coalesce(F.col("n"), F.lit(0)) > 0).alias("is_dup"),
+            "max_cosine",
+        )
+        .orderBy(F.col("vec_id").asc())
+    )
 
 
 # Exact substring-grain dedup (Lee et al., "Deduplicating Training Data
@@ -1620,29 +1801,9 @@ def dedup_simhash_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONTAINMENT_THRESHOLD = 0.8
 
 
-@query(
-    "dedup_ngram_containment",
-    oracle=f"""
-WITH sh0 AS ({_SHINGLES_SQL}),
-hot AS (SELECT shingle FROM sh0 GROUP BY shingle
-        HAVING COUNT(*) > {NGRAM_DF_CAP}),
-sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 ANTI JOIN hot USING (shingle)),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-common AS (
-    SELECT a.doc_id AS doc_1, b.doc_id AS doc_2, COUNT(*) AS c
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
-)
-SELECT doc_1, doc_2,
-       ROUND(CAST(c AS DOUBLE) / least(s1.n, s2.n), 4) AS containment,
-       ROUND(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 4) AS jaccard
-FROM common
-JOIN sizes s1 ON s1.doc_id = doc_1
-JOIN sizes s2 ON s2.doc_id = doc_2
-WHERE CAST(c AS DOUBLE) / least(s1.n, s2.n) >= {CONTAINMENT_THRESHOLD}
-ORDER BY containment DESC, doc_1 ASC, doc_2 ASC
-""",
-)
+# Round-15 capacity policy: DEREGISTERED as a standalone name — its rows
+# ride verbatim as the ``containment`` leg of ``dedup_ngram_methods``
+# (same shared scored-pair pipeline). Callable kept importable for tests.
 def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric near-dup pairs by n-gram CONTAINMENT (|∩| / min set
     size) next to the Jaccard the pair would have scored — surfacing
@@ -1660,44 +1821,71 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ngram_containment(docs: DataFrame, df_cap: int) -> DataFrame:
-    """Core of dedup_ngram_containment, factored out (like
-    ``_ngram_jaccard``) so the asymmetric doc-in-doc catch is unit-
-    testable on synthetic corpora (tests/test_extensions.py)."""
-    sh0 = _shingles_spark(docs)
-    hot = (
-        sh0.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") > df_cap)
-        .select("shingle")
-    )
-    sh = sh0.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_1"), F.col("b.doc_id").alias("doc_2")
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    s1, s2 = sizes.alias("s1"), sizes.alias("s2")
-    cont = F.col("c").cast("double") / F.least(F.col("s1.n"), F.col("s2.n"))
-    jac = F.col("c").cast("double") / (F.col("s1.n") + F.col("s2.n") - F.col("c"))
+    """The containment leg in its retired standalone shape (kept so the
+    asymmetric doc-in-doc catch stays unit-testable on synthetic corpora,
+    tests/test_extensions.py)."""
+    s = _ngram_scored(docs, df_cap)
     return (
-        common.join(s1, F.col("s1.doc_id") == F.col("doc_1"))
-        .join(s2, F.col("s2.doc_id") == F.col("doc_2"))
-        .where(cont >= CONTAINMENT_THRESHOLD)
+        s.where(F.col("cont") >= CONTAINMENT_THRESHOLD)
         .select(
             "doc_1",
             "doc_2",
-            F.round(cont, 4).alias("containment"),
-            F.round(jac, 4).alias("jaccard"),
+            F.round("cont", 4).alias("containment"),
+            F.round("jac", 4).alias("jaccard"),
         )
         .orderBy(
             F.col("containment").desc(), F.col("doc_1").asc(), F.col("doc_2").asc()
         )
+    )
+
+
+@query(
+    "dedup_ngram_methods",
+    oracle=f"""
+WITH {_NGRAM_SCORED_SQL}
+SELECT method, doc_1, doc_2,
+       ROUND(cont, 4) AS containment,
+       ROUND(jac, 4) AS jaccard
+FROM (
+    SELECT 'jaccard' AS method, * FROM scored
+    WHERE jac >= {JACCARD_THRESHOLD}
+    UNION ALL
+    SELECT 'containment' AS method, * FROM scored
+    WHERE cont >= {CONTAINMENT_THRESHOLD}
+)
+""",
+)
+def dedup_ngram_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram near-dup method surface (round-15 consolidation of the
+    standalone ``dedup_ngram_jaccard`` + ``dedup_ngram_containment``
+    registrations): the symmetric Jaccard (|∩|/|∪| ≥ JACCARD_THRESHOLD)
+    and asymmetric containment (|∩|/min ≥ CONTAINMENT_THRESHOLD) filters
+    side by side under a method column.
+    Each leg's pair set and metric values are exactly the retired
+    registration's rows; the surface adds the sibling metric per row —
+    free, both derive from the same (|∩|, |A|, |B|) triple.
+
+    Unlike a UNION of the two standalone plans, the shared scored-pair
+    pipeline (DF-cut inverted index → shingle equi-join → sizes join) runs
+    ONCE; the per-row method tags come from a 2-element array explode, so
+    a pair passing both filters emits both rows without a second pass —
+    the production shape (one candidate table, many admission filters).
+    No LIMIT → no top-level sort: the driver hash is order-insensitive,
+    and a total-order sort of the union buys nothing (the
+    ``dedup_simhash_methods`` rule).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    s = _ngram_scored(docs, NGRAM_DF_CAP)
+    methods = F.array_compact(
+        F.array(
+            F.when(F.col("jac") >= JACCARD_THRESHOLD, F.lit("jaccard")),
+            F.when(F.col("cont") >= CONTAINMENT_THRESHOLD, F.lit("containment")),
+        )
+    )
+    return s.select(
+        F.explode(methods).alias("method"),
+        "doc_1",
+        "doc_2",
+        F.round("cont", 4).alias("containment"),
+        F.round("jac", 4).alias("jaccard"),
     )

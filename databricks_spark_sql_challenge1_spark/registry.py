@@ -159,19 +159,32 @@ ROWS_ONLY_STAND_INS: dict[str, str] = {
 
 # Committed round-16 window (the rotation the NEXT round starts from; the
 # phase-aware age gate uses this once CORRECTNESS_r15.json lands): the
-# complete latest-r13-evidence oracle-backed cohort — 47 names (computed
+# complete latest-r13-evidence oracle-backed cohort — 46 names (computed
 # from the CORRECTNESS_r01..r15 ledger assuming the r15 window above runs
 # green; includes the r13 heads text_entropy, docs_weighted_sample,
 # scd2_customer_history, similarity_ann_methods, dedup_simhash_methods,
-# corpus_bpe_merges/_encode) — leaving 3 free head slots for round-16
-# additions/changes. Capacity math after this round's one registration
-# (streaming_parity_ingest_e2e): 146 oracle-backed names / 3-round cadence
-# ≈ 48.7 refresh slots per round. The four r14 heads
-# (events_gapfill_methods, embedding_profile, scd2_cdc_apply,
-# customers_kmv_setops) carry r14 evidence and rotate on the r17 cadence;
-# this round's four heads (the zorder pair, events_hourly_anomaly,
+# corpus_bpe_merges/_encode) — PLUS the two mid-r15 registrations placed
+# first (changed-query rule: the r15 window was already fully spent when
+# they landed, so their first driver rows are r16 heads):
+#   * dedup_embedding_incremental — embedding-side incremental admission
+#     (VERDICT r14 #5 alternative), adaptive-band hyperplane LSH probe of
+#     the ingested corpus's band index;
+#   * dedup_ngram_methods — consolidation of the retired standalone
+#     dedup_ngram_jaccard (r14 evidence) + dedup_ngram_containment
+#     (r13 evidence, replaced in this cohort) registrations: both legs
+#     verbatim over ONE shared scored-pair pipeline.
+# 48 names total, leaving 2 free head slots for round-16 changes.
+# Capacity math after this round's net-zero registration delta
+# (+streaming_parity_ingest_e2e +dedup_embedding_incremental
+# +dedup_ngram_methods −dedup_ngram_jaccard −dedup_ngram_containment):
+# 146 oracle-backed names / 3-round cadence ≈ 48.7 refresh slots per
+# round. The four r14 heads (events_gapfill_methods, embedding_profile,
+# scd2_cdc_apply, customers_kmv_setops) carry r14 evidence and rotate on
+# the r17 cadence; the r15 heads (the zorder pair, events_hourly_anomaly,
 # streaming_parity_ingest_e2e) rotate on the r18 cadence.
 NEXT_WINDOW: tuple[str, ...] = (
+    "dedup_embedding_incremental",
+    "dedup_ngram_methods",
     "corpus_bpe_encode",
     "corpus_bpe_merges",
     "corpus_mixture_weights",
@@ -180,7 +193,6 @@ NEXT_WINDOW: tuple[str, ...] = (
     "customer_rfm_segments_approx",
     "customer_value_deciles",
     "dashboard_day_assembly",
-    "dedup_ngram_containment",
     "dedup_semantic_ivf",
     "dedup_simhash_methods",
     "distinct_orders_kmv_rollup",

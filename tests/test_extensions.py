@@ -613,13 +613,47 @@ def test_ngram_containment_catches_doc_in_doc(spark):
 def test_containment_dominates_jaccard(spark):
     """Mathematical invariant of the two resemblance measures: for any
     pair, |∩|/min(n1,n2) ≥ |∩|/|∪| and ≤ 1 — pin it over every pair the
-    registered query emits on the fixture corpus."""
+    registered method surface emits on the fixture corpus."""
     from databricks_spark_sql_challenge1_spark.registry import QUERIES
 
-    rows = QUERIES["dedup_ngram_containment"](spark, SF_DIR).collect()
+    rows = QUERIES["dedup_ngram_methods"](spark, SF_DIR).collect()
     assert rows  # fixture corpus produces pairs (FIXTURES.md dense vocab)
     for r in rows:
         assert r["jaccard"] <= r["containment"] <= 1.0, r
+
+
+def test_ngram_methods_legs_match_retired_standalones(spark):
+    """The r15 consolidation contract: each leg of ``dedup_ngram_methods``
+    must reproduce the retired standalone registration's pair set and
+    metric values exactly (the retired callables stay importable for
+    this pin)."""
+    from databricks_spark_sql_challenge1_spark.operators.dedup import (
+        dedup_ngram_containment,
+        dedup_ngram_jaccard,
+    )
+    from databricks_spark_sql_challenge1_spark.registry import QUERIES
+
+    rows = QUERIES["dedup_ngram_methods"](spark, SF_DIR).collect()
+    jac_leg = {
+        (r["doc_1"], r["doc_2"]): r["jaccard"]
+        for r in rows
+        if r["method"] == "jaccard"
+    }
+    old_jac = {
+        (r["doc_1"], r["doc_2"]): r["jaccard"]
+        for r in dedup_ngram_jaccard(spark, SF_DIR).collect()
+    }
+    assert jac_leg == old_jac and jac_leg
+    cont_leg = {
+        (r["doc_1"], r["doc_2"]): (r["containment"], r["jaccard"])
+        for r in rows
+        if r["method"] == "containment"
+    }
+    old_cont = {
+        (r["doc_1"], r["doc_2"]): (r["containment"], r["jaccard"])
+        for r in dedup_ngram_containment(spark, SF_DIR).collect()
+    }
+    assert cont_leg == old_cont and cont_leg
 
 
 def test_rrf_score_recomputes_from_ranks(spark):

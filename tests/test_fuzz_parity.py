@@ -142,7 +142,10 @@ def _documents_only_names():
 def test_fuzz_corpus_covers_the_documents_only_surface():
     """Pin the fuzzed-name count so a new documents-only query silently
     skipping the fuzz (or a filter regression) is a conscious decision."""
-    assert len(_documents_only_names()) >= 44
+    # 43 after the r15 consolidation (dedup_ngram_jaccard +
+    # dedup_ngram_containment → the single dedup_ngram_methods surface;
+    # both legs still run, inside the consolidated query)
+    assert len(_documents_only_names()) >= 43
 
 
 def test_adversarial_corpus_oracle_parity(spark, fuzz_dir):

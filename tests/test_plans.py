@@ -328,6 +328,33 @@ BNLJ_ALLOWED = {
     "zorder_range_writer",
 }
 
+def test_round15_operators_plan_shapes(spark):
+    """Round-15 operators: the consolidated n-gram method surface must run
+    ONE shared scored-pair pipeline — its plan holds exactly as many
+    hot-shingle LeftAnti cuts as a SINGLE retired standalone leg (the
+    static plan repeats the shingle subtree per self-join/sizes
+    reference; AQE exchange reuse collapses those at runtime — what the
+    pin must catch is a UNION of both standalone plans, which would show
+    DOUBLE); the embedding-side incremental admission must generate
+    candidates through the (band, band_val) equi-join, never a cartesian
+    or full self-join of the vectors."""
+    from databricks_spark_sql_challenge1_spark.operators.dedup import (
+        dedup_embedding_incremental,
+        dedup_ngram_jaccard,
+        dedup_ngram_methods,
+    )
+
+    plan = formatted_plan(dedup_ngram_methods(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    one_leg = formatted_plan(dedup_ngram_jaccard(spark, SF_DIR))
+    key = "BroadcastHashJoin LeftAnti"
+    assert plan.count(key) == one_leg.count(key) > 0, plan
+
+    plan2 = formatted_plan(dedup_embedding_incremental(spark, SF_DIR))
+    assert "CartesianProduct" not in plan2
+    assert "band_val" in plan2, plan2
+
+
 # Streaming queries run a real stream to a memory sink; their returned
 # frame is a sink scan, so there is no logical plan to audit here (their
 # plan-relevant batch shapes are covered by the batch twins above and the
