@@ -114,5 +114,15 @@ def last_order_datetime(spark: SparkSession, sf_dir: str) -> _dt.datetime:
             .agg(F.max("o_orderdate").alias("last_datetime"))
             .first()
         )
+        if row["last_datetime"] is None:
+            # MAX over an empty (or all-NULL-date) orders table is NULL;
+            # caching it would lexically splice the string "None" into
+            # every anchored trend query — fail loudly at the source
+            # instead (engine contract: non-empty base tables, same
+            # assumption the reference's py:78-82 scalar pull makes).
+            raise ValueError(
+                f"orders at {sf_dir} has no o_orderdate rows: the trend "
+                "anchor MAX(o_orderdate) is undefined"
+            )
         _ANCHOR_CACHE[sf_dir] = row["last_datetime"]
     return _ANCHOR_CACHE[sf_dir]

@@ -77,3 +77,22 @@ def test_heal_casts_ntz(spark):
         dt.datetime(2001, 8, 1, 12, 0, 0, tzinfo=dt.timezone.utc).timestamp()
         * 1_000_000
     )
+
+
+def test_empty_orders_anchor_fails_loudly(spark, tmp_path):
+    """MAX(o_orderdate) over an empty orders table is NULL; caching it
+    would splice the literal string "None" into every anchored trend
+    query (a baffling downstream AnalysisException). The anchor pull must
+    raise a clear ValueError at the source instead — and must NOT poison
+    the per-sf_dir cache with the None."""
+    import duckdb
+    import pytest
+
+    d = str(tmp_path)
+    duckdb.connect().execute(
+        f"COPY (SELECT * FROM '/root/testdata/sf0.001/orders.parquet' "
+        f"LIMIT 0) TO '{d}/orders.parquet' (FORMAT PARQUET)"
+    )
+    with pytest.raises(ValueError, match="anchor MAX\\(o_orderdate\\)"):
+        catalog.last_order_datetime(spark, d)
+    assert d not in catalog._ANCHOR_CACHE
