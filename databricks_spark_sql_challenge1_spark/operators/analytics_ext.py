@@ -1362,7 +1362,13 @@ def orders_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "check_name",
         "violations",
         "checked",
-        F.round(F.col("violations") / F.col("checked"), 6).alias("viol_rate"),
+        # try_divide, not /: a DQ audit over an empty slice (checked = 0)
+        # must report its expectation rows with NULL rates, not ANSI-abort
+        # — DuckDB's x/0 is NULL (r15 empty-warehouse probe; the same
+        # ANSI-kill-vs-NULL class as the r13/r14 fuzz finds)
+        F.round(F.try_divide(F.col("violations"), F.col("checked")), 6).alias(
+            "viol_rate"
+        ),
     ).orderBy(F.col("check_name").asc())
 
 

@@ -358,6 +358,11 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:
+        # an empty edge set has no nodes: the natural result is the empty
+        # (id, r) frame — same as the oracle's — not a 1/0 driver crash
+        # (r15 empty-warehouse probe)
+        return nodes.select("id", F.lit(0.0).alias("r"))
     ranks = nodes.select("id", F.lit(1.0 / n).alias("r"))
     base = (1.0 - damping) / n
     for _ in range(iters):

@@ -627,6 +627,10 @@ def _cosine_broadcast(spark: SparkSession, e: DataFrame) -> DataFrame:
     import pandas as pd
 
     corpus = e.toPandas()
+    if not len(corpus):
+        # np.stack([]) raises; the natural all-pairs result is zero pairs
+        # (r15 empty-warehouse probe)
+        return _empty_pairs(spark)
     ids_all = corpus["vec_id"].to_numpy()
     M = np.stack([np.asarray(v, dtype="float64") for v in corpus["embedding"]])
     # zero-norm convention (functions/vectors.cosine, r13 fuzz): a zero
@@ -1067,8 +1071,24 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     if e.count() > EMB_LSH_SATURATION_VECS:
         return dedup_embedding_lsh_adaptive(spark, sf_dir)
-    dim = len(e.select("embedding").head()[0])
+    dim = _emb_dim(e)
+    if dim is None:
+        return _empty_pairs(spark)
     return _emb_lsh_pairs(spark, e, _lsh_planes(dim), EMB_LSH_BITS)
+
+
+def _emb_dim(e: DataFrame) -> int | None:
+    """Vector dimensionality off the first row (bounded driver pull), or
+    None on an empty corpus — ``head()[0]`` on an empty table is a
+    baffling NoneType TypeError (r15 empty-warehouse probe)."""
+    row = e.select("embedding").head()
+    return None if row is None else len(row[0])
+
+
+def _empty_pairs(spark: SparkSession) -> DataFrame:
+    """The natural near-dup result for an empty corpus: zero pairs, same
+    schema — what every embedding-pair oracle returns on empty input."""
+    return spark.createDataFrame([], "vec_1 long, vec_2 long, cosine double")
 
 
 def _emb_signatures(
@@ -1300,7 +1320,9 @@ def dedup_embedding_lsh_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_extensions.py).
     """
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    dim = len(e.select("embedding").head()[0])
+    dim = _emb_dim(e)
+    if dim is None:
+        return _empty_pairs(spark)
     bits = _emb_lsh_bits(e.count())
     wide = _lsh_planes_wide(dim)
     cols = [
@@ -1406,7 +1428,11 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same O(batch) admission cost as the text-side check.
     """
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    dim = len(e.select("embedding").head()[0])
+    dim = _emb_dim(e)
+    if dim is None:
+        return spark.createDataFrame(
+            [], "vec_id long, n_near_dups long, is_dup boolean, max_cosine double"
+        )
     bits = _emb_lsh_bits(
         e.where(F.col("vec_id") % INCREMENTAL_MOD != 0).count()
     )

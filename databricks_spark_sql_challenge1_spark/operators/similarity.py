@@ -957,7 +957,10 @@ def dedup_semantic_sqrtk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _emb(spark, sf_dir)
     n = e.count()  # bounded driver scalar (anchor-pull pattern)
-    stride = math.ceil(n / math.ceil(math.sqrt(n)))
+    # n = 0 would be 0/0 on the driver; any stride works on an empty
+    # corpus (the oracle's NULL stride filters everything the same way —
+    # r15 empty-warehouse probe)
+    stride = math.ceil(n / math.ceil(math.sqrt(n))) if n else 1
     cent = e.where(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
     )

@@ -173,7 +173,23 @@ ROWS_ONLY_STAND_INS: dict[str, str] = {
 #     dedup_ngram_jaccard (r14 evidence) + dedup_ngram_containment
 #     (r13 evidence, replaced in this cohort) registrations: both legs
 #     verbatim over ONE shared scored-pair pipeline.
-# 48 names total, leaving 2 free head slots for round-16 changes.
+# PLUS the three names the r15 empty-warehouse probe-and-fix campaign
+# changed after the r15 window was spent (changed-query rule):
+#   * orders_dq_audit — try_divide fix for the checked=0 ANSI-kill (a
+#     real degenerate-input bug; was already in this cohort, moved to
+#     the heads);
+#   * dedup_semantic_sqrtk — driver-side 0/0 stride guard (r14
+#     evidence, pulled forward);
+#   * dedup_embedding_cosine — empty-corpus natural-empty guard (r14
+#     evidence, pulled forward).
+# All three re-proven hash-identical at sf0.001/0.01/0.1 and covered by
+# tests/test_empty_warehouse.py; the other probe-fixed names
+# (copurchase_pagerank, dedup_embedding_clusters/_lsh_adaptive) sit in
+# the CURRENT r15 window and get driver rows on the new code this round.
+# 50 names total — round-16 head capacity starts at ZERO and must be
+# consolidation-funded (first candidate: the doc_fingerprint +
+# doc_rolling_fingerprint pair, both r15-window names, eligible from
+# r16).
 # Capacity math after this round's net-zero registration delta
 # (+streaming_parity_ingest_e2e +dedup_embedding_incremental
 # +dedup_ngram_methods −dedup_ngram_jaccard −dedup_ngram_containment):
@@ -185,6 +201,9 @@ ROWS_ONLY_STAND_INS: dict[str, str] = {
 NEXT_WINDOW: tuple[str, ...] = (
     "dedup_embedding_incremental",
     "dedup_ngram_methods",
+    "orders_dq_audit",
+    "dedup_semantic_sqrtk",
+    "dedup_embedding_cosine",
     "corpus_bpe_encode",
     "corpus_bpe_merges",
     "corpus_mixture_weights",
@@ -225,7 +244,6 @@ NEXT_WINDOW: tuple[str, ...] = (
     "multimodal_png_roundtrip",
     "multimodal_wav_parse",
     "orc_roundtrip_checksum",
-    "orders_dq_audit",
     "retrieval_hybrid_rrf",
     "scd2_customer_history",
     "similarity_ann_methods",

@@ -1,0 +1,138 @@
+"""Empty-warehouse contract (round 15): every oracle-backed query run
+against an ALL-EMPTY warehouse (all 10 tables present with their real
+schemas, zero rows — the degenerate end a 100 TB deployment meets as
+empty partitions, fresh environments, and dry-run slices) must either
+
+  * AGREE with its DuckDB oracle (almost always both-empty; scalar count
+    surfaces agree on their zero rows), or
+  * raise the documented anchor ValueError (the trend anchor
+    MAX(o_orderdate) is undefined on an empty orders table —
+    catalog.last_order_datetime fails loudly by design), or
+  * sit in one of the two MEASURED, pinned engine-divergence classes
+    below — both out of contract, kept visible here so an engine upgrade
+    that moves them fails this test instead of a driver hash check.
+
+The r15 probe that produced this pin also found and fixed four real
+degenerate-input defects (the probe-then-fix protocol of the r13/r14
+fuzz campaigns, applied to the empty end):
+  * orders_dq_audit ANSI-aborted on violations/checked with checked = 0
+    where DuckDB reports the 10 expectation rows with NULL rates — the
+    standing x/0 ANSI-kill-vs-NULL class; fixed with try_divide (a DQ
+    audit over an empty slice is a legitimate production run);
+  * copurchase_pagerank crashed driver-side on 1.0/n_nodes with n = 0;
+  * dedup_semantic_sqrtk crashed driver-side on ceil(0/ceil(sqrt(0)));
+  * the embedding dim pull (head()[0]) raised a bare NoneType TypeError
+    in three LSH queries and np.stack([]) raised in the cosine baseline —
+    all now return the natural empty result, matching their oracles.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+ANCHOR_MSG = "anchor MAX(o_orderdate)"
+
+# Measured r15 (pinned, out of contract): Spark's CUBE/ROLLUP/GROUPING
+# SETS over EMPTY input emit NO rows, while DuckDB emits the grand-total
+# row (the global-aggregate grouping set aggregates the empty input to
+# one row, like a bare SELECT COUNT(*)). Both are defensible readings;
+# the engines simply differ, and no non-empty input can reach the case.
+GRAND_ROW_DIVERGENT = {
+    "cube_order_summary",
+    "rollup_order_values",
+    "events_time_rollup",
+}
+
+# Measured r15 (pinned, out of contract): the metric-per-row sketch audit
+# emits its 3 rows on both engines, but Spark's count/audit cells are
+# NULL where DuckDB yields 0/True — empty-input aggregate shape, same
+# family as the grand-row class.
+SHAPE_DIVERGENT = {"customer_rfm_segments_approx"}
+
+
+@pytest.fixture(scope="module")
+def empty_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("emptywh"))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"COPY (SELECT * FROM '/root/testdata/sf0.001/{t}.parquet' "
+            f"LIMIT 0) TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    return d
+
+
+def test_empty_warehouse_contract(spark, empty_dir):
+    import __spark_entry__ as entry
+
+    q, o = entry.queries(), entry.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{empty_dir}/{t}.parquet'"
+        )
+    bad, anchored = [], []
+    for name in sorted(o):
+        try:
+            srows = sorted(
+                tuple(str(x) for x in r)
+                for r in q[name](spark, empty_dir).collect()
+            )
+        except ValueError as exc:
+            if ANCHOR_MSG in str(exc):
+                anchored.append(name)
+                continue
+            bad.append((name, f"spark-err: {str(exc)[:90]}"))
+            continue
+        except Exception as exc:  # noqa: BLE001 — collect all failures
+            bad.append((name, f"spark-err: {type(exc).__name__}: {str(exc)[:90]}"))
+            continue
+        drows = sorted(
+            tuple(str(x) for x in r) for r in con.execute(o[name]).fetchall()
+        )
+        if name in GRAND_ROW_DIVERGENT:
+            ok = len(srows) == 0 and len(drows) == 1
+            if not ok:
+                bad.append((name, f"grand-row pin moved: {len(srows)} vs {len(drows)}"))
+        elif name in SHAPE_DIVERGENT:
+            if len(srows) != len(drows):
+                bad.append((name, f"shape pin moved: {len(srows)} vs {len(drows)}"))
+        elif srows != drows:
+            first = next(
+                (f"{a[:4]} vs {b[:4]}" for a, b in zip(srows, drows) if a != b),
+                f"row counts {len(srows)} vs {len(drows)}",
+            )
+            bad.append((name, f"diff: {first}"))
+    con.close()
+    assert bad == []
+    # the anchored trend surface is exactly the set that rides
+    # catalog.last_order_datetime — a new anchored query lands here
+    assert sorted(anchored) == [
+        "abandonment_by_day",
+        "abandonment_by_month",
+        "abandonment_mom_increase",
+        "abandonment_yoy_increase",
+        "dashboard_day_assembly",
+        "dashboard_month_assembly",
+        "launch_month_orders",
+        "launch_year_orders",
+        "nations_by_customer",
+        "nations_by_expr_key",
+        "nations_by_supplier",
+        "scd2_cdc_apply",
+    ]

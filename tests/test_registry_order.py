@@ -36,6 +36,13 @@ MUST_VERIFY = {
     # full replay -> idempotent bronze landing -> sessionized silver ->
     # per-user gold rollup, hash-checked against the batch oracle
     "streaming_parity_ingest_e2e",
+    # changed mid-r15 (empty-warehouse probe fixes) and already in the
+    # window — the upcoming driver run must row-check the NEW code:
+    # pagerank's n=0 guard, and the shared _emb_dim natural-empty guard
+    # in the two embedding-LSH queries
+    "copurchase_pagerank",
+    "dedup_embedding_clusters",
+    "dedup_embedding_lsh_adaptive",
 }
 
 
