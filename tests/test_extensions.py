@@ -622,6 +622,40 @@ def test_containment_dominates_jaccard(spark):
         assert r["jaccard"] <= r["containment"] <= 1.0, r
 
 
+def test_embedding_incremental_sound_and_recall_floor(spark):
+    """The incremental admission check is SOUND by construction (every
+    candidate is verified with the exact DOUBLE cosine, so n_near_dups
+    can never exceed the exact cross-split near-dup count) and its LSH
+    recall at the fixture's deliberately loose 0.4 threshold (per-bit
+    agreement ≈ 0.63) stays above a measured floor — 0.783 measured at
+    sf0.001; at a production 0.99 dup threshold the same 12-band config
+    holds recall ≈ 1 (the dedup_embedding_lsh_adaptive envelope)."""
+    from collections import Counter
+
+    from databricks_spark_sql_challenge1_spark.operators.dedup import (
+        INCREMENTAL_MOD,
+    )
+    from databricks_spark_sql_challenge1_spark.registry import QUERIES
+
+    inc = {
+        r["vec_id"]: r
+        for r in QUERIES["dedup_embedding_incremental"](spark, SF_DIR).collect()
+    }
+    exact_counts = Counter()
+    for r in QUERIES["dedup_embedding_cosine"](spark, SF_DIR).collect():
+        a, b = r["vec_1"], r["vec_2"]
+        if (a % INCREMENTAL_MOD == 0) != (b % INCREMENTAL_MOD == 0):
+            exact_counts[a if a % INCREMENTAL_MOD == 0 else b] += 1
+    assert inc and exact_counts
+    for v, row in inc.items():
+        assert row["n_near_dups"] <= exact_counts.get(v, 0), (v, row)
+        if row["is_dup"]:
+            assert v in exact_counts  # no false positives, ever
+    flagged = {v for v, r in inc.items() if r["is_dup"]}
+    recall = len(flagged & set(exact_counts)) / len(exact_counts)
+    assert recall >= 0.6, recall
+
+
 def test_ngram_methods_legs_match_retired_standalones(spark):
     """The r15 consolidation contract: each leg of ``dedup_ngram_methods``
     must reproduce the retired standalone registration's pair set and
