@@ -136,3 +136,58 @@ def test_empty_warehouse_contract(spark, empty_dir):
         "nations_by_supplier",
         "scd2_cdc_apply",
     ]
+
+
+@pytest.fixture(scope="module")
+def onerow_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("onerowwh"))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"COPY (SELECT * FROM '/root/testdata/sf0.001/{t}.parquet' "
+            f"LIMIT 1) TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    return d
+
+
+def test_onerow_warehouse_exact_parity(spark, onerow_dir):
+    """Minimal-N end of the degenerate spectrum: ONE row per table —
+    single-row aggregates (sample stddev NULL, percentile = the value),
+    broken referential integrity (the one lineitem row need not match
+    the one order row → every join-miss NULL path at once), a
+    single-vector corpus, a single-document corpus, N=1 adaptive
+    formulas. Measured r15: ALL oracle-backed queries agree bit-for-bit
+    with their DuckDB oracles here, with NO divergence classes and no
+    contract exclusions — pinned strictly, so any minimal-N regression
+    (an interpolation edge, a stddev NULL path, a clamp formula) fails
+    this test before it can reach a driver hash check."""
+    import __spark_entry__ as entry
+
+    q, o = entry.queries(), entry.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{onerow_dir}/{t}.parquet'"
+        )
+    bad = []
+    for name in sorted(o):
+        try:
+            srows = sorted(
+                tuple(str(x) for x in r)
+                for r in q[name](spark, onerow_dir).collect()
+            )
+        except Exception as exc:  # noqa: BLE001 — collect all failures
+            bad.append((name, f"spark-err: {type(exc).__name__}: {str(exc)[:90]}"))
+            continue
+        drows = sorted(
+            tuple(str(x) for x in r) for r in con.execute(o[name]).fetchall()
+        )
+        if srows != drows:
+            first = next(
+                (f"{a[:4]} vs {b[:4]}" for a, b in zip(srows, drows) if a != b),
+                f"row counts {len(srows)} vs {len(drows)}",
+            )
+            bad.append((name, f"diff: {first}"))
+    con.close()
+    assert bad == []
