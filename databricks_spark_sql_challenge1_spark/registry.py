@@ -62,148 +62,28 @@ def query(name: str, oracle: str | None = None):
 #     rotation already produces. tests/test_registry_order.py enforces the
 #     stand-in invariant.
 #
-# Round-15 window, in priority order (spends the r14-committed NEXT_WINDOW
-# exactly as pinned — VERDICT r14 #1 — with the 2 free head slots placed
-# per VERDICT r14 #2/#5):
-#   0. changed/new this round, changed-query rule first: the zorder pair
-#      (round-14-end _prune_audit extraction; zorder_range_writer
-#      additionally changed its row contract — zero-match predicates now
-#      survive with zero counts), events_hourly_anomaly (r14 try_divide
-#      fuzz fix, windows.py — changed code must not wait for its r16
-#      cadence slot on local-only evidence), and the new r15
-#      streaming_parity_ingest_e2e (raw arrivals + full replay →
-#      idempotent bronze landing → sessionized silver → gold rollup,
-#      hash-checked against the batch oracle — the pipeline shape the
-#      parity twins covered only piecewise).
-#   1. the committed r15 cohort: the complete 46-name
-#      latest-r12-evidence set (NEXT_WINDOW as committed at r14).
+# Round-16 window, in priority order (spends the r15-committed NEXT_WINDOW
+# exactly as pinned — VERDICT r15 #1):
+#   0. the two mid-r15 registrations with ZERO driver evidence, first
+#      (changed-query rule: registered after the r15 window was spent):
+#      dedup_embedding_incremental (embedding-side incremental admission)
+#      and dedup_ngram_methods (consolidated jaccard+containment pair).
+#   1. the three names the r15 empty-warehouse campaign changed after the
+#      window was spent: orders_dq_audit (try_divide ANSI-kill fix),
+#      dedup_semantic_sqrtk (0/0 stride guard), dedup_embedding_cosine
+#      (empty-corpus natural-empty guard).
+#   2. the committed r16 cohort: the complete 45-name remaining
+#      latest-r13-evidence set (orders_dq_audit was the 46th, moved to
+#      the heads above).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # 0: changed/new this round
-    "zorder_range_writer",
-    "zorder_file_skipping",
-    "events_hourly_anomaly",
-    "streaming_parity_ingest_e2e",
-    # 1: the committed r15 cohort (registry.NEXT_WINDOW as of r14)
-    "abandonment_by_day",
-    "abandonment_by_month",
-    "abandonment_mom_increase",
-    "abandonment_yoy_increase",
-    "approx_price_percentiles",
-    "approx_topk_products",
-    "copurchase_lift",
-    "copurchase_pagerank",
-    "copurchase_triangles",
-    "corpus_filter_pipeline",
-    "corpus_temperature_mixture",
-    "corpus_vocabulary",
-    "customer_rfm_segments",
-    "dedup_cluster_components",
-    "dedup_embedding_clusters",
-    "dedup_embedding_lsh_adaptive",
-    "doc_fingerprint",
-    "doc_rolling_fingerprint",
-    "docs_chunk_windows",
-    "docs_contamination",
-    "docs_lang_rebalance",
-    "docs_repetition_stats",
-    "docs_split_assign",
-    "docs_stratified_sample",
-    "lang_id_heuristic",
-    "lang_stats",
-    "launch_cohort_analysis",
-    "launch_month_orders",
-    "multimodal_audio_pcm_stats",
-    "multimodal_features",
-    "multimodal_flac_roundtrip",
-    "nations_by_customer",
-    "nations_by_expr_key",
-    "nations_by_supplier",
-    "orders_unpivot_metrics",
-    "partkey_skew_histogram",
-    "similarity_pq_rerank",
-    "similarity_recall_audit",
-    "similarity_topk",
-    "streaming_parity_lateness",
-    "text_tfidf_top_terms",
-    "tfidf_doc_neighbors",
-    "token_budget_pack",
-    "top_abandoned_pairs",
-    "top_abandoned_products",
-    "top_abandoned_products_salted",
-    # --- window boundary: 50 names above (tests/test_registry_order.py) ---
-)
-
-# Rows-only queries are rotation-exempt: each name's semantics are
-# hash-checked every rotation by the oracle-backed stand-in on the right
-# (the parity twins replay the SAME stateful pipeline against the batch
-# oracle; dedup_minhash_portable is the oracle-exact re-implementation of
-# the spark.ml MinHashLSH demo). tests/test_registry_order.py asserts every
-# rows-only name is listed here and every stand-in is registered WITH an
-# oracle, so the exemption can never silently widen.
-ROWS_ONLY_STAND_INS: dict[str, str] = {
-    "dedup_minhash_lsh": "dedup_minhash_portable",
-    # the production repartitionByRange Z-order writer samples its range
-    # split points (nondeterministic file assignment — not oracle-
-    # reproducible); the ntile audit runs the identical zone-map pruning
-    # arithmetic deterministically and is hash-checked on the rotation
-    "zorder_range_writer": "zorder_file_skipping",
-    "streaming_click_attribution": "streaming_parity_click_attribution",
-    "streaming_dedup_events": "streaming_parity_dedup",
-    "streaming_gap_monitor": "streaming_parity_gap_monitor",
-    "streaming_incremental_dedup": "streaming_parity_incremental_dedup",
-    "streaming_nation_activity": "streaming_parity_nation_activity",
-    "streaming_session_30m": "streaming_parity_session_30m",
-    "streaming_tumbling_1h": "streaming_parity_tumbling_1h",
-    "streaming_user_state": "streaming_parity_user_state",
-}
-
-# Committed round-16 window (the rotation the NEXT round starts from; the
-# phase-aware age gate uses this once CORRECTNESS_r15.json lands): the
-# complete latest-r13-evidence oracle-backed cohort — 46 names (computed
-# from the CORRECTNESS_r01..r15 ledger assuming the r15 window above runs
-# green; includes the r13 heads text_entropy, docs_weighted_sample,
-# scd2_customer_history, similarity_ann_methods, dedup_simhash_methods,
-# corpus_bpe_merges/_encode) — PLUS the two mid-r15 registrations placed
-# first (changed-query rule: the r15 window was already fully spent when
-# they landed, so their first driver rows are r16 heads):
-#   * dedup_embedding_incremental — embedding-side incremental admission
-#     (VERDICT r14 #5 alternative), adaptive-band hyperplane LSH probe of
-#     the ingested corpus's band index;
-#   * dedup_ngram_methods — consolidation of the retired standalone
-#     dedup_ngram_jaccard (r14 evidence) + dedup_ngram_containment
-#     (r13 evidence, replaced in this cohort) registrations: both legs
-#     verbatim over ONE shared scored-pair pipeline.
-# PLUS the three names the r15 empty-warehouse probe-and-fix campaign
-# changed after the r15 window was spent (changed-query rule):
-#   * orders_dq_audit — try_divide fix for the checked=0 ANSI-kill (a
-#     real degenerate-input bug; was already in this cohort, moved to
-#     the heads);
-#   * dedup_semantic_sqrtk — driver-side 0/0 stride guard (r14
-#     evidence, pulled forward);
-#   * dedup_embedding_cosine — empty-corpus natural-empty guard (r14
-#     evidence, pulled forward).
-# All three re-proven hash-identical at sf0.001/0.01/0.1 and covered by
-# tests/test_empty_warehouse.py; the other probe-fixed names
-# (copurchase_pagerank, dedup_embedding_clusters/_lsh_adaptive) sit in
-# the CURRENT r15 window and get driver rows on the new code this round.
-# 50 names total — round-16 head capacity starts at ZERO and must be
-# consolidation-funded (first candidate: the doc_fingerprint +
-# doc_rolling_fingerprint pair, both r15-window names, eligible from
-# r16).
-# Capacity math after this round's net-zero registration delta
-# (+streaming_parity_ingest_e2e +dedup_embedding_incremental
-# +dedup_ngram_methods −dedup_ngram_jaccard −dedup_ngram_containment):
-# 146 oracle-backed names / 3-round cadence ≈ 48.7 refresh slots per
-# round. The four r14 heads (events_gapfill_methods, embedding_profile,
-# scd2_cdc_apply, customers_kmv_setops) carry r14 evidence and rotate on
-# the r17 cadence; the r15 heads (the zorder pair, events_hourly_anomaly,
-# streaming_parity_ingest_e2e) rotate on the r18 cadence.
-NEXT_WINDOW: tuple[str, ...] = (
+    # 0: never-driver-checked mid-r15 registrations
     "dedup_embedding_incremental",
     "dedup_ngram_methods",
+    # 1: changed post-window in r15 (empty-warehouse fixes)
     "orders_dq_audit",
     "dedup_semantic_sqrtk",
     "dedup_embedding_cosine",
+    # 2: the committed r16 cohort (registry.NEXT_WINDOW as of r15)
     "corpus_bpe_encode",
     "corpus_bpe_merges",
     "corpus_mixture_weights",
@@ -249,6 +129,93 @@ NEXT_WINDOW: tuple[str, ...] = (
     "similarity_ann_methods",
     "text_entropy",
     "topk_products_cms",
+    # --- window boundary: 50 names above (tests/test_registry_order.py) ---
+)
+
+# Rows-only queries are rotation-exempt: each name's semantics are
+# hash-checked every rotation by the oracle-backed stand-in on the right
+# (the parity twins replay the SAME stateful pipeline against the batch
+# oracle; dedup_minhash_portable is the oracle-exact re-implementation of
+# the spark.ml MinHashLSH demo). tests/test_registry_order.py asserts every
+# rows-only name is listed here and every stand-in is registered WITH an
+# oracle, so the exemption can never silently widen.
+ROWS_ONLY_STAND_INS: dict[str, str] = {
+    "dedup_minhash_lsh": "dedup_minhash_portable",
+    # the production repartitionByRange Z-order writer samples its range
+    # split points (nondeterministic file assignment — not oracle-
+    # reproducible); the ntile audit runs the identical zone-map pruning
+    # arithmetic deterministically and is hash-checked on the rotation
+    "zorder_range_writer": "zorder_file_skipping",
+    "streaming_click_attribution": "streaming_parity_click_attribution",
+    "streaming_dedup_events": "streaming_parity_dedup",
+    "streaming_gap_monitor": "streaming_parity_gap_monitor",
+    "streaming_incremental_dedup": "streaming_parity_incremental_dedup",
+    "streaming_nation_activity": "streaming_parity_nation_activity",
+    "streaming_session_30m": "streaming_parity_session_30m",
+    "streaming_tumbling_1h": "streaming_parity_tumbling_1h",
+    "streaming_user_state": "streaming_parity_user_state",
+}
+
+# Committed round-17 window (the rotation the NEXT round starts from; the
+# phase-aware age gate uses this once CORRECTNESS_r16.json lands): the
+# complete latest-r14-evidence oracle-backed cohort — 47 names, computed
+# from the CORRECTNESS_r01..r16 ledger assuming the r16 window above runs
+# green (includes the four r14 heads events_gapfill_methods,
+# embedding_profile, scd2_cdc_apply, customers_kmv_setops, and the 8
+# streaming parity twins verified r14). 47 names leaves 3 head slots for
+# round-17 changed/new names — fill them at r17 start per the changed-
+# query rule; if none, promote the oldest r15-evidence names.
+# Capacity math: 146 oracle-backed names / 3-round cadence ≈ 48.7 refresh
+# slots per round. The r15 heads (the zorder pair, events_hourly_anomaly,
+# streaming_parity_ingest_e2e) rotate on the r18 cadence.
+NEXT_WINDOW: tuple[str, ...] = (
+    "calendar_dim",
+    "clean_orders",
+    "copurchase_components",
+    "corpus_dedup_pipeline",
+    "count_distinct_orders",
+    "customers_kmv_setops",
+    "dashboard_month_assembly",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_incremental",
+    "dedup_keep_best",
+    "dedup_minhash_portable",
+    "docs_contamination_incremental",
+    "docs_substring_dedup",
+    "embedding_centroids",
+    "embedding_kmeans_refine",
+    "embedding_profile",
+    "events_gapfill_methods",
+    "events_json_nested",
+    "launch_year_orders",
+    "monthly_order_trend_lag",
+    "multimodal_avi_frames",
+    "multimodal_gif_roundtrip",
+    "multimodal_h264_nal",
+    "multimodal_jpeg_roundtrip",
+    "multimodal_mp3_frames",
+    "order_export_denorm",
+    "orders_incremental_merge",
+    "orders_no_price",
+    "pivot_status_by_priority",
+    "price_percentiles",
+    "retrieval_rrf_rerank",
+    "rollup_order_values",
+    "scd2_cdc_apply",
+    "set_ops_customers",
+    "streaming_parity_click_attribution",
+    "streaming_parity_dedup",
+    "streaming_parity_gap_monitor",
+    "streaming_parity_incremental_dedup",
+    "streaming_parity_nation_activity",
+    "streaming_parity_session_30m",
+    "streaming_parity_tumbling_1h",
+    "streaming_parity_user_state",
+    "text_quality_stats",
+    "text_simhash",
+    "text_token_stats",
+    "valid_orders",
 )
 
 

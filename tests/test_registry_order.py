@@ -22,27 +22,17 @@ DRIVER_WINDOW = 50
 # was accidentally left out of the window). Update this literal whenever
 # a query is added or its output/oracle changes.
 MUST_VERIFY = {
-    # changed r14-end (changed-query rule, VERDICT r14 #1): the round-14-end
-    # review extracted both layout queries' pruning arithmetic into the
-    # shared _prune_audit helper; zorder_range_writer additionally changed
-    # its row contract (zero-match predicates now survive with zero counts)
-    "zorder_range_writer",
-    "zorder_file_skipping",
-    # changed r14 (VERDICT r14 #2): the try_divide fuzz fix (constant-group
-    # sample-stddev=0 ANSI-kill) landed after its r14 cadence slot — pulled
-    # into an r15 head slot so the changed code gets a driver row now
-    "events_hourly_anomaly",
-    # new r15 (VERDICT r14 #5): end-to-end ingest witness — raw arrivals +
-    # full replay -> idempotent bronze landing -> sessionized silver ->
-    # per-user gold rollup, hash-checked against the batch oracle
-    "streaming_parity_ingest_e2e",
-    # changed mid-r15 (empty-warehouse probe fixes) and already in the
-    # window — the upcoming driver run must row-check the NEW code:
-    # pagerank's n=0 guard, and the shared _emb_dim natural-empty guard
-    # in the two embedding-LSH queries
-    "copurchase_pagerank",
-    "dedup_embedding_clusters",
-    "dedup_embedding_lsh_adaptive",
+    # never-driver-checked (registered mid-r15 after the r15 window was
+    # spent; VERDICT r15 #1 pins them at the head of the r16 window)
+    "dedup_embedding_incremental",
+    "dedup_ngram_methods",
+    # changed post-window in r15 (empty-warehouse probe-and-fix campaign):
+    # orders_dq_audit carries a REAL behavior fix (try_divide for the
+    # checked=0 ANSI-kill); the other two gained empty-corpus guards that
+    # are dead at sweep scale but must still be driver-rowed on new code
+    "orders_dq_audit",
+    "dedup_semantic_sqrtk",
+    "dedup_embedding_cosine",
 }
 
 
