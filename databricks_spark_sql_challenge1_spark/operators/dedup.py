@@ -1080,9 +1080,30 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _emb_dim(e: DataFrame) -> int | None:
     """Vector dimensionality off the first row (bounded driver pull), or
     None on an empty corpus — ``head()[0]`` on an empty table is a
-    baffling NoneType TypeError (r15 empty-warehouse probe)."""
+    baffling NoneType TypeError (r15 empty-warehouse probe).
+
+    FIXED-DIM ORACLE CONTRACT (ADVICE r15): every oracle-backed LSH query
+    in this family bakes its hyperplane matrix into the DuckDB SQL as
+    literals at ``EMB_LSH_DIM`` — the oracle string is built at import
+    time and cannot see the data. The Spark side deriving ``dim`` from
+    the data therefore only aligns when dim == EMB_LSH_DIM; any other
+    dimensionality would silently desync the candidate sets (or abort
+    DuckDB's list_dot_product on length mismatch). ``_require_oracle_dim``
+    turns that latent desync into a loud ValueError, the same pattern as
+    the trend-anchor guard (catalog.last_order_datetime)."""
     row = e.select("embedding").head()
     return None if row is None else len(row[0])
+
+
+def _require_oracle_dim(dim: int) -> None:
+    """Loud-fail for the fixed-dim oracle contract (see ``_emb_dim``)."""
+    if dim != EMB_LSH_DIM:
+        raise ValueError(
+            f"embedding dim {dim} != EMB_LSH_DIM {EMB_LSH_DIM}: the "
+            "oracle's hyperplane literals are baked at EMB_LSH_DIM, so "
+            "any other dimensionality would desync Spark and DuckDB "
+            "candidate sets (fixed-dim oracle contract, ADVICE r15)"
+        )
 
 
 def _empty_pairs(spark: SparkSession) -> DataFrame:
@@ -1433,6 +1454,7 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "vec_id long, n_near_dups long, is_dup boolean, max_cosine double"
         )
+    _require_oracle_dim(dim)  # oracle planes are baked at EMB_LSH_DIM
     bits = _emb_lsh_bits(
         e.where(F.col("vec_id") % INCREMENTAL_MOD != 0).count()
     )

@@ -111,3 +111,20 @@ def test_anchor_names_selects_tail_and_leads_with_calibration():
     # repeated explicit names run the median-of-3 protocol once, not twice
     assert bench._anchor_names({}, explicit=["x", "x"]) \
         == [bench.CALIBRATION_QUERY, "x"]
+
+
+def test_carry_failed_anchors_merges_previous_medians():
+    """VERDICT r15 #5 / ADVICE (b): a partial --anchors failure must carry
+    the previous file's good medians forward instead of clobbering them
+    with None — and must NOT invent a value for a name the previous file
+    never measured (or itself failed)."""
+    anchors = {"ok": 1.5, "crashed": None, "never_seen": None, "prev_null": None}
+    prev = {"crashed": 3.2, "ok": 9.9, "prev_null": None}
+    carried = bench._carry_failed_anchors(
+        anchors, ["crashed", "never_seen", "prev_null"], prev
+    )
+    assert carried == ["crashed"]
+    assert anchors["crashed"] == 3.2      # merged from previous file
+    assert anchors["ok"] == 1.5           # this run's good value untouched
+    assert anchors["never_seen"] is None  # visibly failed, not invented
+    assert anchors["prev_null"] is None   # a previous failure carries nothing

@@ -137,6 +137,55 @@ def test_emb_lsh_bits_formula():
     assert _emb_lsh_bits(10**9) == EMB_LSH_MAX_BITS
 
 
+def test_emb_lsh_bits_cross_engine_at_powers_of_two():
+    """ADVICE r15: the Spark side computes band width via Python float
+    ``2*ceil(log2 n)`` while the oracle's params CTE computes DuckDB's
+    ``2*CAST(ceil(log2 n) AS INTEGER)`` — both are float log2, and a count
+    near an exact power of two is where a libm could in principle round
+    to k−ε (ceil → k) vs exactly k (ceil → k), flipping the band width and
+    silently desyncing the candidate sets at that one corpus size. Pin
+    agreement at every power of two a corpus count could reach, plus the
+    ±1 neighbors where ceil actually steps."""
+    import duckdb
+
+    from databricks_spark_sql_challenge1_spark.operators.dedup import (
+        EMB_LSH_BITS,
+        EMB_LSH_BITS_OFFSET,
+        EMB_LSH_MAX_BITS,
+        _emb_lsh_bits,
+    )
+
+    counts = sorted(
+        {m for k in range(1, 41) for m in (2**k - 1, 2**k, 2**k + 1)}
+    )
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT n, LEAST(?, GREATEST(?, "
+        "2 * CAST(ceil(log2(GREATEST(n, 2))) AS INTEGER) - ?)) "
+        "FROM (SELECT unnest(?::BIGINT[]) AS n) ORDER BY n",
+        [EMB_LSH_MAX_BITS, EMB_LSH_BITS, EMB_LSH_BITS_OFFSET, counts],
+    ).fetchall()
+    for n, duck_bits in rows:
+        assert _emb_lsh_bits(n) == duck_bits, (n, _emb_lsh_bits(n), duck_bits)
+
+
+def test_require_oracle_dim_is_loud():
+    """The fixed-dim oracle contract (ADVICE r15): the LSH oracles bake
+    hyperplane literals at EMB_LSH_DIM, so a warehouse with any other
+    embedding dimensionality must fail loudly instead of silently
+    desyncing the Spark and DuckDB candidate sets."""
+    import pytest
+
+    from databricks_spark_sql_challenge1_spark.operators.dedup import (
+        EMB_LSH_DIM,
+        _require_oracle_dim,
+    )
+
+    _require_oracle_dim(EMB_LSH_DIM)  # the contract dimension passes
+    with pytest.raises(ValueError, match="fixed-dim oracle contract"):
+        _require_oracle_dim(EMB_LSH_DIM + 1)
+
+
 def test_pq_quantization_signal(spark):
     """PQ approximates squared-L2; on the random fixture vectors a 10-code ×
     8-subspace codebook is deliberately coarse, so the pin is signal-vs-
