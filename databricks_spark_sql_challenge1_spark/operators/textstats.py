@@ -263,32 +263,24 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "doc_rolling_fingerprint",
-    oracle=f"""
-WITH sh AS (
-    SELECT doc_id,
-           unnest(list_transform(
-               generate_series(1, greatest(len(toks) - 2, 0)),
-               i -> md5(array_to_string(toks[i:i+2], ' ')))) AS h
-    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-          FROM documents)
-)
-SELECT doc_id,
-       MIN(h) AS min_gram_hash,
-       MAX(h) AS max_gram_hash,
-       COUNT(DISTINCT h) AS n_distinct_grams
-FROM sh
-GROUP BY doc_id
-ORDER BY doc_id ASC
-""",
-)
+# Round-16 capacity policy: DEREGISTERED as a standalone name — its rows
+# ride verbatim as the rolling-leg columns of ``doc_fingerprint_methods``
+# (VERDICT r15 #6 consolidation). Callable kept importable for the
+# leg-equality pin in tests/test_quality_ops.py.
 def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style rolling fingerprint: hash every word-3-gram window,
     keep the min/max hash + distinct-gram count per document (the min-hash
     is the classic winnowing selection; identical windows → identical
     fingerprints across documents)."""
-    docs = load_table(spark, sf_dir, "documents")
+    return _rolling_fingerprint_leg(
+        load_table(spark, sf_dir, "documents")
+    ).orderBy(F.col("doc_id").asc())
+
+
+def _rolling_fingerprint_leg(docs: DataFrame) -> DataFrame:
+    """(doc_id, min_gram_hash, max_gram_hash, n_distinct_grams) — one row
+    per document with ≥ 3 tokens; shorter docs have no 3-gram window on
+    either engine and simply don't appear."""
     toks = F.split(F.trim("text"), r"\s+")
     # < 3 tokens: filtered, not clamped — Spark sequence(1, 0) descends
     # through 0 into slice(start=0) (round-13 fuzz-parity find); the
@@ -308,7 +300,6 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("h").alias("max_gram_hash"),
             F.countDistinct("h").alias("n_distinct_grams"),
         )
-        .orderBy(F.col("doc_id").asc())
     )
 
 
@@ -387,28 +378,90 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "doc_fingerprint",
-    oracle="""
-SELECT doc_id,
-       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
-       CAST(CAST('0x' || substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 15)
-            AS UBIGINT) AS BIGINT) AS fingerprint_int
-FROM documents
-ORDER BY doc_id ASC
-""",
-)
+# Round-16 capacity policy: DEREGISTERED as a standalone name — its rows
+# ride verbatim as the md5-leg columns of ``doc_fingerprint_methods``.
+# Callable kept importable for the leg-equality pin.
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable per-document fingerprint (md5 of normalized text) + a 60-bit
     integer form for compact joins/bloom filters at scale."""
-    docs = load_table(spark, sf_dir, "documents")
+    return _md5_fingerprint_leg(
+        load_table(spark, sf_dir, "documents")
+    ).orderBy(F.col("doc_id").asc())
+
+
+def _md5_fingerprint_leg(docs: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint, fingerprint_int) — every document, the exact
+    dedup key family (md5 of whitespace-normalized lowercase text plus its
+    60-bit integer form for compact joins/bloom filters)."""
     norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
     fp = F.md5(norm)
     return docs.select(
         "doc_id",
         fp.alias("fingerprint"),
         F.conv(F.substring(fp, 1, 15), 16, 10).cast("bigint").alias("fingerprint_int"),
-    ).orderBy(F.col("doc_id").asc())
+    )
+
+
+@query(
+    "doc_fingerprint_methods",
+    oracle="""
+WITH base AS (
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 0)),
+               i -> md5(array_to_string(toks[i:i+2], ' ')))) AS h
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+          FROM documents)
+),
+roll AS (
+    SELECT doc_id,
+           MIN(h) AS min_gram_hash,
+           MAX(h) AS max_gram_hash,
+           COUNT(DISTINCT h) AS n_distinct_grams
+    FROM sh
+    GROUP BY doc_id
+)
+SELECT b.doc_id,
+       b.fp AS fingerprint,
+       CAST(CAST('0x' || substr(b.fp, 1, 15) AS UBIGINT) AS BIGINT)
+           AS fingerprint_int,
+       r.min_gram_hash,
+       r.max_gram_hash,
+       r.n_distinct_grams
+FROM base b
+LEFT JOIN roll r ON r.doc_id = b.doc_id
+ORDER BY b.doc_id ASC
+""",
+)
+def doc_fingerprint_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-fingerprint method surface (round-16 consolidation of the
+    standalone ``doc_fingerprint`` + ``doc_rolling_fingerprint``
+    registrations): the exact-dedup md5 family and the winnowing-style
+    rolling 3-gram family side by side, one row per document.
+
+    Each leg's values are exactly the retired registration's rows
+    (leg-equality pinned in tests/test_quality_ops.py); documents with
+    fewer than 3 tokens have no 3-gram window on either engine, so their
+    rolling columns are NULL (left join), where the retired rolling query
+    simply omitted them.
+
+    Scale shape: the md5 leg is a pure narrow projection; the rolling leg
+    is one explode + one doc_id aggregation (map-side combinable); the
+    left join re-keys on doc_id, the table's natural key — at 100 TB all
+    three stages co-partition on doc_id with zero extra shuffles beyond
+    the rolling leg's own aggregation exchange.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        _md5_fingerprint_leg(docs)
+        .join(_rolling_fingerprint_leg(docs), "doc_id", "left")
+        .orderBy(F.col("doc_id").asc())
+    )
 
 
 # vocabulary: cap far above the fixture vocab (~60 terms) so the query is

@@ -162,13 +162,29 @@ ROWS_ONLY_STAND_INS: dict[str, str] = {
 # from the CORRECTNESS_r01..r16 ledger assuming the r16 window above runs
 # green (includes the four r14 heads events_gapfill_methods,
 # embedding_profile, scd2_cdc_apply, customers_kmv_setops, and the 8
-# streaming parity twins verified r14). 47 names leaves 3 head slots for
-# round-17 changed/new names — fill them at r17 start per the changed-
-# query rule; if none, promote the oldest r15-evidence names.
+# streaming parity twins verified r14). The 3 head slots carry the
+# round-16 changed/new names (changed-query rule — the r16 window was
+# already committed and fully spent when these landed, the r15
+# precedent):
+#   * doc_fingerprint_methods — round-16 consolidation of the retired
+#     doc_fingerprint + doc_rolling_fingerprint registrations (both legs
+#     verbatim, leg-equality test-pinned, funding rule VERDICT r15 #6);
+#   * streaming_parity_ingest_adversarial — NEW adversarial-arrival
+#     ingest witness (out-of-order / late-beyond-watermark / partially-
+#     overlapping / within-batch-duplicate shards, same batch oracle);
+#   * streaming_parity_ingest_e2e — CHANGED: its landing/sessionize tail
+#     refactored into helpers shared with the adversarial witness, and
+#     the idempotent landing now also collapses within-batch duplicates
+#     (r15 evidence is pre-refactor; re-proven hash-identical at
+#     sf0.001/0.01/0.1).
 # Capacity math: 146 oracle-backed names / 3-round cadence ≈ 48.7 refresh
-# slots per round. The r15 heads (the zorder pair, events_hourly_anomaly,
-# streaming_parity_ingest_e2e) rotate on the r18 cadence.
+# slots per round (the fingerprint retirement pair funds the adversarial
+# witness — net-zero registration delta). The other r15 heads (the
+# zorder pair, events_hourly_anomaly) rotate on the r18 cadence.
 NEXT_WINDOW: tuple[str, ...] = (
+    "doc_fingerprint_methods",
+    "streaming_parity_ingest_adversarial",
+    "streaming_parity_ingest_e2e",
     "calendar_dim",
     "clean_orders",
     "copurchase_components",

@@ -57,39 +57,47 @@ def ingest_events_idempotent(
     return spark.read.parquet(sink_dir).count()
 
 
-def _land_events_with_replay(
-    spark: SparkSession, sf_dir: str, scratch: str
-) -> str:
-    """Stage the events fixture as TWO arrival shards — the original batch
-    and a byte-identical full replay (the crash/retry worst case: every
-    event arrives twice, in a later micro-batch, beyond any watermark
-    horizon) — then drain them through the idempotent ``foreachBatch``
-    landing (anti-join on ``event_id`` against the already-landed set) into
-    a bronze parquet dir, one file per micro-batch (``maxFilesPerTrigger=1``,
-    mtime-ordered). Returns the bronze dir; the replay shard must land ZERO
-    rows, so bronze holds each event exactly once.
-
-    Scale shape: the per-batch anti-join here reads the sink directly; at
-    100 TB the landed-key lookup is a Delta MERGE / key-index anti-join
-    (bucketed by event_id), same dataflow — O(batch) probe work either way,
-    never O(history) rewrite.
-    """
-    events = load_table(spark, sf_dir, "events").select(
+def _staged_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events fixture in landing shape: integer cents computed JVM-side
+    BEFORE staging so every downstream accumulation is exact (CLAUDE.md
+    cents rule)."""
+    return load_table(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
         "ts",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    raw_dir = os.path.join(scratch, "raw")
-    os.makedirs(raw_dir)
-    for i in range(2):  # arrival 0 = original batch, arrival 1 = full replay
-        phase_dir = os.path.join(scratch, f"phase{i}")
-        events.coalesce(1).write.parquet(phase_dir)
-        (part,) = glob.glob(os.path.join(phase_dir, "part-*.parquet"))
-        dst = os.path.join(raw_dir, f"arrival{i}.parquet")
-        shutil.move(part, dst)
-        # distinct mtimes pin the file-source processing order (oldest first)
-        os.utime(dst, (_time.time() - 120 + 60 * i,) * 2)
+
+
+def _write_arrival_shard(df: DataFrame, scratch: str, raw_dir: str, i: int) -> None:
+    """Materialize one arrival shard as a single parquet file whose mtime
+    pins its micro-batch position (the file source processes oldest
+    first)."""
+    phase_dir = os.path.join(scratch, f"phase{i}")
+    df.coalesce(1).write.parquet(phase_dir)
+    (part,) = glob.glob(os.path.join(phase_dir, "part-*.parquet"))
+    dst = os.path.join(raw_dir, f"arrival{i}.parquet")
+    shutil.move(part, dst)
+    os.utime(dst, (_time.time() - 600 + 60 * i,) * 2)
+
+
+def _drain_arrivals_idempotent(
+    spark: SparkSession, raw_dir: str, scratch: str
+) -> str:
+    """Drain the mtime-ordered arrival shards (one micro-batch per file,
+    ``maxFilesPerTrigger=1``) through the idempotent ``foreachBatch``
+    landing into a bronze parquet dir: within-batch duplicates collapse
+    first (``dropDuplicates`` on the key — at-least-once delivery can
+    repeat a record inside ONE batch, where the landed-set anti-join
+    cannot see it), then the anti-join against the already-landed set
+    drops cross-batch redeliveries. Bronze holds each event_id exactly
+    once regardless of arrival order, overlap, or replay.
+
+    Scale shape: the per-batch anti-join here reads the sink directly; at
+    100 TB the landed-key lookup is a Delta MERGE / key-index anti-join
+    (bucketed by event_id), same dataflow — O(batch) probe work either
+    way, never O(history) rewrite.
+    """
     bronze_dir = os.path.join(scratch, "bronze")
     raw_schema = "event_id bigint, user_id bigint, ts timestamp, cents bigint"
     raw_stream = (
@@ -99,12 +107,12 @@ def _land_events_with_replay(
     )
 
     def land(batch: DataFrame, batch_id: int) -> None:
-        out = batch
+        out = batch.dropDuplicates(["event_id"])
         if os.path.isdir(bronze_dir) and any(
             f.endswith(".parquet") for f in os.listdir(bronze_dir)
         ):
             landed = batch.sparkSession.read.parquet(bronze_dir).select("event_id")
-            out = batch.join(landed, "event_id", "left_anti")
+            out = out.join(landed, "event_id", "left_anti")
         out.write.mode("append").parquet(bronze_dir)
 
     q = (
@@ -117,9 +125,79 @@ def _land_events_with_replay(
     return bronze_dir
 
 
-@query(
-    "streaming_parity_ingest_e2e",
-    oracle="""
+def _land_events_with_replay(
+    spark: SparkSession, sf_dir: str, scratch: str
+) -> str:
+    """Stage the events fixture as TWO arrival shards — the original batch
+    and a byte-identical full replay (the crash/retry worst case: every
+    event arrives twice, in a later micro-batch, beyond any watermark
+    horizon) — then drain them through the idempotent landing. The replay
+    shard must land ZERO rows, so bronze holds each event exactly once.
+    """
+    events = _staged_events(spark, sf_dir)
+    raw_dir = os.path.join(scratch, "raw")
+    os.makedirs(raw_dir)
+    for i in range(2):  # arrival 0 = original batch, arrival 1 = full replay
+        _write_arrival_shard(events, scratch, raw_dir, i)
+    return _drain_arrivals_idempotent(spark, raw_dir, scratch)
+
+
+def _land_events_adversarial(
+    spark: SparkSession, sf_dir: str, scratch: str
+) -> str:
+    """Stage the events fixture as FOUR deterministic ADVERSARIAL arrival
+    shards (VERDICT r15 #6 — the byte-identical-replay witness's missing
+    cases), then drain them through the same idempotent landing:
+
+      arrival 0 — the LATE half of the timeline arrives FIRST (split at
+        the median ts by ``ntile(2)`` over (ts, event_id)), sorted ts
+        DESCENDING inside the file: complete event-time inversion.
+      arrival 1 — the EARLY half arrives second: every one of its
+        timestamps is older than everything already landed — late beyond
+        any watermark horizon — PLUS a partial overlap redelivery (every
+        5th event of the late half by event_id), so the batch is neither
+        disjoint from nor identical to what's landed.
+      arrival 2 — a partial overlapping replay spanning the WHOLE
+        timeline (every 3rd event by event_id), each row duplicated
+        WITHIN the batch (at-least-once delivery repeating a record
+        inside one micro-batch — invisible to the landed-set anti-join,
+        caught only by the within-batch dropDuplicates).
+      arrival 3 — a final full replay, still not byte-identical to any
+        earlier batch (whole timeline, ts ASC).
+
+    Every shard is a subset of the original event set and their union
+    covers it, so a correct sink lands each event_id exactly once and the
+    gold rollup hash-matches the SAME batch oracle as the byte-identical
+    witness; any overlap/duplicate leak inflates n_events/sum_cents.
+    """
+    events = _staged_events(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    halved = events.withColumn(
+        "half",
+        F.ntile(2).over(Window.orderBy(F.col("ts").asc(), F.col("event_id").asc())),
+    )
+    late = halved.where(F.col("half") == 2).drop("half")
+    early = halved.where(F.col("half") == 1).drop("half")
+    raw_dir = os.path.join(scratch, "raw")
+    os.makedirs(raw_dir)
+    shards = [
+        late.orderBy(F.col("ts").desc(), F.col("event_id").desc()),
+        early.unionAll(late.where(F.col("event_id") % 5 == 0)),
+        events.where(F.col("event_id") % 3 == 0).unionAll(
+            events.where(F.col("event_id") % 3 == 0)
+        ),
+        events.orderBy(F.col("ts").asc(), F.col("event_id").asc()),
+    ]
+    for i, shard in enumerate(shards):
+        _write_arrival_shard(shard, scratch, raw_dir, i)
+    return _drain_arrivals_idempotent(spark, raw_dir, scratch)
+
+
+# The shared gold-rollup oracle: the gaps-and-islands batch sessionization
+# over the ORIGINAL events table. Both ingest witnesses hash against this
+# same SQL — the landing path differs, the correct end state does not.
+_INGEST_GOLD_ORACLE = """
 WITH flagged AS (
     SELECT user_id, ts, event_id,
            CAST(ROUND(value * 100) AS BIGINT) AS cents,
@@ -142,8 +220,42 @@ SELECT user_id,
 FROM sessions
 GROUP BY user_id
 ORDER BY user_id ASC
-""",
-)
+"""
+
+
+def _bronze_to_gold(spark: SparkSession, scratch: str, bronze_dir: str) -> DataFrame:
+    """The shared silver→gold tail of both ingest witnesses: a second
+    streaming stage over the bronze sink — watermarked 30-minute session
+    windows per user (real session state, availableNow drain) — then the
+    per-user gold rollup (n_sessions, n_events, sum_cents),
+    localCheckpointed before the caller removes the scratch dir so nothing
+    lazily re-reads deleted files."""
+    silver = (
+        spark.readStream.schema(
+            "event_id bigint, user_id bigint, ts timestamp, cents bigint"
+        )
+        .parquet(bronze_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+    drained = _drain_to_memory(silver, spark)
+    return (
+        drained.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("sum_cents").cast("bigint").alias("sum_cents"),
+        )
+        .orderBy(F.col("user_id").asc())
+        .localCheckpoint()
+    )
+
+
+@query("streaming_parity_ingest_e2e", oracle=_INGEST_GOLD_ORACLE)
 def streaming_parity_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end ingest-pipeline witness (VERDICT r14 #5): the one shape
     the parity twins cover only piecewise, chained for real —
@@ -180,32 +292,45 @@ def streaming_parity_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = tempfile.mkdtemp(prefix="ingest_e2e_", dir=scratch_base)
     try:
         bronze_dir = _land_events_with_replay(spark, sf_dir, scratch)
-        silver = (
-            spark.readStream.schema(
-                "event_id bigint, user_id bigint, ts timestamp, cents bigint"
-            )
-            .parquet(bronze_dir)
-            .withWatermark("ts", "1 hour")
-            .groupBy(F.session_window("ts", "30 minutes"), "user_id")
-            .agg(
-                F.count(F.lit(1)).alias("n_events"),
-                F.sum("cents").alias("sum_cents"),
-            )
-        )
-        drained = _drain_to_memory(silver, spark)
-        gold = (
-            drained.groupBy("user_id")
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
-                F.sum("n_events").cast("bigint").alias("n_events"),
-                F.sum("sum_cents").cast("bigint").alias("sum_cents"),
-            )
-            .orderBy(F.col("user_id").asc())
-            # memory-sink rows live in driver memory, but checkpoint before
-            # the scratch (bronze) dir is removed so nothing lazily re-reads
-            # deleted files
-            .localCheckpoint()
-        )
+        gold = _bronze_to_gold(spark, scratch, bronze_dir)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return gold
+
+
+@query("streaming_parity_ingest_adversarial", oracle=_INGEST_GOLD_ORACLE)
+def streaming_parity_ingest_adversarial(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Adversarial-arrival ingest witness (VERDICT r15 #6): the same
+    bronze → sessionized silver → per-user gold pipeline as
+    ``streaming_parity_ingest_e2e``, but the arrivals are the cases a
+    byte-identical full replay never exercises — event-time inversion
+    (the late half of the timeline arrives first, ts-descending),
+    late-beyond-watermark delivery (the early half arrives after it),
+    partially-overlapping batches (neither disjoint from nor identical to
+    the landed set), and within-batch duplicate records (at-least-once
+    delivery repeating a row inside ONE micro-batch, invisible to the
+    landed-set anti-join). See ``_land_events_adversarial`` for the four
+    staged shards.
+
+    Hash-checked against the SAME gaps-and-islands batch oracle over the
+    original events table: every shard is a subset of the original event
+    set and their union covers it, so the correct end state is identical
+    to the byte-identical witness's — any overlap or duplicate leaking
+    through the sink inflates n_events/sum_cents, a dropped late batch
+    deflates them, and an order-sensitive landing shifts n_sessions.
+    """
+    ensure_session_confs(spark)
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    scratch_base = os.path.join(repo_root, "spark-warehouse")
+    os.makedirs(scratch_base, exist_ok=True)
+    scratch = tempfile.mkdtemp(prefix="ingest_adv_", dir=scratch_base)
+    try:
+        bronze_dir = _land_events_adversarial(spark, sf_dir, scratch)
+        gold = _bronze_to_gold(spark, scratch, bronze_dir)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return gold

@@ -153,8 +153,10 @@ def test_fuzz_corpus_covers_the_documents_only_surface():
     skipping the fuzz (or a filter regression) is a conscious decision."""
     # 43 after the r15 consolidation (dedup_ngram_jaccard +
     # dedup_ngram_containment → the single dedup_ngram_methods surface;
-    # both legs still run, inside the consolidated query)
-    assert len(_documents_only_names()) >= 43
+    # both legs still run, inside the consolidated query); 42 after the
+    # r16 one (doc_fingerprint + doc_rolling_fingerprint →
+    # doc_fingerprint_methods, same both-legs rule)
+    assert len(_documents_only_names()) >= 42
 
 
 def test_adversarial_corpus_oracle_parity(spark, fuzz_dir):

@@ -185,6 +185,42 @@ def test_retired_kmv_equals_rollup_direct(spark):
     assert kmv == rollup
 
 
+def test_retired_fingerprint_pair_equals_methods_legs(spark):
+    """The r16 consolidation claim, test-enforced: doc_fingerprint_methods'
+    md5 columns are byte-identical to the retired doc_fingerprint's rows,
+    and its rolling columns (where non-NULL) to the retired
+    doc_rolling_fingerprint's rows — so one driver row hash-checks both
+    retired registrations' semantics."""
+    from databricks_spark_sql_challenge1_spark.operators.textstats import (
+        doc_fingerprint,
+        doc_fingerprint_methods,
+        doc_rolling_fingerprint,
+    )
+
+    methods = doc_fingerprint_methods(spark, SF_DIR).collect()
+    md5_leg = {
+        r["doc_id"]: (r["fingerprint"], r["fingerprint_int"])
+        for r in doc_fingerprint(spark, SF_DIR).collect()
+    }
+    assert {
+        r["doc_id"]: (r["fingerprint"], r["fingerprint_int"]) for r in methods
+    } == md5_leg
+    rolling_leg = {
+        r["doc_id"]: (r["min_gram_hash"], r["max_gram_hash"], r["n_distinct_grams"])
+        for r in doc_rolling_fingerprint(spark, SF_DIR).collect()
+    }
+    assert {
+        r["doc_id"]: (r["min_gram_hash"], r["max_gram_hash"], r["n_distinct_grams"])
+        for r in methods
+        if r["min_gram_hash"] is not None
+    } == rolling_leg
+    # a doc outside the rolling leg (< 3 tokens) carries NULLs, never rows
+    assert all(
+        (r["min_gram_hash"] is None) == (r["doc_id"] not in rolling_leg)
+        for r in methods
+    )
+
+
 def test_rfm_approx_bounds_oracle_is_falsifiable(spark):
     """The approx-RFM bounds oracle only has teeth if a BROKEN sketch
     flips its booleans. Recompute the query's own acceptance arithmetic

@@ -114,6 +114,32 @@ def test_ingest_e2e_replay_lands_zero_rows(spark, tmp_path):
     assert landed.select("event_id").distinct().count() == n_src
 
 
+def test_ingest_adversarial_lands_each_event_once(spark, tmp_path):
+    """The bronze accounting behind ``streaming_parity_ingest_adversarial``:
+    four adversarial shards (time-inverted first half, late-beyond-
+    watermark + overlap second, within-batch-duplicated partial replay,
+    full non-byte-identical replay) arrive, yet bronze holds each event_id
+    exactly once and exactly the source set. Also pins that the staged
+    duplicate batch is REAL (the raw dir carries more than 2× the source
+    rows, so the dropDuplicates + anti-join path is actually exercised)."""
+    from databricks_spark_sql_challenge1_spark.catalog import load_table
+    from databricks_spark_sql_challenge1_spark.streaming.ingest_sink import (
+        _land_events_adversarial,
+    )
+
+    scratch = str(tmp_path / "adv")
+    import os
+
+    os.makedirs(scratch)
+    bronze = _land_events_adversarial(spark, SF_DIR, scratch)
+    landed = spark.read.parquet(bronze)
+    n_src = load_table(spark, SF_DIR, "events").count()
+    assert landed.count() == n_src
+    assert landed.select("event_id").distinct().count() == n_src
+    raw = spark.read.parquet(os.path.join(scratch, "raw"))
+    assert raw.count() > 2 * n_src  # the overlaps and in-batch dups exist
+
+
 def test_streaming_user_state_tws(spark):
     """Witness for the transformWithStateInPandas capability gap (VERDICT
     r8 #7): the TWS variant of the per-user running profile runs and ends
