@@ -281,7 +281,7 @@ def streaming_parity_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup-by-key capability itself is covered by ``streaming_parity_dedup``;
     this pipeline deliberately replays BEYOND the watermark horizon, which
     is exactly what the sink-side anti-join (Delta MERGE at scale) exists
-    for — see ``_land_events_with_replay`` for the 100 TB shape.
+    for — see ``_drain_arrivals_idempotent`` for the 100 TB shape.
     """
     ensure_session_confs(spark)
     repo_root = os.path.dirname(
