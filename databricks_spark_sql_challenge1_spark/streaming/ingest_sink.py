@@ -170,6 +170,18 @@ def _land_events_adversarial(
     gold rollup hash-matches the SAME batch oracle as the byte-identical
     witness; any overlap/duplicate leak inflates n_events/sum_cents.
     """
+    raw_dir = stage_adversarial_shards(spark, sf_dir, scratch)
+    return _drain_arrivals_idempotent(spark, raw_dir, scratch)
+
+
+def stage_adversarial_shards(
+    spark: SparkSession, sf_dir: str, scratch: str
+) -> str:
+    """Write the four adversarial arrival shards (see
+    ``_land_events_adversarial``) into ``scratch``/raw and return that
+    dir — public so the checkpoint-restart witness in
+    tests/test_streaming.py drains the IDENTICAL shard set through its
+    stop/resume protocol (one staging definition, no drift)."""
     events = _staged_events(spark, sf_dir)
     from pyspark.sql.window import Window
 
@@ -191,7 +203,7 @@ def _land_events_adversarial(
     ]
     for i, shard in enumerate(shards):
         _write_arrival_shard(shard, scratch, raw_dir, i)
-    return _drain_arrivals_idempotent(spark, raw_dir, scratch)
+    return raw_dir
 
 
 # The shared gold-rollup oracle: the gaps-and-islands batch sessionization

@@ -140,6 +140,95 @@ def test_ingest_adversarial_lands_each_event_once(spark, tmp_path):
     assert raw.count() > 2 * n_src  # the overlaps and in-batch dups exist
 
 
+def test_ingest_survives_restart_mid_drain(spark, tmp_path):
+    """Checkpoint-recovery witness (round 16): the idempotent landing must
+    be exactly-once ACROSS A PROCESS-RESTART BOUNDARY, not just within one
+    availableNow drain. Protocol: stage the four adversarial shards, drain
+    with a query that is STOPPED after the first micro-batch commits, then
+    restart a fresh query on the SAME checkpoint — the restarted query
+    must resume from the recorded offsets (never re-land batch 0's rows,
+    never skip the rest), ending with bronze == the source set exactly.
+    This is the crash/upgrade path every production pipeline takes; a
+    sink that double-lands on restart would pass the single-drain witness
+    and fail here."""
+    import os
+    import time
+
+    from databricks_spark_sql_challenge1_spark.catalog import load_table
+    from databricks_spark_sql_challenge1_spark.streaming.ingest_sink import (
+        _land_events_adversarial,
+        stage_adversarial_shards,
+    )
+
+    # Stage the adversarial shards WITHOUT draining, then run the drain in
+    # two separately-started queries sharing one checkpoint.
+    scratch = str(tmp_path / "restart")
+    os.makedirs(scratch)
+    raw_dir = stage_adversarial_shards(spark, SF_DIR, scratch)
+
+    bronze_dir = os.path.join(scratch, "bronze")
+    ckpt = os.path.join(scratch, "ckpt")
+    raw_schema = "event_id bigint, user_id bigint, ts timestamp, cents bigint"
+    landed_batches = []
+
+    def land(batch, batch_id):
+        out = batch.dropDuplicates(["event_id"])
+        if os.path.isdir(bronze_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(bronze_dir)
+        ):
+            already = batch.sparkSession.read.parquet(bronze_dir).select("event_id")
+            out = out.join(already, "event_id", "left_anti")
+        out.write.mode("append").parquet(bronze_dir)
+        landed_batches.append(batch_id)
+
+    def start():
+        return (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(raw_dir)
+            .writeStream.foreachBatch(land)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # First incarnation: kill it after the first micro-batch lands.
+    q1 = start()
+    deadline = time.time() + 120
+    while not landed_batches and time.time() < deadline:
+        time.sleep(0.2)
+    assert landed_batches, "first micro-batch never landed"
+    q1.stop()
+    q1.awaitTermination()
+    first_incarnation = list(landed_batches)
+    # The stop may race a second batch in, but it must NOT have drained all
+    # four shards — otherwise the restart proves nothing.
+    assert len(first_incarnation) < 4
+
+    # Second incarnation: same checkpoint, fresh query — resumes and drains.
+    q2 = start()
+    q2.awaitTermination()
+
+    landed = spark.read.parquet(bronze_dir)
+    n_src = load_table(spark, SF_DIR, "events").count()
+    assert landed.count() == n_src
+    assert landed.select("event_id").distinct().count() == n_src
+    # the restart resumed from the checkpoint (no batch re-run leaked rows):
+    # every batch id landed at most... batch ids may repeat if the stopped
+    # incarnation had an uncommitted in-flight batch — that replay is
+    # exactly what the idempotent sink absorbs; the row-count assertions
+    # above are the invariant.
+    # Reference parity: the recovered bronze equals _land_events_adversarial
+    # run end-to-end in one incarnation.
+    single = _land_events_adversarial(spark, SF_DIR, str(tmp_path / "single"))
+    single_rows = sorted(
+        tuple(str(x) for x in r)
+        for r in spark.read.parquet(single).collect()
+    )
+    recovered_rows = sorted(tuple(str(x) for x in r) for r in landed.collect())
+    assert recovered_rows == single_rows
+
+
 def test_streaming_user_state_tws(spark):
     """Witness for the transformWithStateInPandas capability gap (VERDICT
     r8 #7): the TWS variant of the per-user running profile runs and ends
