@@ -138,6 +138,112 @@ def test_empty_warehouse_contract(spark, empty_dir):
     ]
 
 
+def _names_reading(table: str) -> list[str]:
+    """Oracle-backed names whose oracle SQL reads ``table`` (word-bounded
+    match — the oracle and the Spark query read the same tables by
+    construction). Scoping each single-table-empty probe to these names is
+    sound: a query that never reads the empty table sees a plain sf0.001
+    warehouse, which the standard parity gates already cover."""
+    import re
+
+    import __spark_entry__ as entry
+
+    pat = re.compile(rf"\b{table}\b")
+    return sorted(n for n, sql in entry.oracle_sql().items() if pat.search(sql))
+
+
+@pytest.mark.parametrize("empty_table", ["orders", "events"])
+def test_one_table_empty_contract(spark, tmp_path_factory, empty_table):
+    """Round-16 probe-then-pin: ONE table empty, every other table at
+    sf0.001 — the join-asymmetry class the all-empty probe can't see
+    (preserved-side rows with nothing to join, anchors present for some
+    surfaces and absent for others, per-group denominators empty while
+    the group spine is not).
+
+    The r16 probe ran ALL FIVE high-leverage single-empty fixtures
+    (orders, lineitem, events, documents, embeddings) over the full
+    oracle-backed registry: ZERO new defects — the only divergences are
+    exactly the four r15-pinned out-of-contract classes, each appearing
+    precisely when ITS OWN source table is the empty one (grand-row:
+    cube_order_summary + rollup_order_values under empty orders,
+    events_time_rollup under empty events; shape:
+    customer_rfm_segments_approx under empty orders), and the anchored
+    trend surface raises its documented ValueError exactly when ORDERS is
+    the empty table. documents/embeddings/lineitem-empty measured fully
+    clean (agree, no anchors, no exclusions). This test pins the two
+    fixtures that carry contract structure; the other three are covered
+    by the all-empty + one-row ends above plus the probe protocol
+    recorded here."""
+    import __spark_entry__ as entry
+
+    d = str(tmp_path_factory.mktemp(f"empty_{empty_table}"))
+    con = duckdb.connect()
+    for t in TABLES:
+        limit = "LIMIT 0" if t == empty_table else ""
+        con.execute(
+            f"COPY (SELECT * FROM '/root/testdata/sf0.001/{t}.parquet' "
+            f"{limit}) TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    grand_row = {
+        "orders": {"cube_order_summary", "rollup_order_values"},
+        "events": {"events_time_rollup"},
+    }[empty_table]
+    shape = {"customer_rfm_segments_approx"} if empty_table == "orders" else set()
+    q, o = entry.queries(), entry.oracle_sql()
+    bad, anchored = [], []
+    for name in _names_reading(empty_table):
+        try:
+            srows = sorted(
+                tuple(str(x) for x in r) for r in q[name](spark, d).collect()
+            )
+        except ValueError as exc:
+            if ANCHOR_MSG in str(exc):
+                anchored.append(name)
+                continue
+            bad.append((name, f"spark-err: {str(exc)[:90]}"))
+            continue
+        except Exception as exc:  # noqa: BLE001 — collect all failures
+            bad.append((name, f"spark-err: {type(exc).__name__}: {str(exc)[:90]}"))
+            continue
+        drows = sorted(
+            tuple(str(x) for x in r) for r in con.execute(o[name]).fetchall()
+        )
+        if name in grand_row:
+            if not (len(srows) == 0 and len(drows) == 1):
+                bad.append((name, f"grand-row pin moved: {len(srows)} vs {len(drows)}"))
+        elif name in shape:
+            if len(srows) != len(drows):
+                bad.append((name, f"shape pin moved: {len(srows)} vs {len(drows)}"))
+        elif srows != drows:
+            first = next(
+                (f"{a[:4]} vs {b[:4]}" for a, b in zip(srows, drows) if a != b),
+                f"row counts {len(srows)} vs {len(drows)}",
+            )
+            bad.append((name, f"diff: {first}"))
+    con.close()
+    assert bad == []
+    expected_anchor = (
+        [
+            "abandonment_by_day",
+            "abandonment_by_month",
+            "abandonment_mom_increase",
+            "abandonment_yoy_increase",
+            "dashboard_day_assembly",
+            "dashboard_month_assembly",
+            "launch_month_orders",
+            "launch_year_orders",
+            "nations_by_customer",
+            "nations_by_expr_key",
+            "nations_by_supplier",
+            "scd2_cdc_apply",
+        ]
+        if empty_table == "orders"
+        else []
+    )
+    assert sorted(anchored) == expected_anchor
+
+
 @pytest.fixture(scope="module")
 def onerow_dir(tmp_path_factory):
     d = str(tmp_path_factory.mktemp("onerowwh"))
