@@ -180,6 +180,10 @@ def test_ingest_survives_restart_mid_drain(spark, tmp_path):
             out = out.join(already, "event_id", "left_anti")
         out.write.mode("append").parquet(bronze_dir)
         landed_batches.append(batch_id)
+        # pace the drain so q1.stop() below always wins before all four
+        # shards land — without this a fast host could drain everything in
+        # the first incarnation and the restart would prove nothing
+        time.sleep(0.5)
 
     def start():
         return (
