@@ -1239,7 +1239,15 @@ def _lsh_planes_wide(dim: int = EMB_LSH_DIM):
     columns of each band are the seed-42 planes of ``_lsh_planes`` (so the
     adaptive query degenerates to ``dedup_embedding_lsh`` exactly when
     bits == EMB_LSH_BITS); the widening columns come from an independent
-    seeded draw."""
+    seeded draw.
+
+    Every oracle-backed caller bakes this matrix into its DuckDB SQL at
+    EMB_LSH_DIM, so the fixed-dim oracle contract (see ``_emb_dim``) is
+    enforced HERE — one guard covers the whole family
+    (``dedup_embedding_lsh_adaptive``, ``dedup_embedding_incremental``,
+    and everything built on their signatures) instead of per-query
+    call sites that can drift (r16-end review)."""
+    _require_oracle_dim(dim)
     import numpy as np
 
     base = _lsh_planes(dim)  # (dim, BANDS*BITS), seed 42
@@ -1454,8 +1462,7 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "vec_id long, n_near_dups long, is_dup boolean, max_cosine double"
         )
-    _require_oracle_dim(dim)  # oracle planes are baked at EMB_LSH_DIM
-    bits = _emb_lsh_bits(
+    bits = _emb_lsh_bits(  # dim guard lives in _lsh_planes_wide below
         e.where(F.col("vec_id") % INCREMENTAL_MOD != 0).count()
     )
     wide = _lsh_planes_wide(dim)

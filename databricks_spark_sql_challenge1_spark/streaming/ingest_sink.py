@@ -81,30 +81,28 @@ def _write_arrival_shard(df: DataFrame, scratch: str, raw_dir: str, i: int) -> N
     os.utime(dst, (_time.time() - 600 + 60 * i,) * 2)
 
 
-def _drain_arrivals_idempotent(
-    spark: SparkSession, raw_dir: str, scratch: str
-) -> str:
-    """Drain the mtime-ordered arrival shards (one micro-batch per file,
-    ``maxFilesPerTrigger=1``) through the idempotent ``foreachBatch``
-    landing into a bronze parquet dir: within-batch duplicates collapse
-    first (``dropDuplicates`` on the key — at-least-once delivery can
-    repeat a record inside ONE batch, where the landed-set anti-join
-    cannot see it), then the anti-join against the already-landed set
-    drops cross-batch redeliveries. Bronze holds each event_id exactly
-    once regardless of arrival order, overlap, or replay.
+RAW_ARRIVAL_SCHEMA = "event_id bigint, user_id bigint, ts timestamp, cents bigint"
+
+
+def make_landing(bronze_dir: str, after_batch=None):
+    """THE idempotent landing, as a ``foreachBatch`` closure: within-batch
+    duplicates collapse first (``dropDuplicates`` on the key —
+    at-least-once delivery can repeat a record inside ONE batch, where the
+    landed-set anti-join cannot see it), then the anti-join against the
+    already-landed set drops cross-batch redeliveries. Bronze holds each
+    event_id exactly once regardless of arrival order, overlap, or replay.
+
+    Public builder so the checkpoint-restart witness in
+    tests/test_streaming.py drains through the IDENTICAL landing logic
+    (one landing definition, no drift — the same rule as
+    ``stage_adversarial_shards``); ``after_batch(batch_id)`` is its hook
+    for per-batch bookkeeping/pacing.
 
     Scale shape: the per-batch anti-join here reads the sink directly; at
     100 TB the landed-key lookup is a Delta MERGE / key-index anti-join
     (bucketed by event_id), same dataflow — O(batch) probe work either
     way, never O(history) rewrite.
     """
-    bronze_dir = os.path.join(scratch, "bronze")
-    raw_schema = "event_id bigint, user_id bigint, ts timestamp, cents bigint"
-    raw_stream = (
-        spark.readStream.schema(raw_schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(raw_dir)
-    )
 
     def land(batch: DataFrame, batch_id: int) -> None:
         out = batch.dropDuplicates(["event_id"])
@@ -114,9 +112,26 @@ def _drain_arrivals_idempotent(
             landed = batch.sparkSession.read.parquet(bronze_dir).select("event_id")
             out = out.join(landed, "event_id", "left_anti")
         out.write.mode("append").parquet(bronze_dir)
+        if after_batch is not None:
+            after_batch(batch_id)
 
+    return land
+
+
+def _drain_arrivals_idempotent(
+    spark: SparkSession, raw_dir: str, scratch: str
+) -> str:
+    """Drain the mtime-ordered arrival shards (one micro-batch per file,
+    ``maxFilesPerTrigger=1``) through ``make_landing`` into a bronze
+    parquet dir, availableNow to completion."""
+    bronze_dir = os.path.join(scratch, "bronze")
+    raw_stream = (
+        spark.readStream.schema(RAW_ARRIVAL_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(raw_dir)
+    )
     q = (
-        raw_stream.writeStream.foreachBatch(land)
+        raw_stream.writeStream.foreachBatch(make_landing(bronze_dir))
         .option("checkpointLocation", os.path.join(scratch, "ckpt"))
         .trigger(availableNow=True)
         .start()
@@ -182,13 +197,22 @@ def stage_adversarial_shards(
     dir — public so the checkpoint-restart witness in
     tests/test_streaming.py drains the IDENTICAL shard set through its
     stop/resume protocol (one staging definition, no drift)."""
-    events = _staged_events(spark, sf_dir)
     from pyspark.sql.window import Window
 
-    halved = events.withColumn(
-        "half",
-        F.ntile(2).over(Window.orderBy(F.col("ts").asc(), F.col("event_id").asc())),
+    # localCheckpoint materializes the single-partition ntile split ONCE;
+    # without it every one of the four shard-write jobs re-runs the global
+    # sort and the events scan (r16-end review)
+    halved = (
+        _staged_events(spark, sf_dir)
+        .withColumn(
+            "half",
+            F.ntile(2).over(
+                Window.orderBy(F.col("ts").asc(), F.col("event_id").asc())
+            ),
+        )
+        .localCheckpoint()
     )
+    events = halved.drop("half")
     late = halved.where(F.col("half") == 2).drop("half")
     early = halved.where(F.col("half") == 1).drop("half")
     raw_dir = os.path.join(scratch, "raw")
@@ -235,7 +259,7 @@ ORDER BY user_id ASC
 """
 
 
-def _bronze_to_gold(spark: SparkSession, scratch: str, bronze_dir: str) -> DataFrame:
+def _bronze_to_gold(spark: SparkSession, bronze_dir: str) -> DataFrame:
     """The shared silver→gold tail of both ingest witnesses: a second
     streaming stage over the bronze sink — watermarked 30-minute session
     windows per user (real session state, availableNow drain) — then the
@@ -243,9 +267,7 @@ def _bronze_to_gold(spark: SparkSession, scratch: str, bronze_dir: str) -> DataF
     localCheckpointed before the caller removes the scratch dir so nothing
     lazily re-reads deleted files."""
     silver = (
-        spark.readStream.schema(
-            "event_id bigint, user_id bigint, ts timestamp, cents bigint"
-        )
+        spark.readStream.schema(RAW_ARRIVAL_SCHEMA)
         .parquet(bronze_dir)
         .withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", "30 minutes"), "user_id")
@@ -304,7 +326,7 @@ def streaming_parity_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = tempfile.mkdtemp(prefix="ingest_e2e_", dir=scratch_base)
     try:
         bronze_dir = _land_events_with_replay(spark, sf_dir, scratch)
-        gold = _bronze_to_gold(spark, scratch, bronze_dir)
+        gold = _bronze_to_gold(spark, bronze_dir)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return gold
@@ -342,7 +364,7 @@ def streaming_parity_ingest_adversarial(
     scratch = tempfile.mkdtemp(prefix="ingest_adv_", dir=scratch_base)
     try:
         bronze_dir = _land_events_adversarial(spark, sf_dir, scratch)
-        gold = _bronze_to_gold(spark, scratch, bronze_dir)
+        gold = _bronze_to_gold(spark, bronze_dir)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return gold

@@ -63,6 +63,66 @@ GRAND_ROW_DIVERGENT = {
 # family as the grand-row class.
 SHAPE_DIVERGENT = {"customer_rfm_segments_approx"}
 
+# The exact surface that rides catalog.last_order_datetime — a new
+# anchored query must land in this one literal (asserted by both the
+# all-empty and the orders-empty probes).
+ANCHORED_TREND_NAMES = [
+    "abandonment_by_day",
+    "abandonment_by_month",
+    "abandonment_mom_increase",
+    "abandonment_yoy_increase",
+    "dashboard_day_assembly",
+    "dashboard_month_assembly",
+    "launch_month_orders",
+    "launch_year_orders",
+    "nations_by_customer",
+    "nations_by_expr_key",
+    "nations_by_supplier",
+    "scd2_cdc_apply",
+]
+
+
+def _probe_against_oracles(spark, con, sf_dir, names, grand_row=frozenset(),
+                           shape=frozenset()):
+    """The shared probe loop: run each named query on ``sf_dir`` and its
+    oracle on ``con``, classify into (bad, anchored) under the degenerate
+    contract — agree, documented anchor ValueError, or a pinned
+    divergence class."""
+    import __spark_entry__ as entry
+
+    q, o = entry.queries(), entry.oracle_sql()
+    bad, anchored = [], []
+    for name in names:
+        try:
+            srows = sorted(
+                tuple(str(x) for x in r) for r in q[name](spark, sf_dir).collect()
+            )
+        except ValueError as exc:
+            if ANCHOR_MSG in str(exc):
+                anchored.append(name)
+                continue
+            bad.append((name, f"spark-err: {str(exc)[:90]}"))
+            continue
+        except Exception as exc:  # noqa: BLE001 — collect all failures
+            bad.append((name, f"spark-err: {type(exc).__name__}: {str(exc)[:90]}"))
+            continue
+        drows = sorted(
+            tuple(str(x) for x in r) for r in con.execute(o[name]).fetchall()
+        )
+        if name in grand_row:
+            if not (len(srows) == 0 and len(drows) == 1):
+                bad.append((name, f"grand-row pin moved: {len(srows)} vs {len(drows)}"))
+        elif name in shape:
+            if len(srows) != len(drows):
+                bad.append((name, f"shape pin moved: {len(srows)} vs {len(drows)}"))
+        elif srows != drows:
+            first = next(
+                (f"{a[:4]} vs {b[:4]}" for a, b in zip(srows, drows) if a != b),
+                f"row counts {len(srows)} vs {len(drows)}",
+            )
+            bad.append((name, f"diff: {first}"))
+    return bad, anchored
+
 
 @pytest.fixture(scope="module")
 def empty_dir(tmp_path_factory):
@@ -80,62 +140,20 @@ def empty_dir(tmp_path_factory):
 def test_empty_warehouse_contract(spark, empty_dir):
     import __spark_entry__ as entry
 
-    q, o = entry.queries(), entry.oracle_sql()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{empty_dir}/{t}.parquet'"
         )
-    bad, anchored = [], []
-    for name in sorted(o):
-        try:
-            srows = sorted(
-                tuple(str(x) for x in r)
-                for r in q[name](spark, empty_dir).collect()
-            )
-        except ValueError as exc:
-            if ANCHOR_MSG in str(exc):
-                anchored.append(name)
-                continue
-            bad.append((name, f"spark-err: {str(exc)[:90]}"))
-            continue
-        except Exception as exc:  # noqa: BLE001 — collect all failures
-            bad.append((name, f"spark-err: {type(exc).__name__}: {str(exc)[:90]}"))
-            continue
-        drows = sorted(
-            tuple(str(x) for x in r) for r in con.execute(o[name]).fetchall()
-        )
-        if name in GRAND_ROW_DIVERGENT:
-            ok = len(srows) == 0 and len(drows) == 1
-            if not ok:
-                bad.append((name, f"grand-row pin moved: {len(srows)} vs {len(drows)}"))
-        elif name in SHAPE_DIVERGENT:
-            if len(srows) != len(drows):
-                bad.append((name, f"shape pin moved: {len(srows)} vs {len(drows)}"))
-        elif srows != drows:
-            first = next(
-                (f"{a[:4]} vs {b[:4]}" for a, b in zip(srows, drows) if a != b),
-                f"row counts {len(srows)} vs {len(drows)}",
-            )
-            bad.append((name, f"diff: {first}"))
+    bad, anchored = _probe_against_oracles(
+        spark, con, empty_dir, sorted(entry.oracle_sql()),
+        grand_row=GRAND_ROW_DIVERGENT, shape=SHAPE_DIVERGENT,
+    )
     con.close()
     assert bad == []
     # the anchored trend surface is exactly the set that rides
     # catalog.last_order_datetime — a new anchored query lands here
-    assert sorted(anchored) == [
-        "abandonment_by_day",
-        "abandonment_by_month",
-        "abandonment_mom_increase",
-        "abandonment_yoy_increase",
-        "dashboard_day_assembly",
-        "dashboard_month_assembly",
-        "launch_month_orders",
-        "launch_year_orders",
-        "nations_by_customer",
-        "nations_by_expr_key",
-        "nations_by_supplier",
-        "scd2_cdc_apply",
-    ]
+    assert sorted(anchored) == ANCHORED_TREND_NAMES
 
 
 def _names_reading(table: str) -> list[str]:
@@ -174,8 +192,6 @@ def test_one_table_empty_contract(spark, tmp_path_factory, empty_table):
     fixtures that carry contract structure; the other three are covered
     by the all-empty + one-row ends above plus the probe protocol
     recorded here."""
-    import __spark_entry__ as entry
-
     d = str(tmp_path_factory.mktemp(f"empty_{empty_table}"))
     con = duckdb.connect()
     for t in TABLES:
@@ -190,57 +206,13 @@ def test_one_table_empty_contract(spark, tmp_path_factory, empty_table):
         "events": {"events_time_rollup"},
     }[empty_table]
     shape = {"customer_rfm_segments_approx"} if empty_table == "orders" else set()
-    q, o = entry.queries(), entry.oracle_sql()
-    bad, anchored = [], []
-    for name in _names_reading(empty_table):
-        try:
-            srows = sorted(
-                tuple(str(x) for x in r) for r in q[name](spark, d).collect()
-            )
-        except ValueError as exc:
-            if ANCHOR_MSG in str(exc):
-                anchored.append(name)
-                continue
-            bad.append((name, f"spark-err: {str(exc)[:90]}"))
-            continue
-        except Exception as exc:  # noqa: BLE001 — collect all failures
-            bad.append((name, f"spark-err: {type(exc).__name__}: {str(exc)[:90]}"))
-            continue
-        drows = sorted(
-            tuple(str(x) for x in r) for r in con.execute(o[name]).fetchall()
-        )
-        if name in grand_row:
-            if not (len(srows) == 0 and len(drows) == 1):
-                bad.append((name, f"grand-row pin moved: {len(srows)} vs {len(drows)}"))
-        elif name in shape:
-            if len(srows) != len(drows):
-                bad.append((name, f"shape pin moved: {len(srows)} vs {len(drows)}"))
-        elif srows != drows:
-            first = next(
-                (f"{a[:4]} vs {b[:4]}" for a, b in zip(srows, drows) if a != b),
-                f"row counts {len(srows)} vs {len(drows)}",
-            )
-            bad.append((name, f"diff: {first}"))
+    bad, anchored = _probe_against_oracles(
+        spark, con, d, _names_reading(empty_table),
+        grand_row=grand_row, shape=shape,
+    )
     con.close()
     assert bad == []
-    expected_anchor = (
-        [
-            "abandonment_by_day",
-            "abandonment_by_month",
-            "abandonment_mom_increase",
-            "abandonment_yoy_increase",
-            "dashboard_day_assembly",
-            "dashboard_month_assembly",
-            "launch_month_orders",
-            "launch_year_orders",
-            "nations_by_customer",
-            "nations_by_expr_key",
-            "nations_by_supplier",
-            "scd2_cdc_apply",
-        ]
-        if empty_table == "orders"
-        else []
-    )
+    expected_anchor = ANCHORED_TREND_NAMES if empty_table == "orders" else []
     assert sorted(anchored) == expected_anchor
 
 

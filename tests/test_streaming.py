@@ -156,7 +156,9 @@ def test_ingest_survives_restart_mid_drain(spark, tmp_path):
 
     from databricks_spark_sql_challenge1_spark.catalog import load_table
     from databricks_spark_sql_challenge1_spark.streaming.ingest_sink import (
+        RAW_ARRIVAL_SCHEMA,
         _land_events_adversarial,
+        make_landing,
         stage_adversarial_shards,
     )
 
@@ -168,26 +170,22 @@ def test_ingest_survives_restart_mid_drain(spark, tmp_path):
 
     bronze_dir = os.path.join(scratch, "bronze")
     ckpt = os.path.join(scratch, "ckpt")
-    raw_schema = "event_id bigint, user_id bigint, ts timestamp, cents bigint"
     landed_batches = []
 
-    def land(batch, batch_id):
-        out = batch.dropDuplicates(["event_id"])
-        if os.path.isdir(bronze_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(bronze_dir)
-        ):
-            already = batch.sparkSession.read.parquet(bronze_dir).select("event_id")
-            out = out.join(already, "event_id", "left_anti")
-        out.write.mode("append").parquet(bronze_dir)
+    def after_batch(batch_id):
         landed_batches.append(batch_id)
         # pace the drain so q1.stop() below always wins before all four
         # shards land — without this a fast host could drain everything in
         # the first incarnation and the restart would prove nothing
         time.sleep(0.5)
 
+    # THE production landing (make_landing — one definition, no drift),
+    # with the test's bookkeeping/pacing riding the after_batch hook
+    land = make_landing(bronze_dir, after_batch=after_batch)
+
     def start():
         return (
-            spark.readStream.schema(raw_schema)
+            spark.readStream.schema(RAW_ARRIVAL_SCHEMA)
             .option("maxFilesPerTrigger", "1")
             .parquet(raw_dir)
             .writeStream.foreachBatch(land)
