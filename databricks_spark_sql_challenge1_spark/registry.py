@@ -177,6 +177,17 @@ ROWS_ONLY_STAND_INS: dict[str, str] = {
 #     the idempotent landing now also collapses within-batch duplicates
 #     (r15 evidence is pre-refactor; re-proven hash-identical at
 #     sf0.001/0.01/0.1).
+# The r16-END REVIEW additionally touched (all re-proven hash-identical
+# at 3 scales + fresh-process driven + degenerate sweeps; none fits the
+# full r17 window, documented here so the r17 reader sees the deltas):
+#   * dedup.py — the fixed-dim oracle guard moved from the incremental
+#     call site into _lsh_planes_wide, extending it to
+#     dedup_embedding_lsh_adaptive/_clusters (unreachable on any valid
+#     fixture: all warehouse embeddings are EMB_LSH_DIM-wide);
+#   * ingest_sink.py — make_landing extraction (shared with the
+#     checkpoint-restart witness) and a localCheckpoint on the
+#     adversarial staging split (plan-identical landing, less staging
+#     work; expect the witness's driver row slightly FASTER).
 # Capacity math: 146 oracle-backed names / 3-round cadence ≈ 48.7 refresh
 # slots per round (the fingerprint retirement pair funds the adversarial
 # witness — net-zero registration delta). The other r15 heads (the
