@@ -62,140 +62,27 @@ def query(name: str, oracle: str | None = None):
 #     rotation already produces. tests/test_registry_order.py enforces the
 #     stand-in invariant.
 #
-# Round-16 window, in priority order (spends the r15-committed NEXT_WINDOW
-# exactly as pinned — VERDICT r15 #1):
-#   0. the two mid-r15 registrations with ZERO driver evidence, first
-#      (changed-query rule: registered after the r15 window was spent):
-#      dedup_embedding_incremental (embedding-side incremental admission)
-#      and dedup_ngram_methods (consolidated jaccard+containment pair).
-#   1. the three names the r15 empty-warehouse campaign changed after the
-#      window was spent: orders_dq_audit (try_divide ANSI-kill fix),
-#      dedup_semantic_sqrtk (0/0 stride guard), dedup_embedding_cosine
-#      (empty-corpus natural-empty guard).
-#   2. the committed r16 cohort: the complete 45-name remaining
-#      latest-r13-evidence set (orders_dq_audit was the 46th, moved to
-#      the heads above).
+# Round-17 window, in priority order (spends the r16-committed NEXT_WINDOW
+# exactly as pinned — VERDICT r16 #1):
+#   0. the two mid-r16 registrations with ZERO driver evidence, first
+#      (changed-query rule: registered after the r16 window was spent):
+#      doc_fingerprint_methods (consolidation of the retired md5 +
+#      winnowing-rolling fingerprint pair, leg-equality test-pinned) and
+#      streaming_parity_ingest_adversarial (adversarial-arrival ingest
+#      witness: event-time inversion / late-beyond-watermark / partial
+#      overlap / within-batch duplicates through the shared landing).
+#   1. streaming_parity_ingest_e2e — its landing/sessionize tail was
+#      refactored mid-r16 (shared make_landing + per-batch dropDuplicates)
+#      after its last green row (r15); re-proven locally at 3 scales.
+#   2. the committed r17 cohort: the complete 47-name remaining
+#      latest-r14-evidence set.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # 0: never-driver-checked mid-r15 registrations
-    "dedup_embedding_incremental",
-    "dedup_ngram_methods",
-    # 1: changed post-window in r15 (empty-warehouse fixes)
-    "orders_dq_audit",
-    "dedup_semantic_sqrtk",
-    "dedup_embedding_cosine",
-    # 2: the committed r16 cohort (registry.NEXT_WINDOW as of r15)
-    "corpus_bpe_encode",
-    "corpus_bpe_merges",
-    "corpus_mixture_weights",
-    "corpus_privacy_pipeline",
-    "cube_order_summary",
-    "customer_rfm_segments_approx",
-    "customer_value_deciles",
-    "dashboard_day_assembly",
-    "dedup_semantic_ivf",
-    "dedup_simhash_methods",
-    "distinct_orders_kmv_rollup",
-    "docs_bm25_topk",
-    "docs_contamination_bloom",
-    "docs_dsir_weights",
-    "docs_perplexity_buckets",
-    "docs_pii_redact",
-    "docs_quality_classifier",
-    "docs_quality_tiers",
-    "docs_weighted_sample",
-    "embedding_quantize_int8",
-    "embedding_random_projection",
-    "events_asof_join",
-    "events_funnel_conversion",
-    "events_json_extract",
-    "events_json_schema",
-    "events_range_join",
-    "events_retention_cohorts",
-    "events_rolling_7d_value",
-    "events_session_30m",
-    "events_sliding_1h_30m",
-    "events_time_rollup",
-    "events_tumbling_1h",
-    "events_type_transitions",
-    "jsonl_roundtrip_checksum",
-    "multimodal_bmp_parse",
-    "multimodal_frame_stats",
-    "multimodal_image_thumbnail",
-    "multimodal_png_roundtrip",
-    "multimodal_wav_parse",
-    "orc_roundtrip_checksum",
-    "retrieval_hybrid_rrf",
-    "scd2_customer_history",
-    "similarity_ann_methods",
-    "text_entropy",
-    "topk_products_cms",
-    # --- window boundary: 50 names above (tests/test_registry_order.py) ---
-)
-
-# Rows-only queries are rotation-exempt: each name's semantics are
-# hash-checked every rotation by the oracle-backed stand-in on the right
-# (the parity twins replay the SAME stateful pipeline against the batch
-# oracle; dedup_minhash_portable is the oracle-exact re-implementation of
-# the spark.ml MinHashLSH demo). tests/test_registry_order.py asserts every
-# rows-only name is listed here and every stand-in is registered WITH an
-# oracle, so the exemption can never silently widen.
-ROWS_ONLY_STAND_INS: dict[str, str] = {
-    "dedup_minhash_lsh": "dedup_minhash_portable",
-    # the production repartitionByRange Z-order writer samples its range
-    # split points (nondeterministic file assignment — not oracle-
-    # reproducible); the ntile audit runs the identical zone-map pruning
-    # arithmetic deterministically and is hash-checked on the rotation
-    "zorder_range_writer": "zorder_file_skipping",
-    "streaming_click_attribution": "streaming_parity_click_attribution",
-    "streaming_dedup_events": "streaming_parity_dedup",
-    "streaming_gap_monitor": "streaming_parity_gap_monitor",
-    "streaming_incremental_dedup": "streaming_parity_incremental_dedup",
-    "streaming_nation_activity": "streaming_parity_nation_activity",
-    "streaming_session_30m": "streaming_parity_session_30m",
-    "streaming_tumbling_1h": "streaming_parity_tumbling_1h",
-    "streaming_user_state": "streaming_parity_user_state",
-}
-
-# Committed round-17 window (the rotation the NEXT round starts from; the
-# phase-aware age gate uses this once CORRECTNESS_r16.json lands): the
-# complete latest-r14-evidence oracle-backed cohort — 47 names, computed
-# from the CORRECTNESS_r01..r16 ledger assuming the r16 window above runs
-# green (includes the four r14 heads events_gapfill_methods,
-# embedding_profile, scd2_cdc_apply, customers_kmv_setops, and the 8
-# streaming parity twins verified r14). The 3 head slots carry the
-# round-16 changed/new names (changed-query rule — the r16 window was
-# already committed and fully spent when these landed, the r15
-# precedent):
-#   * doc_fingerprint_methods — round-16 consolidation of the retired
-#     doc_fingerprint + doc_rolling_fingerprint registrations (both legs
-#     verbatim, leg-equality test-pinned, funding rule VERDICT r15 #6);
-#   * streaming_parity_ingest_adversarial — NEW adversarial-arrival
-#     ingest witness (out-of-order / late-beyond-watermark / partially-
-#     overlapping / within-batch-duplicate shards, same batch oracle);
-#   * streaming_parity_ingest_e2e — CHANGED: its landing/sessionize tail
-#     refactored into helpers shared with the adversarial witness, and
-#     the idempotent landing now also collapses within-batch duplicates
-#     (r15 evidence is pre-refactor; re-proven hash-identical at
-#     sf0.001/0.01/0.1).
-# The r16-END REVIEW additionally touched (all re-proven hash-identical
-# at 3 scales + fresh-process driven + degenerate sweeps; none fits the
-# full r17 window, documented here so the r17 reader sees the deltas):
-#   * dedup.py — the fixed-dim oracle guard moved from the incremental
-#     call site into _lsh_planes_wide, extending it to
-#     dedup_embedding_lsh_adaptive/_clusters (unreachable on any valid
-#     fixture: all warehouse embeddings are EMB_LSH_DIM-wide);
-#   * ingest_sink.py — make_landing extraction (shared with the
-#     checkpoint-restart witness) and a localCheckpoint on the
-#     adversarial staging split (plan-identical landing, less staging
-#     work; expect the witness's driver row slightly FASTER).
-# Capacity math: 146 oracle-backed names / 3-round cadence ≈ 48.7 refresh
-# slots per round (the fingerprint retirement pair funds the adversarial
-# witness — net-zero registration delta). The other r15 heads (the
-# zorder pair, events_hourly_anomaly) rotate on the r18 cadence.
-NEXT_WINDOW: tuple[str, ...] = (
+    # 0: never-driver-checked mid-r16 registrations
     "doc_fingerprint_methods",
     "streaming_parity_ingest_adversarial",
+    # 1: landing refactored post-r15-evidence (mid-r16)
     "streaming_parity_ingest_e2e",
+    # 2: the committed r17 cohort (registry.NEXT_WINDOW as of r16)
     "calendar_dim",
     "clean_orders",
     "copurchase_components",
@@ -243,6 +130,91 @@ NEXT_WINDOW: tuple[str, ...] = (
     "text_simhash",
     "text_token_stats",
     "valid_orders",
+    # --- window boundary: 50 names above (tests/test_registry_order.py) ---
+)
+
+# Rows-only queries are rotation-exempt: each name's semantics are
+# hash-checked every rotation by the oracle-backed stand-in on the right
+# (the parity twins replay the SAME stateful pipeline against the batch
+# oracle; dedup_minhash_portable is the oracle-exact re-implementation of
+# the spark.ml MinHashLSH demo). tests/test_registry_order.py asserts every
+# rows-only name is listed here and every stand-in is registered WITH an
+# oracle, so the exemption can never silently widen.
+ROWS_ONLY_STAND_INS: dict[str, str] = {
+    "dedup_minhash_lsh": "dedup_minhash_portable",
+    # the production repartitionByRange Z-order writer samples its range
+    # split points (nondeterministic file assignment — not oracle-
+    # reproducible); the ntile audit runs the identical zone-map pruning
+    # arithmetic deterministically and is hash-checked on the rotation
+    "zorder_range_writer": "zorder_file_skipping",
+    "streaming_click_attribution": "streaming_parity_click_attribution",
+    "streaming_dedup_events": "streaming_parity_dedup",
+    "streaming_gap_monitor": "streaming_parity_gap_monitor",
+    "streaming_incremental_dedup": "streaming_parity_incremental_dedup",
+    "streaming_nation_activity": "streaming_parity_nation_activity",
+    "streaming_session_30m": "streaming_parity_session_30m",
+    "streaming_tumbling_1h": "streaming_parity_tumbling_1h",
+    "streaming_user_state": "streaming_parity_user_state",
+}
+
+# Committed round-18 window (the rotation the NEXT round starts from; the
+# phase-aware age gate uses this once CORRECTNESS_r17.json lands): the
+# complete latest-r15-evidence oracle-backed cohort — 46 names, computed
+# from the CORRECTNESS_r01..r16 ledger assuming the r17 window above runs
+# green (the r15 cohort is 47 names; streaming_parity_ingest_e2e refreshes
+# inside the r17 window, leaving 46). Includes the r15 heads
+# (zorder_file_skipping, events_hourly_anomaly, the empty-warehouse-fix
+# trio's untouched siblings) and the copurchase/similarity families.
+# Capacity math: 146 oracle-backed names / 3-round cadence ≈ 48.7 refresh
+# slots per round — 46 committed leaves up to 4 head slots for round-17
+# changed/new names; heads are appended at round-17 end if any landed.
+NEXT_WINDOW: tuple[str, ...] = (
+    "abandonment_by_day",
+    "abandonment_by_month",
+    "abandonment_mom_increase",
+    "abandonment_yoy_increase",
+    "approx_price_percentiles",
+    "approx_topk_products",
+    "copurchase_lift",
+    "copurchase_pagerank",
+    "copurchase_triangles",
+    "corpus_filter_pipeline",
+    "corpus_temperature_mixture",
+    "corpus_vocabulary",
+    "customer_rfm_segments",
+    "dedup_cluster_components",
+    "dedup_embedding_clusters",
+    "dedup_embedding_lsh_adaptive",
+    "docs_chunk_windows",
+    "docs_contamination",
+    "docs_lang_rebalance",
+    "docs_repetition_stats",
+    "docs_split_assign",
+    "docs_stratified_sample",
+    "events_hourly_anomaly",
+    "lang_id_heuristic",
+    "lang_stats",
+    "launch_cohort_analysis",
+    "launch_month_orders",
+    "multimodal_audio_pcm_stats",
+    "multimodal_features",
+    "multimodal_flac_roundtrip",
+    "nations_by_customer",
+    "nations_by_expr_key",
+    "nations_by_supplier",
+    "orders_unpivot_metrics",
+    "partkey_skew_histogram",
+    "similarity_pq_rerank",
+    "similarity_recall_audit",
+    "similarity_topk",
+    "streaming_parity_lateness",
+    "text_tfidf_top_terms",
+    "tfidf_doc_neighbors",
+    "token_budget_pack",
+    "top_abandoned_pairs",
+    "top_abandoned_products",
+    "top_abandoned_products_salted",
+    "zorder_file_skipping",
 )
 
 

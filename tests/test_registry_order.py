@@ -22,17 +22,15 @@ DRIVER_WINDOW = 50
 # was accidentally left out of the window). Update this literal whenever
 # a query is added or its output/oracle changes.
 MUST_VERIFY = {
-    # never-driver-checked (registered mid-r15 after the r15 window was
-    # spent; VERDICT r15 #1 pins them at the head of the r16 window)
-    "dedup_embedding_incremental",
-    "dedup_ngram_methods",
-    # changed post-window in r15 (empty-warehouse probe-and-fix campaign):
-    # orders_dq_audit carries a REAL behavior fix (try_divide for the
-    # checked=0 ANSI-kill); the other two gained empty-corpus guards that
-    # are dead at sweep scale but must still be driver-rowed on new code
-    "orders_dq_audit",
-    "dedup_semantic_sqrtk",
-    "dedup_embedding_cosine",
+    # never-driver-checked (registered mid-r16 after the r16 window was
+    # spent; VERDICT r16 #1 pins them at the head of the r17 window)
+    "doc_fingerprint_methods",
+    "streaming_parity_ingest_adversarial",
+    # changed post-evidence in r16: the landing/sessionize tail was
+    # refactored into make_landing (shared with the adversarial and
+    # restart witnesses) and the idempotent landing now collapses
+    # within-batch duplicates — its last green row (r15) is pre-refactor
+    "streaming_parity_ingest_e2e",
 }
 
 
