@@ -73,6 +73,45 @@ def test_delta_adjudication_classes_contention_vs_code(tmp_path):
     assert "slower (code" in real_row and "4.800" in real_row
 
 
+def test_delta_advisory_classing_on_oversubscribed_host(tmp_path):
+    """Round 17 (VERDICT r16 #4): when the sweep's own multicore probe shows
+    inflation past _INFLATION_ADVISORY_MAX, an in-run isolated re-measure
+    cannot indict code — a still-slow row is classed 'needs idle
+    adjudication' and the table emits the exact --anchors command; a
+    back-in-band isolated row still closes as contention (a degraded host
+    only inflates the isolated number, so in-band is conservative)."""
+    notes = _notes(tmp_path)
+    prev = _detail({"cont": 2.0, "susp": 2.0, "uncapped": 2.0}, 0.5)
+    now = _detail({"cont": 5.0, "susp": 5.0, "uncapped": 5.0}, 0.5)
+    now["calibration_mt"] = {"inflation": 1.98}
+    now["isolated"] = {"cont": 2.1, "susp": 4.8}  # uncapped: past the cap
+    bench._write_delta_table(now, prev, notes)
+    s = open(notes).read()
+    cont_row = [ln for ln in s.splitlines() if ln.startswith("| cont |")][0]
+    susp_row = [ln for ln in s.splitlines() if ln.startswith("| susp |")][0]
+    assert "contention (in-sweep)" in cont_row
+    assert "needs idle adjudication" in susp_row and "slower (code" not in susp_row
+    assert "2.40x in-run isolated, advisory at inflation 1.98" in susp_row
+    assert "ADVISORY-ONLY" in s
+    assert "`python bench.py --anchors susp uncapped`" in s
+
+
+def test_delta_code_classing_unchanged_on_healthy_host(tmp_path):
+    """Below the inflation threshold the r9 classing is untouched — a
+    still-slow isolated row IS a code indictment (regression guard for the
+    r17 advisory change)."""
+    notes = _notes(tmp_path)
+    prev = _detail({"real": 2.0}, 0.5)
+    now = _detail({"real": 5.0}, 0.5)
+    now["calibration_mt"] = {"inflation": 1.2}
+    now["isolated"] = {"real": 4.8}
+    bench._write_delta_table(now, prev, notes)
+    s = open(notes).read()
+    real_row = [ln for ln in s.splitlines() if ln.startswith("| real |")][0]
+    assert "slower (code, 2.40x isolated)" in real_row
+    assert "ADVISORY-ONLY" not in s
+
+
 def test_adjudicate_flags_only_remeasures_slower(monkeypatch):
     calls = []
     monkeypatch.setattr(
