@@ -1074,6 +1074,13 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = _emb_dim(e)
     if dim is None:
         return _empty_pairs(spark)
+    # ADVICE r16: this non-delegating path builds its planes OUTSIDE
+    # _lsh_planes_wide, so the family-wide dim guard there doesn't cover
+    # it — yet its oracle builder (_emb_lsh_oracle_sql, still used by the
+    # below-knee bit-identity pin) bakes plane literals at EMB_LSH_DIM
+    # exactly like its registered siblings. Guard here too, so a future
+    # re-registration cannot silently reopen the desync.
+    _require_oracle_dim(dim)
     return _emb_lsh_pairs(spark, e, _lsh_planes(dim), EMB_LSH_BITS)
 
 
@@ -1224,12 +1231,17 @@ EMB_LSH_BITS_OFFSET = 16
 
 def _emb_lsh_bits(n: int) -> int:
     """Band width for a corpus of n vectors (identical formula in the
-    oracle's params CTE)."""
-    import math
+    oracle's params CTE).
 
+    INTEGER formulation (VERDICT r16 #6): ceil(log2 n) == (n-1).bit_length()
+    for n >= 2, exactly — and the oracle computes the same thing as
+    ``length(bin(n-1))`` — so the band width never touches float libm on
+    either engine. The r16 pin (tests/test_extensions.py, every power of
+    two ±1 to 2^40) is retained and now also asserts the integer and the
+    historical float formulations agree."""
     return min(
         EMB_LSH_MAX_BITS,
-        max(EMB_LSH_BITS, 2 * math.ceil(math.log2(max(n, 2))) - EMB_LSH_BITS_OFFSET),
+        max(EMB_LSH_BITS, 2 * (max(n, 2) - 1).bit_length() - EMB_LSH_BITS_OFFSET),
     )
 
 
@@ -1285,7 +1297,7 @@ def _emb_lsh_adaptive_ctes() -> str:
     bv_list = ",".join(f"bv{b}" for b in range(bands))
     return f"""params AS (
     SELECT LEAST({maxb}, GREATEST({EMB_LSH_BITS},
-           2 * CAST(ceil(log2(GREATEST(COUNT(*), 2))) AS INTEGER)
+           2 * length(bin(GREATEST(COUNT(*), 2) - 1))
            - {EMB_LSH_BITS_OFFSET})) AS bits
     FROM embeddings
 ),
@@ -1394,7 +1406,7 @@ def _emb_inc_oracle_sql() -> str:
     return f"""
 WITH params AS (
     SELECT LEAST({maxb}, GREATEST({EMB_LSH_BITS},
-           2 * CAST(ceil(log2(GREATEST(COUNT(*), 2))) AS INTEGER)
+           2 * length(bin(GREATEST(COUNT(*), 2) - 1))
            - {EMB_LSH_BITS_OFFSET})) AS bits
     FROM embeddings WHERE vec_id % {mod} <> 0
 ),

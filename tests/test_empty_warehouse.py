@@ -170,6 +170,29 @@ def _names_reading(table: str) -> list[str]:
     return sorted(n for n, sql in entry.oracle_sql().items() if pat.search(sql))
 
 
+def test_names_reading_convention_holds():
+    """ADVICE r16: ``_names_reading`` scopes each single-table-empty probe
+    by a word-bounded regex over the ORACLE SQL — sound only while every
+    query's oracle names the tables its Spark side reads. The risk class
+    is a query whose Spark side pulls from a table the oracle text never
+    mentions; the one such indirection in the repo is the trend anchor
+    (Spark pulls MAX(o_orderdate) via catalog.last_order_datetime, the
+    oracle recomputes it inline). Pin the convention where it bites:
+    every anchored trend query's oracle must name ``orders`` (so the
+    orders-empty probe always covers the whole anchored surface), and
+    every pinned divergence-class name must be visible to the probe of
+    its own source table."""
+    orders_names = set(_names_reading("orders"))
+    missing = [n for n in ANCHORED_TREND_NAMES if n not in orders_names]
+    assert not missing, (
+        f"anchored trend oracles no longer name 'orders' — the "
+        f"orders-empty probe would silently skip them: {missing}"
+    )
+    assert {"cube_order_summary", "rollup_order_values"} <= orders_names
+    assert "events_time_rollup" in set(_names_reading("events"))
+    assert "customer_rfm_segments_approx" in orders_names
+
+
 @pytest.mark.parametrize("empty_table", ["orders", "events"])
 def test_one_table_empty_contract(spark, tmp_path_factory, empty_table):
     """Round-16 probe-then-pin: ONE table empty, every other table at

@@ -138,14 +138,20 @@ def test_emb_lsh_bits_formula():
 
 
 def test_emb_lsh_bits_cross_engine_at_powers_of_two():
-    """ADVICE r15: the Spark side computes band width via Python float
-    ``2*ceil(log2 n)`` while the oracle's params CTE computes DuckDB's
-    ``2*CAST(ceil(log2 n) AS INTEGER)`` — both are float log2, and a count
-    near an exact power of two is where a libm could in principle round
-    to k−ε (ceil → k) vs exactly k (ceil → k), flipping the band width and
-    silently desyncing the candidate sets at that one corpus size. Pin
-    agreement at every power of two a corpus count could reach, plus the
-    ±1 neighbors where ceil actually steps."""
+    """ADVICE r15 / VERDICT r16 #6: the band-width formula originally
+    touched float log2 on both engines, and a count near an exact power of
+    two is where a libm could in principle round to k−ε (ceil → k) vs
+    exactly k, flipping the band width and silently desyncing the
+    candidate sets at that one corpus size. Round 17 replaced the float
+    path with the INTEGER formulation on both sides — Python
+    ``(n-1).bit_length()``, DuckDB ``length(bin(n-1))`` — removing the
+    libm dependency instead of pinning around it. This test retains the
+    pin at every power of two a corpus count could reach (±1 neighbors
+    where ceil steps): Spark-side == the oracle's params-CTE expression ==
+    the historical float formulation, so the migration is provably
+    value-identical everywhere it could ever bind."""
+    import math
+
     import duckdb
 
     from databricks_spark_sql_challenge1_spark.operators.dedup import (
@@ -161,12 +167,20 @@ def test_emb_lsh_bits_cross_engine_at_powers_of_two():
     con = duckdb.connect()
     rows = con.execute(
         "SELECT n, LEAST(?, GREATEST(?, "
-        "2 * CAST(ceil(log2(GREATEST(n, 2))) AS INTEGER) - ?)) "
+        "2 * length(bin(GREATEST(n, 2) - 1)) - ?)) "
         "FROM (SELECT unnest(?::BIGINT[]) AS n) ORDER BY n",
         [EMB_LSH_MAX_BITS, EMB_LSH_BITS, EMB_LSH_BITS_OFFSET, counts],
     ).fetchall()
     for n, duck_bits in rows:
         assert _emb_lsh_bits(n) == duck_bits, (n, _emb_lsh_bits(n), duck_bits)
+        float_bits = min(
+            EMB_LSH_MAX_BITS,
+            max(
+                EMB_LSH_BITS,
+                2 * math.ceil(math.log2(max(n, 2))) - EMB_LSH_BITS_OFFSET,
+            ),
+        )
+        assert _emb_lsh_bits(n) == float_bits, (n, _emb_lsh_bits(n), float_bits)
 
 
 def test_require_oracle_dim_is_loud():

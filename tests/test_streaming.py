@@ -141,18 +141,29 @@ def test_ingest_adversarial_lands_each_event_once(spark, tmp_path):
 
 
 def test_ingest_survives_restart_mid_drain(spark, tmp_path):
-    """Checkpoint-recovery witness (round 16): the idempotent landing must
-    be exactly-once ACROSS A PROCESS-RESTART BOUNDARY, not just within one
-    availableNow drain. Protocol: stage the four adversarial shards, drain
-    with a query that is STOPPED after the first micro-batch commits, then
-    restart a fresh query on the SAME checkpoint — the restarted query
-    must resume from the recorded offsets (never re-land batch 0's rows,
-    never skip the rest), ending with bronze == the source set exactly.
-    This is the crash/upgrade path every production pipeline takes; a
-    sink that double-lands on restart would pass the single-drain witness
-    and fail here."""
+    """Checkpoint-recovery witness (round 16; made deterministic round 17 —
+    ADVICE r16 flagged the old stop-vs-pacing-sleep race: a fast host could
+    drain all four shards before ``q1.stop()`` won). The idempotent landing
+    must be exactly-once ACROSS A PROCESS-RESTART BOUNDARY, with the crash
+    point PINNED instead of raced:
+
+      1. stage the four adversarial shards but expose only shard 0 to the
+         file source; drain it to clean termination (offsets/0 + commits/0
+         recorded);
+      2. simulate a crash BETWEEN the sink write and the checkpoint commit
+         by deleting ``commits/0`` — exactly the window where Structured
+         Streaming's recovery contract re-runs the batch on restart;
+      3. expose the remaining three shards and restart on the SAME
+         checkpoint: recovery re-runs batch 0 from the recorded offsets
+         (its rows must land ZERO new copies — the idempotent sink absorbs
+         the replay), then drains shards 1-3;
+
+    ending with bronze == the source set exactly and the deterministic
+    batch-id trace [0] then [0, 1, 2, 3]. A sink that double-lands on
+    batch re-run would inflate the counts; a recovery that skipped the
+    re-run or the new shards would deflate them."""
     import os
-    import time
+    import shutil
 
     from databricks_spark_sql_challenge1_spark.catalog import load_table
     from databricks_spark_sql_challenge1_spark.streaming.ingest_sink import (
@@ -162,29 +173,26 @@ def test_ingest_survives_restart_mid_drain(spark, tmp_path):
         stage_adversarial_shards,
     )
 
-    # Stage the adversarial shards WITHOUT draining, then run the drain in
-    # two separately-started queries sharing one checkpoint.
+    # Stage the adversarial shards WITHOUT draining (one staging definition,
+    # no drift), then hold shards 1-3 out of the source dir for phase 1.
     scratch = str(tmp_path / "restart")
     os.makedirs(scratch)
     raw_dir = stage_adversarial_shards(spark, SF_DIR, scratch)
+    held = str(tmp_path / "held")
+    os.makedirs(held)
+    for i in (1, 2, 3):
+        shutil.move(os.path.join(raw_dir, f"arrival{i}.parquet"), held)
 
     bronze_dir = os.path.join(scratch, "bronze")
     ckpt = os.path.join(scratch, "ckpt")
     landed_batches = []
 
-    def after_batch(batch_id):
-        landed_batches.append(batch_id)
-        # pace the drain so q1.stop() below always wins before all four
-        # shards land — without this a fast host could drain everything in
-        # the first incarnation and the restart would prove nothing
-        time.sleep(0.5)
-
     # THE production landing (make_landing — one definition, no drift),
-    # with the test's bookkeeping/pacing riding the after_batch hook
-    land = make_landing(bronze_dir, after_batch=after_batch)
+    # with the test's bookkeeping riding the after_batch hook
+    land = make_landing(bronze_dir, after_batch=landed_batches.append)
 
-    def start():
-        return (
+    def drain():
+        (
             spark.readStream.schema(RAW_ARRIVAL_SCHEMA)
             .option("maxFilesPerTrigger", "1")
             .parquet(raw_dir)
@@ -192,34 +200,36 @@ def test_ingest_survives_restart_mid_drain(spark, tmp_path):
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
-        )
+        ).awaitTermination()
 
-    # First incarnation: kill it after the first micro-batch lands.
-    q1 = start()
-    deadline = time.time() + 120
-    while not landed_batches and time.time() < deadline:
-        time.sleep(0.2)
-    assert landed_batches, "first micro-batch never landed"
-    q1.stop()
-    q1.awaitTermination()
-    first_incarnation = list(landed_batches)
-    # The stop may race a second batch in, but it must NOT have drained all
-    # four shards — otherwise the restart proves nothing.
-    assert len(first_incarnation) < 4
+    # First incarnation: drains exactly shard 0, terminates cleanly.
+    drain()
+    assert landed_batches == [0]
+    n_src = load_table(spark, SF_DIR, "events").count()
+    n_phase1 = spark.read.parquet(bronze_dir).count()
+    assert 0 < n_phase1 < n_src  # shard 0 is the late half, not the set
 
-    # Second incarnation: same checkpoint, fresh query — resumes and drains.
-    q2 = start()
-    q2.awaitTermination()
+    # Crash injection: the sink write for batch 0 is durable but its
+    # checkpoint commit is not — delete the commit marker AND its Hadoop
+    # ChecksumFileSystem shadow (leaving the stale .crc makes the
+    # re-commit's rename fail, which Spark misreports as "multiple
+    # streaming queries using this checkpoint").
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    # Second incarnation: same checkpoint, shards 1-3 now visible.
+    for i in (1, 2, 3):
+        shutil.move(os.path.join(held, f"arrival{i}.parquet"), raw_dir)
+    drain()
+    # recovery re-ran batch 0 (uncommitted), then drained the three new
+    # shards — deterministically, not "whatever the stop raced in"
+    assert landed_batches == [0, 0, 1, 2, 3]
 
     landed = spark.read.parquet(bronze_dir)
-    n_src = load_table(spark, SF_DIR, "events").count()
     assert landed.count() == n_src
     assert landed.select("event_id").distinct().count() == n_src
-    # the restart resumed from the checkpoint (no batch re-run leaked rows):
-    # every batch id landed at most... batch ids may repeat if the stopped
-    # incarnation had an uncommitted in-flight batch — that replay is
-    # exactly what the idempotent sink absorbs; the row-count assertions
-    # above are the invariant.
     # Reference parity: the recovered bronze equals _land_events_adversarial
     # run end-to-end in one incarnation.
     single = _land_events_adversarial(spark, SF_DIR, str(tmp_path / "single"))
@@ -229,6 +239,109 @@ def test_ingest_survives_restart_mid_drain(spark, tmp_path):
     )
     recovered_rows = sorted(tuple(str(x) for x in r) for r in landed.collect())
     assert recovered_rows == single_rows
+
+
+def test_ingest_skew_stress_witness(spark, tmp_path):
+    """Key-skew arrival witness (VERDICT r16 #5): the four adversarial
+    shards vary arrival ORDER but keep the fixture's benign key
+    distribution — the one arrival dimension they never exercise is key
+    skew, the 100 TB failure shape for session_window state (one hot
+    user's state concentrates on one task) and for the landing anti-join
+    (one hot key dominates the landed-set probe). Remap every even
+    event_id onto ONE hot user (~half the events), stage three arrival
+    shards that pile the skew on:
+
+      arrival 0 — the hot user's entire history, ts-descending (all of
+        one key's session state built from one inverted file);
+      arrival 1 — everyone else;
+      arrival 2 — a partial replay of the HOT KEY ONLY (every 2nd hot
+        event) — the landed-set anti-join probed exactly on the skewed
+        key;
+
+    drain through the production ``make_landing``, sessionize through the
+    same watermarked ``_bronze_to_gold`` tail, and pin the result equal to
+    an independent batch formulation (gaps-and-islands over lag(), the
+    same shape as the witnesses' DuckDB oracle) computed on the remapped
+    events. Bronze must also hold each event_id exactly once — the replay
+    shard lands zero rows."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from databricks_spark_sql_challenge1_spark.streaming.ingest_sink import (
+        _bronze_to_gold,
+        _drain_arrivals_idempotent,
+        _staged_events,
+        _write_arrival_shard,
+    )
+
+    hot_user = F.lit(1).cast("bigint")
+    skewed = (
+        _staged_events(spark, SF_DIR)
+        .withColumn(
+            "user_id",
+            F.when(F.col("event_id") % 2 == 0, hot_user).otherwise(
+                F.col("user_id")
+            ),
+        )
+        .localCheckpoint()  # one staging materialization, three shard writes
+    )
+    hot = skewed.where(F.col("user_id") == 1)
+    scratch = str(tmp_path / "skew")
+    raw_dir = os.path.join(scratch, "raw")
+    os.makedirs(raw_dir)
+    shards = [
+        hot.orderBy(F.col("ts").desc(), F.col("event_id").desc()),
+        skewed.where(F.col("user_id") != 1),
+        hot.where(F.col("event_id") % 4 == 0),  # hot-key-only replay
+    ]
+    for i, shard in enumerate(shards):
+        _write_arrival_shard(shard, scratch, raw_dir, i)
+
+    bronze_dir = _drain_arrivals_idempotent(spark, raw_dir, scratch)
+    landed = spark.read.parquet(bronze_dir)
+    n_src = skewed.count()
+    assert landed.count() == n_src
+    assert landed.select("event_id").distinct().count() == n_src
+
+    gold = _bronze_to_gold(spark, bronze_dir)
+
+    # Independent batch oracle: gaps-and-islands sessionization (lag-based,
+    # NOT session_window — a session_window semantics bug must not cancel)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    flagged = skewed.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+                > 30 * 60
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0)),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    batch_gold = (
+        sessions.groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .orderBy(F.col("user_id").asc())
+    )
+    assert sorted(gold.columns) == sorted(batch_gold.columns)
+    assert _rows(gold.select(*batch_gold.columns)) == _rows(batch_gold)
+    # the skew is real: the hot user carries ~half the events
+    hot_n = skewed.where(F.col("user_id") == 1).count()
+    assert hot_n >= n_src * 0.4
 
 
 def test_streaming_user_state_tws(spark):
