@@ -158,17 +158,37 @@ ROWS_ONLY_STAND_INS: dict[str, str] = {
 }
 
 # Committed round-18 window (the rotation the NEXT round starts from; the
-# phase-aware age gate uses this once CORRECTNESS_r17.json lands): the
-# complete latest-r15-evidence oracle-backed cohort — 46 names, computed
-# from the CORRECTNESS_r01..r16 ledger assuming the r17 window above runs
-# green (the r15 cohort is 47 names; streaming_parity_ingest_e2e refreshes
-# inside the r17 window, leaving 46). Includes the r15 heads
-# (zorder_file_skipping, events_hourly_anomaly, the empty-warehouse-fix
-# trio's untouched siblings) and the copurchase/similarity families.
+# phase-aware age gate uses this once CORRECTNESS_r17.json lands): 3 heads
+# + the complete latest-r15-evidence oracle-backed cohort — 47 names,
+# computed from the CORRECTNESS_r01..r16 ledger assuming the r17 window
+# above runs green (the r15 cohort is 47 names; streaming_parity_
+# ingest_e2e refreshes inside the r17 window, leaving 46; two cohort
+# members are promoted to heads below, and one head is an r16-evidence
+# name the round-17 change touched).
+#
+# The 3 head slots carry the round-17 CHANGED names (changed-query rule;
+# the r17 window was already committed as the complete r14 cohort —
+# displacement is barred by the r14 precedent — so these defer one round
+# exactly like the r15/r16 heads did): the adaptive-LSH band-width
+# formula moved from float ceil(log2 N) to the integer bit-length
+# formulation on BOTH engines (dedup._emb_lsh_bits + the params CTEs —
+# VERDICT r16 #6), which rewrites the oracle SQL of
+#   * dedup_embedding_lsh_adaptive (r15 evidence — cohort member, promoted
+#     to head),
+#   * dedup_embedding_clusters (r15 evidence — same, shares the CTE chain),
+#   * dedup_embedding_incremental (r16 evidence — added as head).
+# All three re-proven hash-identical at sf0.001/0.01/0.1 at change time
+# (tools/parity_names.py), with the power-of-two cross-engine pin extended
+# to prove the integer and float formulations value-identical to 2^40.
 # Capacity math: 146 oracle-backed names / 3-round cadence ≈ 48.7 refresh
-# slots per round — 46 committed leaves up to 4 head slots for round-17
-# changed/new names; heads are appended at round-17 end if any landed.
+# slots per round — 47 committed leaves up to 3 head slots for further
+# round-17 changes (appended at round-17 end if any land).
 NEXT_WINDOW: tuple[str, ...] = (
+    # heads: changed by the round-17 integer-log2 migration
+    "dedup_embedding_lsh_adaptive",
+    "dedup_embedding_clusters",
+    "dedup_embedding_incremental",
+    # the latest-r15-evidence cohort
     "abandonment_by_day",
     "abandonment_by_month",
     "abandonment_mom_increase",
@@ -183,8 +203,6 @@ NEXT_WINDOW: tuple[str, ...] = (
     "corpus_vocabulary",
     "customer_rfm_segments",
     "dedup_cluster_components",
-    "dedup_embedding_clusters",
-    "dedup_embedding_lsh_adaptive",
     "docs_chunk_windows",
     "docs_contamination",
     "docs_lang_rebalance",
