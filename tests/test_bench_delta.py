@@ -96,6 +96,24 @@ def test_delta_advisory_classing_on_oversubscribed_host(tmp_path):
     assert "`python bench.py --anchors susp uncapped`" in s
 
 
+def test_delta_advisory_takes_worst_of_start_and_post_stamps(tmp_path):
+    """The r17 builder attempt passed the start-of-sweep stamp (1.59) but
+    the host degraded by adjudication time — the advisory decision must
+    take the WORST of the sweep-start and adjudication-time probes."""
+    notes = _notes(tmp_path)
+    prev = _detail({"susp": 2.0}, 0.5)
+    now = _detail({"susp": 5.0}, 0.5)
+    now["calibration_mt"] = {"inflation": 1.59}       # under threshold
+    now["calibration_mt_post"] = {"inflation": 1.91}  # degraded since
+    now["isolated"] = {"susp": 4.8}
+    bench._write_delta_table(now, prev, notes)
+    s = open(notes).read()
+    susp_row = [ln for ln in s.splitlines() if ln.startswith("| susp |")][0]
+    assert "needs idle adjudication" in susp_row and "slower (code" not in susp_row
+    assert "advisory at inflation 1.91" in susp_row
+    assert "1.59 at sweep start, 1.91 at adjudication time" in s
+
+
 def test_delta_code_classing_unchanged_on_healthy_host(tmp_path):
     """Below the inflation threshold the r9 classing is untouched — a
     still-slow isolated row IS a code indictment (regression guard for the
