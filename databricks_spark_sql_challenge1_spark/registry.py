@@ -62,133 +62,32 @@ def query(name: str, oracle: str | None = None):
 #     rotation already produces. tests/test_registry_order.py enforces the
 #     stand-in invariant.
 #
-# Round-17 window, in priority order (spends the r16-committed NEXT_WINDOW
-# exactly as pinned — VERDICT r16 #1):
-#   0. the two mid-r16 registrations with ZERO driver evidence, first
-#      (changed-query rule: registered after the r16 window was spent):
-#      doc_fingerprint_methods (consolidation of the retired md5 +
-#      winnowing-rolling fingerprint pair, leg-equality test-pinned) and
-#      streaming_parity_ingest_adversarial (adversarial-arrival ingest
-#      witness: event-time inversion / late-beyond-watermark / partial
-#      overlap / within-batch duplicates through the shared landing).
-#   1. streaming_parity_ingest_e2e — its landing/sessionize tail was
-#      refactored mid-r16 (shared make_landing + per-batch dropDuplicates)
-#      after its last green row (r15); re-proven locally at 3 scales.
-#   2. the committed r17 cohort: the complete 47-name remaining
-#      latest-r14-evidence set.
+# Round-18 window, in priority order (spends the r17-committed NEXT_WINDOW
+# exactly as pinned — VERDICT r17 #1 — plus the 3 free slots):
+#   0. streaming_parity_ingest_skew — NEW this round (VERDICT r17 #5: the
+#      key-skew witness's driver-checkable registration — the
+#      gaps-and-islands gold over hot-key-remapped arrivals through the
+#      production landing), zero driver evidence: changed-query rule says
+#      first.
+#   1. the three round-17 integer-log2-changed names (their oracles were
+#      rewritten in 089c69e after the r17 window was spent; 3-scale
+#      parity re-proven at change time AND independently at r17 judge
+#      time, but driver-grade evidence lands here).
+#   2. the committed r18 cohort: the complete 44-name remaining
+#      latest-r15-evidence set.
+#   3. two r16-evidence names pre-refreshed into this round's spare
+#      slots (scd2_customer_history and dedup_semantic_sqrtk — both on
+#      the r17 sweep's idle-adjudication list, so their fresh correctness
+#      rows land alongside the perf adjudication), freeing r19 head
+#      capacity: the r19 cohort shrinks to 47 (see NEXT_WINDOW).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # 0: never-driver-checked mid-r16 registrations
-    "doc_fingerprint_methods",
-    "streaming_parity_ingest_adversarial",
-    # 1: landing refactored post-r15-evidence (mid-r16)
-    "streaming_parity_ingest_e2e",
-    # 2: the committed r17 cohort (registry.NEXT_WINDOW as of r16)
-    "calendar_dim",
-    "clean_orders",
-    "copurchase_components",
-    "corpus_dedup_pipeline",
-    "count_distinct_orders",
-    "customers_kmv_setops",
-    "dashboard_month_assembly",
-    "dedup_exact",
-    "dedup_fingerprint",
-    "dedup_incremental",
-    "dedup_keep_best",
-    "dedup_minhash_portable",
-    "docs_contamination_incremental",
-    "docs_substring_dedup",
-    "embedding_centroids",
-    "embedding_kmeans_refine",
-    "embedding_profile",
-    "events_gapfill_methods",
-    "events_json_nested",
-    "launch_year_orders",
-    "monthly_order_trend_lag",
-    "multimodal_avi_frames",
-    "multimodal_gif_roundtrip",
-    "multimodal_h264_nal",
-    "multimodal_jpeg_roundtrip",
-    "multimodal_mp3_frames",
-    "order_export_denorm",
-    "orders_incremental_merge",
-    "orders_no_price",
-    "pivot_status_by_priority",
-    "price_percentiles",
-    "retrieval_rrf_rerank",
-    "rollup_order_values",
-    "scd2_cdc_apply",
-    "set_ops_customers",
-    "streaming_parity_click_attribution",
-    "streaming_parity_dedup",
-    "streaming_parity_gap_monitor",
-    "streaming_parity_incremental_dedup",
-    "streaming_parity_nation_activity",
-    "streaming_parity_session_30m",
-    "streaming_parity_tumbling_1h",
-    "streaming_parity_user_state",
-    "text_quality_stats",
-    "text_simhash",
-    "text_token_stats",
-    "valid_orders",
-    # --- window boundary: 50 names above (tests/test_registry_order.py) ---
-)
-
-# Rows-only queries are rotation-exempt: each name's semantics are
-# hash-checked every rotation by the oracle-backed stand-in on the right
-# (the parity twins replay the SAME stateful pipeline against the batch
-# oracle; dedup_minhash_portable is the oracle-exact re-implementation of
-# the spark.ml MinHashLSH demo). tests/test_registry_order.py asserts every
-# rows-only name is listed here and every stand-in is registered WITH an
-# oracle, so the exemption can never silently widen.
-ROWS_ONLY_STAND_INS: dict[str, str] = {
-    "dedup_minhash_lsh": "dedup_minhash_portable",
-    # the production repartitionByRange Z-order writer samples its range
-    # split points (nondeterministic file assignment — not oracle-
-    # reproducible); the ntile audit runs the identical zone-map pruning
-    # arithmetic deterministically and is hash-checked on the rotation
-    "zorder_range_writer": "zorder_file_skipping",
-    "streaming_click_attribution": "streaming_parity_click_attribution",
-    "streaming_dedup_events": "streaming_parity_dedup",
-    "streaming_gap_monitor": "streaming_parity_gap_monitor",
-    "streaming_incremental_dedup": "streaming_parity_incremental_dedup",
-    "streaming_nation_activity": "streaming_parity_nation_activity",
-    "streaming_session_30m": "streaming_parity_session_30m",
-    "streaming_tumbling_1h": "streaming_parity_tumbling_1h",
-    "streaming_user_state": "streaming_parity_user_state",
-}
-
-# Committed round-18 window (the rotation the NEXT round starts from; the
-# phase-aware age gate uses this once CORRECTNESS_r17.json lands): 3 heads
-# + the complete latest-r15-evidence oracle-backed cohort — 47 names,
-# computed from the CORRECTNESS_r01..r16 ledger assuming the r17 window
-# above runs green (the r15 cohort is 47 names; streaming_parity_
-# ingest_e2e refreshes inside the r17 window, leaving 46; two cohort
-# members are promoted to heads below, and one head is an r16-evidence
-# name the round-17 change touched).
-#
-# The 3 head slots carry the round-17 CHANGED names (changed-query rule;
-# the r17 window was already committed as the complete r14 cohort —
-# displacement is barred by the r14 precedent — so these defer one round
-# exactly like the r15/r16 heads did): the adaptive-LSH band-width
-# formula moved from float ceil(log2 N) to the integer bit-length
-# formulation on BOTH engines (dedup._emb_lsh_bits + the params CTEs —
-# VERDICT r16 #6), which rewrites the oracle SQL of
-#   * dedup_embedding_lsh_adaptive (r15 evidence — cohort member, promoted
-#     to head),
-#   * dedup_embedding_clusters (r15 evidence — same, shares the CTE chain),
-#   * dedup_embedding_incremental (r16 evidence — added as head).
-# All three re-proven hash-identical at sf0.001/0.01/0.1 at change time
-# (tools/parity_names.py), with the power-of-two cross-engine pin extended
-# to prove the integer and float formulations value-identical to 2^40.
-# Capacity math: 146 oracle-backed names / 3-round cadence ≈ 48.7 refresh
-# slots per round — 47 committed leaves up to 3 head slots for further
-# round-17 changes (appended at round-17 end if any land).
-NEXT_WINDOW: tuple[str, ...] = (
-    # heads: changed by the round-17 integer-log2 migration
+    # 0: never-driver-checked round-18 registration
+    "streaming_parity_ingest_skew",
+    # 1: oracle rewritten post-evidence (r17 integer-log2 migration)
     "dedup_embedding_lsh_adaptive",
     "dedup_embedding_clusters",
     "dedup_embedding_incremental",
-    # the latest-r15-evidence cohort
+    # 2: the committed r18 cohort (registry.NEXT_WINDOW as of r17)
     "abandonment_by_day",
     "abandonment_by_month",
     "abandonment_mom_increase",
@@ -233,6 +132,97 @@ NEXT_WINDOW: tuple[str, ...] = (
     "top_abandoned_products",
     "top_abandoned_products_salted",
     "zorder_file_skipping",
+    # 3: r16-evidence pre-refresh (spare slots; frees r19 heads)
+    "scd2_customer_history",
+    "dedup_semantic_sqrtk",
+    # --- window boundary: 50 names above (tests/test_registry_order.py) ---
+)
+
+# Rows-only queries are rotation-exempt: each name's semantics are
+# hash-checked every rotation by the oracle-backed stand-in on the right
+# (the parity twins replay the SAME stateful pipeline against the batch
+# oracle; dedup_minhash_portable is the oracle-exact re-implementation of
+# the spark.ml MinHashLSH demo). tests/test_registry_order.py asserts every
+# rows-only name is listed here and every stand-in is registered WITH an
+# oracle, so the exemption can never silently widen.
+ROWS_ONLY_STAND_INS: dict[str, str] = {
+    "dedup_minhash_lsh": "dedup_minhash_portable",
+    # the production repartitionByRange Z-order writer samples its range
+    # split points (nondeterministic file assignment — not oracle-
+    # reproducible); the ntile audit runs the identical zone-map pruning
+    # arithmetic deterministically and is hash-checked on the rotation
+    "zorder_range_writer": "zorder_file_skipping",
+    "streaming_click_attribution": "streaming_parity_click_attribution",
+    "streaming_dedup_events": "streaming_parity_dedup",
+    "streaming_gap_monitor": "streaming_parity_gap_monitor",
+    "streaming_incremental_dedup": "streaming_parity_incremental_dedup",
+    "streaming_nation_activity": "streaming_parity_nation_activity",
+    "streaming_session_30m": "streaming_parity_session_30m",
+    "streaming_tumbling_1h": "streaming_parity_tumbling_1h",
+    "streaming_user_state": "streaming_parity_user_state",
+}
+
+# Committed round-19 window (the rotation the NEXT round starts from; the
+# phase-aware age gate uses this once CORRECTNESS_r18.json lands): the
+# complete remaining latest-r16-evidence oracle-backed cohort — 47 names,
+# computed from the CORRECTNESS_r01..r17 ledger assuming the r18 window
+# above runs green (the r16 cohort is 50 names; dedup_embedding_incremental
+# refreshes as an r18 head, and scd2_customer_history +
+# dedup_semantic_sqrtk were pre-refreshed into the r18 spare slots,
+# leaving 47).
+#
+# Capacity math: 147 oracle-backed names / 3-round cadence = 49 refresh
+# slots per round — 47 committed leaves up to 3 head slots for round-18
+# changes (appended at round-18 end if any land).
+NEXT_WINDOW: tuple[str, ...] = (
+    # the latest-r16-evidence cohort
+    "corpus_bpe_encode",
+    "corpus_bpe_merges",
+    "corpus_mixture_weights",
+    "corpus_privacy_pipeline",
+    "cube_order_summary",
+    "customer_rfm_segments_approx",
+    "customer_value_deciles",
+    "dashboard_day_assembly",
+    "dedup_embedding_cosine",
+    "dedup_ngram_methods",
+    "dedup_semantic_ivf",
+    "dedup_simhash_methods",
+    "distinct_orders_kmv_rollup",
+    "docs_bm25_topk",
+    "docs_contamination_bloom",
+    "docs_dsir_weights",
+    "docs_perplexity_buckets",
+    "docs_pii_redact",
+    "docs_quality_classifier",
+    "docs_quality_tiers",
+    "docs_weighted_sample",
+    "embedding_quantize_int8",
+    "embedding_random_projection",
+    "events_asof_join",
+    "events_funnel_conversion",
+    "events_json_extract",
+    "events_json_schema",
+    "events_range_join",
+    "events_retention_cohorts",
+    "events_rolling_7d_value",
+    "events_session_30m",
+    "events_sliding_1h_30m",
+    "events_time_rollup",
+    "events_tumbling_1h",
+    "events_type_transitions",
+    "jsonl_roundtrip_checksum",
+    "multimodal_bmp_parse",
+    "multimodal_frame_stats",
+    "multimodal_image_thumbnail",
+    "multimodal_png_roundtrip",
+    "multimodal_wav_parse",
+    "orc_roundtrip_checksum",
+    "orders_dq_audit",
+    "retrieval_hybrid_rrf",
+    "similarity_ann_methods",
+    "text_entropy",
+    "topk_products_cms",
 )
 
 

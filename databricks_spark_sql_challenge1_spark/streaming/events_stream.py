@@ -167,8 +167,8 @@ def tws_available() -> bool:
     ``pyspark.sql.streaming.proto.StateMessage_pb2``); absent in this
     container — probed here so the capability gap is visible in-tree
     (tests/test_streaming.py::test_streaming_user_state_tws).
-    Re-checked at round-16 start (2026-08-16) and round-17 (2026-08-16):
-    still absent."""
+    Re-checked at round-16 start (2026-08-16), round-17 (2026-08-16) and
+    round-18 (2026-08-16): still absent."""
     try:
         import google.protobuf  # noqa: F401
 

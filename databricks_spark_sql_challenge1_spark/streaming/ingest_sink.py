@@ -230,6 +230,54 @@ def stage_adversarial_shards(
     return raw_dir
 
 
+def stage_skewed_shards(
+    spark: SparkSession, sf_dir: str, scratch: str
+) -> str:
+    """Write the three KEY-SKEW arrival shards (VERDICT r16 #5 / r17 #5 —
+    the arrival dimension the adversarial shards never vary): remap every
+    even event_id onto ONE hot user (~half the events — the 100 TB
+    state-concentration shape, where one key's session state lands on one
+    task and the landing anti-join probes one skewed key), then pile the
+    skew on:
+
+      arrival 0 — the hot user's ENTIRE history, ts-descending (all of
+        one key's session state built from one inverted file);
+      arrival 1 — everyone else;
+      arrival 2 — a partial replay of the HOT KEY ONLY (every 4th event
+        overall = every 2nd hot event) — the landed-set anti-join probed
+        exactly on the skewed key.
+
+    Public so the key-skew witness in tests/test_streaming.py drains the
+    IDENTICAL shard set through the same landing (one staging definition,
+    no drift — the ``stage_adversarial_shards`` rule). Deterministic:
+    the remap is pure arithmetic on event_id, so the staged set is a
+    function of the fixture alone and the end state is oracle-checkable.
+    """
+    skewed = (
+        _staged_events(spark, sf_dir)
+        .withColumn(
+            "user_id",
+            F.when(
+                F.col("event_id") % 2 == 0, F.lit(1).cast("bigint")
+            ).otherwise(F.col("user_id")),
+        )
+        # one staging materialization, three shard writes (the
+        # stage_adversarial_shards lesson, r16-end review)
+        .localCheckpoint()
+    )
+    hot = skewed.where(F.col("user_id") == 1)
+    raw_dir = os.path.join(scratch, "raw")
+    os.makedirs(raw_dir)
+    shards = [
+        hot.orderBy(F.col("ts").desc(), F.col("event_id").desc()),
+        skewed.where(F.col("user_id") != 1),
+        hot.where(F.col("event_id") % 4 == 0),  # hot-key-only replay
+    ]
+    for i, shard in enumerate(shards):
+        _write_arrival_shard(shard, scratch, raw_dir, i)
+    return raw_dir
+
+
 # The shared gold-rollup oracle: the gaps-and-islands batch sessionization
 # over the ORIGINAL events table. Both ingest witnesses hash against this
 # same SQL — the landing path differs, the correct end state does not.
@@ -364,6 +412,81 @@ def streaming_parity_ingest_adversarial(
     scratch = tempfile.mkdtemp(prefix="ingest_adv_", dir=scratch_base)
     try:
         bronze_dir = _land_events_adversarial(spark, sf_dir, scratch)
+        gold = _bronze_to_gold(spark, bronze_dir)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return gold
+
+
+# The skew witness's gold oracle: the SAME gaps-and-islands sessionization,
+# computed over the hot-key-REMAPPED events (every even event_id owned by
+# user 1 — pure arithmetic on the fixture, so DuckDB reproduces the staged
+# set exactly).
+_INGEST_SKEW_GOLD_ORACLE = """
+WITH remapped AS (
+    SELECT event_id,
+           CASE WHEN event_id % 2 = 0 THEN CAST(1 AS BIGINT)
+                ELSE user_id END AS user_id,
+           ts,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+flagged AS (
+    SELECT user_id, ts, event_id, cents,
+           CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        > INTERVAL '30 minutes'
+                THEN 1 ELSE 0 END AS new_session
+    FROM remapped
+),
+sessions AS (
+    SELECT user_id, cents,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+)
+SELECT user_id,
+       CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM sessions
+GROUP BY user_id
+ORDER BY user_id ASC
+"""
+
+
+@query("streaming_parity_ingest_skew", oracle=_INGEST_SKEW_GOLD_ORACLE)
+def streaming_parity_ingest_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew ingest witness, driver-checkable (VERDICT r17 #5 — the
+    test-only skew witness's oracle-backed registration): the same
+    bronze → sessionized silver → per-user gold pipeline as
+    ``streaming_parity_ingest_e2e``, but the arrivals concentrate ~half
+    of all events on ONE hot user (every even event_id remapped to
+    user 1) and pile the skew on — the hot key's entire history arrives
+    first in one ts-DESCENDING file, everyone else second, then a
+    partial replay of the hot key ONLY (the landed-set anti-join probed
+    exactly on the skewed key). See ``stage_skewed_shards``.
+
+    Hash-checked against the gaps-and-islands batch oracle over the
+    hot-key-REMAPPED events: a skew-dropped or double-landed hot batch
+    shifts user 1's n_events/sum_cents, an order-sensitive session build
+    shifts its n_sessions, and every OTHER user pins that the remap
+    touched only the even-id rows. This is the 100 TB session-state
+    concentration shape (one key ≈ half the stream) on the driver
+    rotation; at scale the mitigations are AQE skew-join on the landing
+    anti-join and state-store partitioning on (user_id) — the semantics
+    this row certifies are what those mitigations must preserve.
+    """
+    ensure_session_confs(spark)
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    scratch_base = os.path.join(repo_root, "spark-warehouse")
+    os.makedirs(scratch_base, exist_ok=True)
+    scratch = tempfile.mkdtemp(prefix="ingest_skew_", dir=scratch_base)
+    try:
+        raw_dir = stage_skewed_shards(spark, sf_dir, scratch)
+        bronze_dir = _drain_arrivals_idempotent(spark, raw_dir, scratch)
         gold = _bronze_to_gold(spark, bronze_dir)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)

@@ -22,15 +22,15 @@ DRIVER_WINDOW = 50
 # was accidentally left out of the window). Update this literal whenever
 # a query is added or its output/oracle changes.
 MUST_VERIFY = {
-    # never-driver-checked (registered mid-r16 after the r16 window was
-    # spent; VERDICT r16 #1 pins them at the head of the r17 window)
-    "doc_fingerprint_methods",
-    "streaming_parity_ingest_adversarial",
-    # changed post-evidence in r16: the landing/sessionize tail was
-    # refactored into make_landing (shared with the adversarial and
-    # restart witnesses) and the idempotent landing now collapses
-    # within-batch duplicates — its last green row (r15) is pre-refactor
-    "streaming_parity_ingest_e2e",
+    # NEW round 18 (VERDICT r17 #5): the key-skew witness's
+    # driver-checkable registration — zero driver evidence until r18
+    "streaming_parity_ingest_skew",
+    # oracle SQL rewritten post-evidence by the round-17 integer-log2
+    # migration (089c69e; VERDICT r17 #1 pins them at the head of the
+    # r18 window — 3-scale parity re-proven twice, driver row lands here)
+    "dedup_embedding_lsh_adaptive",
+    "dedup_embedding_clusters",
+    "dedup_embedding_incremental",
 }
 
 

@@ -263,7 +263,14 @@ def test_ingest_skew_stress_witness(spark, tmp_path):
     an independent batch formulation (gaps-and-islands over lag(), the
     same shape as the witnesses' DuckDB oracle) computed on the remapped
     events. Bronze must also hold each event_id exactly once — the replay
-    shard lands zero rows."""
+    shard lands zero rows.
+
+    Round 18: the shard staging moved into the shared
+    ``stage_skewed_shards`` (the driver-checkable
+    ``streaming_parity_ingest_skew`` registration drains the identical
+    set — one staging definition, no drift); this witness keeps the
+    PySpark lag-based batch formulation the DuckDB oracle can't supply,
+    with the remap recomputed independently here."""
     import os
 
     from pyspark.sql import functions as F
@@ -273,31 +280,21 @@ def test_ingest_skew_stress_witness(spark, tmp_path):
         _bronze_to_gold,
         _drain_arrivals_idempotent,
         _staged_events,
-        _write_arrival_shard,
+        stage_skewed_shards,
     )
 
-    hot_user = F.lit(1).cast("bigint")
-    skewed = (
-        _staged_events(spark, SF_DIR)
-        .withColumn(
-            "user_id",
-            F.when(F.col("event_id") % 2 == 0, hot_user).otherwise(
-                F.col("user_id")
-            ),
-        )
-        .localCheckpoint()  # one staging materialization, three shard writes
-    )
-    hot = skewed.where(F.col("user_id") == 1)
     scratch = str(tmp_path / "skew")
-    raw_dir = os.path.join(scratch, "raw")
-    os.makedirs(raw_dir)
-    shards = [
-        hot.orderBy(F.col("ts").desc(), F.col("event_id").desc()),
-        skewed.where(F.col("user_id") != 1),
-        hot.where(F.col("event_id") % 4 == 0),  # hot-key-only replay
-    ]
-    for i, shard in enumerate(shards):
-        _write_arrival_shard(shard, scratch, raw_dir, i)
+    os.makedirs(scratch)
+    raw_dir = stage_skewed_shards(spark, SF_DIR, scratch)
+
+    # independent remap (NOT the stager's DF) for the batch oracle below
+    hot_user = F.lit(1).cast("bigint")
+    skewed = _staged_events(spark, SF_DIR).withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 2 == 0, hot_user).otherwise(
+            F.col("user_id")
+        ),
+    )
 
     bronze_dir = _drain_arrivals_idempotent(spark, raw_dir, scratch)
     landed = spark.read.parquet(bronze_dir)
