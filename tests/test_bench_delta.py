@@ -93,7 +93,13 @@ def test_delta_advisory_classing_on_oversubscribed_host(tmp_path):
     assert "needs idle adjudication" in susp_row and "slower (code" not in susp_row
     assert "2.40x in-run isolated, advisory at inflation 1.98" in susp_row
     assert "ADVISORY-ONLY" in s
-    assert "`python bench.py --anchors susp uncapped`" in s
+    # the emitted command carries the FULL union (ADVICE r17): the
+    # adjudication names plus this sweep's >= ANCHOR_MIN_SEC tail (cont at
+    # 5.0 s), never just the flagged rows — an explicit-name --anchors run
+    # replaces BENCH_ANCHORS.json wholesale
+    assert "`python bench.py --anchors cont susp uncapped`" in s
+    assert "adjudication names alone: susp uncapped" in s
+    assert "REPLACES BENCH_ANCHORS.json wholesale" in s
 
 
 def test_delta_advisory_takes_worst_of_start_and_post_stamps(tmp_path):
@@ -128,6 +134,88 @@ def test_delta_code_classing_unchanged_on_healthy_host(tmp_path):
     real_row = [ln for ln in s.splitlines() if ln.startswith("| real |")][0]
     assert "slower (code, 2.40x isolated)" in real_row
     assert "ADVISORY-ONLY" not in s
+
+
+def test_delta_slower_denominator_uses_inflation_ratio(tmp_path):
+    """Round 18 (VERDICT r17 #4), with the r17 driver sweep's own stamps as
+    the fixture: single-thread stamp FASTER (calibration 0.801→0.588, host
+    ratio 0.73) while parallel capacity got WORSE (inflation 1.5→1.91 at
+    start, 2.02 at adjudication). Under the old host-only denominator a
+    parallel-heavy row at raw 1.10x read "1.50x normalized" and was
+    flagged — the manufactured r17 flag pile. The slower test must now
+    clear the band under max(host, inflation-ratio) = 2.02/1.5 ≈ 1.35, so
+    raw 1.10x (dedup_embedding_clusters 14.966→16.533) is within noise,
+    while a genuinely-2x row still flags."""
+    notes = _notes(tmp_path)
+    prev = _detail({"par_heavy": 14.966, "genuine": 5.0}, 0.801)
+    prev["calibration_mt"] = {"inflation": 1.5}
+    now = _detail({"par_heavy": 16.533, "genuine": 10.0}, 0.588)
+    now["calibration_mt"] = {"inflation": 1.91}
+    now["calibration_mt_post"] = {"inflation": 2.02}
+    bench._write_delta_table(now, prev, notes)
+    s = open(notes).read()
+    assert "| par_heavy |" not in s  # raw 1.10x: host-manufactured, not code
+    genuine_row = [ln for ln in s.splitlines() if ln.startswith("| genuine |")][0]
+    assert "slower" in genuine_row  # raw 2.0x clears even the 1.35 denominator
+    assert "max(host ratio, inflation ratio 1.35)" in s
+
+
+def test_delta_faster_denominator_is_conservative_too(tmp_path):
+    """The symmetric direction: when parallel capacity IMPROVED (inflation
+    ratio < 1 < host ratio), a parallel-heavy row's raw speedup is the
+    host, not code — the faster flag must clear the band under
+    min(host, inflation-ratio)."""
+    notes = _notes(tmp_path)
+    prev = _detail({"par_fast": 10.0}, 0.5)
+    prev["calibration_mt"] = {"inflation": 2.0}
+    now = _detail({"par_fast": 6.0}, 0.5)  # host ratio 1.0, raw 0.60x
+    now["calibration_mt"] = {"inflation": 1.4}  # inflation ratio 0.7
+    bench._write_delta_table(now, prev, notes)
+    s = open(notes).read()
+    # 0.60 / min(1.0, 0.7) = 0.857 — within the band, not "faster (code?)"
+    assert "| par_fast |" not in s
+
+
+def test_delta_advisory_takes_worst_including_final_stamp(tmp_path):
+    """ADVICE r17 #2: host degradation that begins DURING the re-measure
+    pass evades both the sweep-start and adjudication-time stamps — the
+    post-adjudication calibration_mt_final probe must also feed the
+    worst-of-stamps advisory decision."""
+    notes = _notes(tmp_path)
+    prev = _detail({"susp": 2.0}, 0.5)
+    prev["calibration_mt"] = {"inflation": 1.2}
+    now = _detail({"susp": 5.0}, 0.5)
+    now["calibration_mt"] = {"inflation": 1.2}        # healthy at start
+    now["calibration_mt_post"] = {"inflation": 1.3}   # healthy pre-re-measure
+    now["calibration_mt_final"] = {"inflation": 1.95}  # degraded during it
+    now["isolated"] = {"susp": 4.8}
+    bench._write_delta_table(now, prev, notes)
+    s = open(notes).read()
+    susp_row = [ln for ln in s.splitlines() if ln.startswith("| susp |")][0]
+    assert "needs idle adjudication" in susp_row and "slower (code" not in susp_row
+    assert "advisory at inflation 1.95" in susp_row
+    assert "1.95 after the re-measure pass" in s
+
+
+def test_delta_union_command_includes_current_anchor_file(tmp_path):
+    """ADVICE r17 #1: the emitted --anchors command must union in every
+    name already in BENCH_ANCHORS.json (next to the notes file), since an
+    explicit-name run replaces the file wholesale."""
+    import json as _json
+
+    notes = _notes(tmp_path)
+    (tmp_path / "BENCH_ANCHORS.json").write_text(
+        _json.dumps({"anchors": {bench.CALIBRATION_QUERY: 0.6,
+                                 "committed_anchor": 4.2}})
+    )
+    prev = _detail({"susp": 2.0}, 0.5)
+    now = _detail({"susp": 5.0}, 0.5)  # no isolated -> slower (unadjudicated)
+    bench._write_delta_table(now, prev, notes)
+    s = open(notes).read()
+    # union = needs_idle {susp} + anchor file {committed_anchor} + >=3s tail
+    # {susp}; the calibration probe is dropped (always auto-prepended)
+    assert "`python bench.py --anchors committed_anchor susp`" in s
+    assert bench.CALIBRATION_QUERY not in s.split("--anchors ")[1].split("`")[0]
 
 
 def test_adjudicate_flags_only_remeasures_slower(monkeypatch):
