@@ -1,0 +1,165 @@
+"""NULL-injection contract (round 18): every oracle-backed query run
+against a warehouse whose non-key ATTRIBUTE/MEASURE columns are NULL on a
+deterministic subset of rows (the degenerate class the fixtures never
+exercise — FIXTURES.md pins "no NULLs in base columns; NULL paths come
+from join misses", but a 100 TB deployment meets nullable measures,
+statuses, and dangling FKs as a matter of course) must AGREE with its
+DuckDB oracle.
+
+Measured r18 (probe-then-pin, the r13/r15 protocol): **146/147 oracle
+pairs agree bit-for-bit** on the injected warehouse — no ANSI kills, no
+NULL-group drift, no aggregate-skip divergence, no concat/coalesce
+surprises. The single divergence is the ALREADY-documented
+`approx_price_percentiles` acceptance-interval contract (ADVICE r9,
+analytics_ext.py): the injected NULL o_orderstatus rows form a new
+~115-row group, below the ~1/PCT_RANK_EPS (~200) minimum the ok_*
+self-audit booleans require — the sketch percentile VALUES still match
+exactly; only the audit booleans flip on the undersized group. Pinned
+precisely that way below, so a real sketch regression on NULL groups
+cannot hide behind the exclusion.
+
+Contract boundary (mirrors the embedding-finiteness rule): KEYS, event
+timestamps, dates, and document text are INGEST-side contracts — a
+pipeline validates identity/time NOT NULL at ingest (session state and
+the landing anti-join are keyed on them), so they are deliberately not
+injected here. Attribute/measure/FK columns ARE in contract and
+injected: join-miss-via-NULL-key equi-join semantics, NULL-skipping
+aggregates, NULL GROUP BY buckets, and NULL ordering are all aligned by
+measurement.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# (column, deterministic row predicate) per table — non-key attributes,
+# measures, and FKs only (see the contract boundary in the module doc).
+INJECT = {
+    "orders": [
+        ("o_totalprice", "o_orderkey % 7 = 3"),
+        ("o_orderpriority", "o_orderkey % 11 = 5"),
+        ("o_orderstatus", "o_orderkey % 13 = 6"),
+    ],
+    "lineitem": [
+        ("l_quantity", "l_orderkey % 7 = 2"),
+        ("l_extendedprice", "l_orderkey % 9 = 4"),
+        ("l_discount", "l_orderkey % 11 = 1"),
+        ("l_returnflag", "l_orderkey % 13 = 3"),
+    ],
+    "customer": [
+        ("c_acctbal", "c_custkey % 7 = 2"),
+        ("c_mktsegment", "c_custkey % 9 = 1"),
+        ("c_nationkey", "c_custkey % 11 = 4"),  # dangling FK via NULL
+    ],
+    "part": [
+        ("p_retailprice", "p_partkey % 7 = 5"),
+        ("p_brand", "p_partkey % 9 = 2"),
+    ],
+    "supplier": [
+        ("s_acctbal", "s_suppkey % 5 = 1"),
+        ("s_nationkey", "s_suppkey % 7 = 3"),
+    ],
+    "events": [
+        ("value", "event_id % 7 = 1"),
+        ("event_type", "event_id % 11 = 2"),
+        ("props", "event_id % 13 = 4"),
+    ],
+}
+
+# The one measured divergence class: the NULL o_orderstatus group is far
+# below the documented ~200-row acceptance-interval minimum, so the ok_*
+# self-audit booleans may flip — the percentile VALUES must still match
+# (asserted column-exactly in the test body, not skipped).
+AUDIT_BOOL_CONTRACT = {"approx_price_percentiles": ("ok_p50", "ok_p90", "ok_p99")}
+
+
+@pytest.fixture(scope="module")
+def null_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("nullwh"))
+    con = duckdb.connect()
+    src = "/root/testdata/sf0.001"
+    for t in TABLES:
+        cols = [
+            r[0]
+            for r in con.execute(
+                f"DESCRIBE SELECT * FROM '{src}/{t}.parquet'"
+            ).fetchall()
+        ]
+        rules = dict(INJECT.get(t, []))
+        sel = [
+            f"CASE WHEN {rules[c]} THEN NULL ELSE {c} END AS {c}"
+            if c in rules
+            else c
+            for c in cols
+        ]
+        con.execute(
+            f"COPY (SELECT {', '.join(sel)} FROM '{src}/{t}.parquet') "
+            f"TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    # the injection must be non-vacuous for every rule (a fixture-shape
+    # change that silently empties a predicate would hollow the contract)
+    for t, rules in INJECT.items():
+        for c, _p in rules:
+            n = con.execute(
+                f"SELECT count(*) FROM '{d}/{t}.parquet' WHERE {c} IS NULL"
+            ).fetchone()[0]
+            assert n > 0, f"injection vacuous: {t}.{c}"
+    con.close()
+    return d
+
+
+def test_null_injection_oracle_parity(spark, null_dir):
+    import __spark_entry__ as entry
+
+    q, o = entry.queries(), entry.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{null_dir}/{t}.parquet'"
+        )
+    bad = []
+    for name in sorted(o):
+        try:
+            sdf = q[name](spark, null_dir)
+            drop = AUDIT_BOOL_CONTRACT.get(name, ())
+            keep = [c for c in sdf.columns if c not in drop]
+            srows = sorted(
+                tuple(str(x) for x in r) for r in sdf.select(*keep).collect()
+            )
+        except Exception as exc:  # noqa: BLE001 — collect all failures
+            bad.append((name, f"spark-err: {type(exc).__name__}: {str(exc)[:90]}"))
+            continue
+        try:
+            dall = con.execute(o[name])
+            dcols = [c[0] for c in dall.description]
+            drows_full = dall.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            bad.append((name, f"duck-err: {type(exc).__name__}: {str(exc)[:90]}"))
+            continue
+        drop = AUDIT_BOOL_CONTRACT.get(name, ())
+        idx = [i for i, c in enumerate(dcols) if c not in drop]
+        drows = sorted(
+            tuple(str(r[i]) for i in idx) for r in drows_full
+        )
+        if srows != drows:
+            first = next(
+                (f"{a[:5]} vs {b[:5]}" for a, b in zip(srows, drows) if a != b),
+                f"row counts {len(srows)} vs {len(drows)}",
+            )
+            bad.append((name, f"diff: {first}"))
+    con.close()
+    assert bad == []
