@@ -26,6 +26,18 @@ injected here. Attribute/measure/FK columns ARE in contract and
 injected: join-miss-via-NULL-key equi-join semantics, NULL-skipping
 aggregates, NULL GROUP BY buckets, and NULL ordering are all aligned by
 measurement.
+
+The date exclusion is MEASURED, not assumed (r18 probe #2, NULLs in
+o_orderdate/l_shipdate): exactly 4 names diverge —
+`monthly_order_trend_lag`, `scd2_cdc_apply`, `scd2_customer_history`,
+`zorder_file_skipping` — and all four reduce to ONE structural engine
+difference: an ASC window/sort ORDER BY places NULL FIRST in Spark and
+LAST in DuckDB by default, shifting lag() chains, SCD2 interval builds,
+and ntile file assignment wherever a date feeds an implicit-default
+ORDER BY. That default divergence is pinned below
+(test_null_date_window_placement_diverges) so an engine upgrade that
+moves it fails HERE, not in a driver hash check; CLAUDE.md's
+explicit-NULLS-FIRST/LAST rule for LIMIT queries is the same class.
 """
 
 from __future__ import annotations
@@ -163,3 +175,36 @@ def test_null_injection_oracle_parity(spark, null_dir):
             bad.append((name, f"diff: {first}"))
     con.close()
     assert bad == []
+
+
+def test_null_date_window_placement_diverges(spark):
+    """The measured root cause of the NULL-DATE exclusion (module doc):
+    the IDENTICAL windowed SQL places a NULL date FIRST under Spark's
+    default ASC ordering and LAST under DuckDB's — so every implicit
+    window ORDER BY over a nullable date is structurally un-alignable,
+    which is exactly the four-name divergence set the r18 date probe
+    measured. Pinned so an engine-default change surfaces here."""
+    sql = (
+        "SELECT v, lag(v) OVER (ORDER BY d) AS l FROM {src} ORDER BY v"
+    )
+    spark_rows = [
+        (r["v"], r["l"])
+        for r in spark.sql(
+            sql.format(
+                src="VALUES (1, DATE '2001-01-01'), (2, CAST(NULL AS DATE)), "
+                "(3, DATE '2001-02-01') t(v, d)"
+            )
+        ).collect()
+    ]
+    con = duckdb.connect()
+    duck_rows = con.execute(
+        sql.format(
+            src="(VALUES (1, DATE '2001-01-01'), (2, NULL), "
+            "(3, DATE '2001-02-01')) t(v, d)"
+        )
+    ).fetchall()
+    con.close()
+    # Spark: NULL sorts FIRST -> the NULL-date row leads the frame
+    assert spark_rows == [(1, 2), (2, None), (3, 1)]
+    # DuckDB: NULL sorts LAST -> the NULL-date row trails the frame
+    assert duck_rows == [(1, None), (2, 3), (3, 1)]
