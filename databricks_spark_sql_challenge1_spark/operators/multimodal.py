@@ -44,11 +44,28 @@ REAL_CODECS_AVAILABLE = False  # no PIL/ffmpeg in this container
 def attach_fake_media(docs: DataFrame) -> DataFrame:
     """Synthesize a deterministic binary payload + metadata per document
     (stands in for an image column; real pipelines read bytes from object
-    storage). Pure built-in expressions — no Python in this step."""
+    storage). Pure built-in expressions — no Python in this step.
+
+    NULL text raises the convention error JVM-side (r18 NULL-injection
+    probe — the downstream Arrow kernels otherwise crash on a None blob
+    with a bare TypeError): media payloads are synthesized from text, so
+    a NULL-text document has no defined payload; NOT NULL is an
+    ingest-side contract, enforced loudly where the payload is built."""
     return docs.select(
         "doc_id",
         "source",
-        F.encode("text", "UTF-8").cast(BinaryType()).alias("media_bytes"),
+        F.when(
+            F.col("text").isNull(),
+            F.raise_error(
+                F.lit(
+                    "NULL documents.text violates the codec-witness "
+                    "fixture convention (FIXTURES.md) — validate NOT "
+                    "NULL at ingest"
+                )
+            ).cast(BinaryType()),
+        )
+        .otherwise(F.encode("text", "UTF-8").cast(BinaryType()))
+        .alias("media_bytes"),
         F.struct(
             F.lit("fake/raw").alias("mime"),
             (F.length("text") % 640 + 1).cast("int").alias("width"),
@@ -446,7 +463,18 @@ def _witness_text_bytes(doc_id, text: str) -> bytes:
     only for pure-ASCII fixtures (FIXTURES.md §ascii-convention, ADVICE
     r10). Centralized here so a fixture regeneration fails loudly inside
     EVERY witness's doc subset — not just MP3's — instead of surfacing as
-    a silent driver hash mismatch."""
+    a silent driver hash mismatch. NULL text is the same violation class
+    (r18 NULL-injection probe: a None reached ``.encode`` as a bare
+    AttributeError) — the media witnesses synthesize their payloads FROM
+    the text, so a document with no text has no defined payload; raise
+    the same loud convention error instead of a bare kernel crash."""
+    if text is None:
+        raise ValueError(
+            f"doc {doc_id}: NULL text violates the codec-witness "
+            "byte==codepoint oracle convention (FIXTURES.md) — media "
+            "payloads are synthesized from text; validate NOT NULL at "
+            "ingest"
+        )
     data = text.encode("utf-8")
     if len(data) != len(text):
         raise ValueError(
