@@ -172,9 +172,21 @@ ROWS_ONLY_STAND_INS: dict[str, str] = {
 # leaving 47).
 #
 # Capacity math: 147 oracle-backed names / 3-round cadence = 49 refresh
-# slots per round — 47 committed leaves up to 3 head slots for round-18
-# changes (appended at round-18 end if any land).
+# slots per round — 47 committed left 3 head slots for round-18 changes,
+# now spent (below): the r18 layout-invariance campaign changed the
+# streaming file-source path formulation (events_stream.py:35 — the
+# pathGlobFilter→glob fix; value-invariant on the fixture layout by
+# 3-scale parity re-proof, tools/parity_names.py), so the three most
+# load-bearing changed twins head the r19 window. The other five changed
+# twins (tumbling_1h/session_30m/nation_activity/click_attribution/
+# gap_monitor parities) carry r17 evidence and refresh at r20 on the
+# normal cadence; streaming_parity_lateness sits in the CURRENT r18
+# window and earns its post-change row this round (MUST_VERIFY).
 NEXT_WINDOW: tuple[str, ...] = (
+    # r18-changed heads (layout-invariance fix, events_stream.py:35)
+    "streaming_parity_dedup",  # the twin that exposed the 0-row bug
+    "streaming_parity_incremental_dedup",  # covers the documents-stream site
+    "streaming_parity_user_state",  # the stateful applyInPandasWithState twin
     # the latest-r16-evidence cohort
     "corpus_bpe_encode",
     "corpus_bpe_merges",

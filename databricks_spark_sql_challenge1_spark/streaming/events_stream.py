@@ -2,8 +2,16 @@
 (SURVEY.md §2.10: the reference has no streaming; this is the true-streaming
 variant of operators/windows.py, with watermarks for late data).
 
-Pattern: file-source readStream over the fixture parquet (pathGlobFilter
-pins the single table file), event-time window agg behind a watermark,
+Pattern: file-source readStream over the table parquet via the glob path
+``{table}.parquet*`` — layout-agnostic: it matches the fixture's single
+file (whose parent then serves as the directory ``basePath`` the file
+source requires) AND a production-shaped ``{table}.parquet/`` DIRECTORY
+of part-files, which the source recurses into. The previous
+``pathGlobFilter={table}.parquet`` formulation matched LEAF FILE names
+only, so a directory-shaped table silently streamed 0 rows (found by
+tools/layout_probe.py, r18; pinned in
+tests/test_layout_invariance_contract.py). Event-time window agg behind
+a watermark,
 ``availableNow`` trigger draining to a memory sink — the batch-equivalent
 execution mode, so results can be asserted against the batch operators.
 
@@ -37,10 +45,12 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     nanos-long ts converted exactly as in catalog.load_table)."""
     ensure_session_confs(spark)
     raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    # Glob path, not pathGlobFilter: the filter matches leaf FILE names
+    # only, so a directory-shaped events.parquet/ (every production
+    # layout) would stream 0 rows; the glob resolves both shapes (module
+    # docstring; tests/test_layout_invariance_contract.py).
+    stream = spark.readStream.schema(raw_schema).parquet(
+        table_path(sf_dir, "events") + "*"
     )
     return _heal_events_ts(stream)
 
@@ -447,10 +457,10 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_session_confs(spark)
     raw_schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
+    # Same layout-agnostic glob as _events_stream (a directory-shaped
+    # documents.parquet/ would stream 0 rows under pathGlobFilter).
+    stream = spark.readStream.schema(raw_schema).parquet(
+        table_path(sf_dir, "documents") + "*"
     )
     # 32-bit SimHash as a narrow expression chain (matches text_simhash).
     bit_terms = " + ".join(

@@ -31,6 +31,13 @@ MUST_VERIFY = {
     "dedup_embedding_lsh_adaptive",
     "dedup_embedding_clusters",
     "dedup_embedding_incremental",
+    # changed MID-round-18 by the layout-invariance fix (the streaming
+    # file-source glob, events_stream.py:35) and ALREADY inside the
+    # committed r18 window — its driver row this round is the
+    # post-change evidence for the _events_stream code site; the other
+    # changed twins head the r19 NEXT_WINDOW or refresh at r20 on the
+    # natural cadence (see registry.py NEXT_WINDOW comment)
+    "streaming_parity_lateness",
 }
 
 
