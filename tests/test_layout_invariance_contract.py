@@ -15,11 +15,15 @@ is a real cluster bug the pristine fixtures can never show.
 Measured r18 (probe-then-pin, the r13/r15/r18-NULL protocol,
 tools/layout_probe.py): Spark reading a REWRITTEN warehouse — rows
 pseudo-randomly permuted per table, each table resharded into 3-7
-uneven part-files under a ``{table}.parquet/`` DIRECTORY — under
-perturbed runtime confs (shuffle.partitions 7, maxPartitionBytes 256 KiB,
-openCostInBytes 0, so every part-file is its own scan partition) against
-the DuckDB oracles on the ORIGINAL warehouse. Result: **147/147 oracle
-pairs bit-exact** after one real bug was found and fixed:
+uneven part-files PLUS one zero-row part-file (distributed writers
+routinely emit empty parts) under a ``{table}.parquet/`` DIRECTORY —
+under perturbed runtime confs (shuffle.partitions 7, maxPartitionBytes
+256 KiB, openCostInBytes 0, so every part-file is its own scan
+partition) against the DuckDB oracles on the ORIGINAL warehouse.
+Result: **147/147 oracle pairs bit-exact** (confirmed at sf0.01 by the
+full-registry ``tools/layout_probe.py --sf /root/testdata/sf0.01``
+sweep on the post-fix tree: 147/147, bad: []) after two findings were
+fixed — one real bug:
 
   - ``_events_stream`` / the documents stream read the warehouse with
     ``readStream.option("pathGlobFilter", "<table>.parquet")`` over
@@ -33,6 +37,14 @@ pairs bit-exact** after one real bug was found and fixed:
     and the glob resolves the directory shape by recursion. The
     0-row class is pinned REGRESSION-style below
     (test_events_stream_reads_directory_shaped_table).
+
+  - and one stale declared-order contract: ``text_simhash``'s oracle
+    declared ``ORDER BY doc_id ASC`` while the registered Spark form is
+    deliberately unsorted (the building-block scale decision) — the
+    single-file fixture happened to reproduce doc_id order, the
+    resharded warehouse did not, and the ordered compare below rightly
+    flagged it; the registered oracle now strips the top-level ORDER BY
+    (value-identical under the driver's sorted-row hash).
 
 Notable invariance results the probe CONFIRMED by measurement (each had
 an in-code determinism argument; now they have evidence):

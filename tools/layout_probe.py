@@ -60,7 +60,9 @@ PROBE_CONFS = [
 def build_shuffled_warehouse(src: str, out: str) -> None:
     """Rewrite each ``{src}/{t}.parquet`` as ``{out}/{t}.parquet/`` — a
     DIRECTORY of 3-7 uneven part-files holding a seeded permutation of
-    the rows. pyarrow round-trips the exact physical schema (events.ts
+    the rows, PLUS one zero-row part-file (distributed writers routinely
+    emit empty parts; scans and the streaming file source must shrug
+    them off). pyarrow round-trips the exact physical schema (events.ts
     stays TIMESTAMP(NANOS), so catalog._heal_events_ts sees the same
     input class as production)."""
     import numpy as np
@@ -85,6 +87,7 @@ def build_shuffled_warehouse(src: str, out: str) -> None:
                 os.path.join(d, f"part-{j:03d}.parquet"),
             )
             lo = hi
+        pq.write_table(tab.slice(0, 0), os.path.join(d, "part-empty.parquet"))
 
 
 def main() -> None:
