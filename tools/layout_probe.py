@@ -41,9 +41,18 @@ import os
 import shutil
 import sys
 import tempfile
+import threading
 import time
 
 SEED = 0x18C0FFEE
+
+# Same DuckDB-side budget as tools/parity_sweep.py: a handful of oracles
+# are DELIBERATELY quadratic/recursive (all-pairs dedup ground truth,
+# recursive-CTE graph reachability) and are correctness tools for driver
+# scale (sf0.01), not sf0.1+ — a SKIP records that explicitly instead of
+# wedging the sweep (r18: the unbudgeted probe sat 35+ min inside
+# dedup_embedding_clusters' recursive oracle at sf0.1).
+DUCK_BUDGET_S = 150
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -125,7 +134,7 @@ def main() -> None:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
-    bad = []
+    bad, skipped = [], []
     try:
         for name in names:
             if name not in q:
@@ -138,10 +147,25 @@ def main() -> None:
                     tuple(str(x) for x in r)
                     for r in q[name](spark, out).collect()
                 ]
-                dseq = [
-                    tuple(str(x) for x in r)
-                    for r in con.execute(o[name]).fetchall()
-                ]
+                timer = threading.Timer(DUCK_BUDGET_S, con.interrupt)
+                timer.start()
+                try:
+                    dseq = [
+                        tuple(str(x) for x in r)
+                        for r in con.execute(o[name]).fetchall()
+                    ]
+                except duckdb.InterruptException:
+                    print(
+                        f"SKIP {name} rows={len(sseq)} (duckdb oracle "
+                        f"exceeded {DUCK_BUDGET_S}s — deliberately "
+                        "quadratic/recursive oracle; the driver checks it "
+                        "at sf0.01)",
+                        flush=True,
+                    )
+                    skipped.append(name)
+                    continue
+                finally:
+                    timer.cancel()
             except Exception as exc:  # noqa: BLE001 — keep probing
                 print(f"ERROR {name}: {str(exc)[:300]}", flush=True)
                 bad.append((name, f"err: {type(exc).__name__}"))
@@ -184,7 +208,7 @@ def main() -> None:
         con.close()
         if not keep:
             shutil.rmtree(out, ignore_errors=True)
-    print("LAYOUTDONE bad:", bad, flush=True)
+    print("LAYOUTDONE bad:", bad, "skipped:", skipped, flush=True)
     sys.exit(1 if bad else 0)
 
 
