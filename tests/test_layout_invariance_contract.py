@@ -22,8 +22,9 @@ under perturbed runtime confs (shuffle.partitions 7, maxPartitionBytes
 partition) against the DuckDB oracles on the ORIGINAL warehouse.
 Result: **147/147 oracle pairs bit-exact** (confirmed at sf0.01 by the
 full-registry ``tools/layout_probe.py --sf /root/testdata/sf0.01``
-sweep on the post-fix tree: 147/147, bad: []) after two findings were
-fixed — one real bug:
+sweep on the post-fix tree: 147/147, bad: []; and at sf0.1 — 145/147,
+bad: [], plus the two deliberate graph-oracle skips under the probe's
+150 s DuckDB watchdog) after two findings were fixed — one real bug:
 
   - ``_events_stream`` / the documents stream read the warehouse with
     ``readStream.option("pathGlobFilter", "<table>.parquet")`` over
