@@ -103,9 +103,18 @@ def main() -> None:
     args = sys.argv[1:]
     sf = "/root/testdata/sf0.001"
     keep = False
+    composed = False
     if "--keep" in args:
         keep = True
         args.remove("--keep")
+    if "--strategy" in args:
+        # COMPOSED perturbation: the resharded/permuted warehouse AND the
+        # flipped physical strategy at once (tools/strategy_probe.py's
+        # conf set) — the literal state of a 1000-executor run, where
+        # directory-sharded arrival and AQE/broadcast/batch variation
+        # are simultaneous, not alternative, conditions.
+        composed = True
+        args.remove("--strategy")
     if "--sf" in args:
         i = args.index("--sf")
         sf = args[i + 1]
@@ -122,13 +131,21 @@ def main() -> None:
     names = args or sorted(o)
 
     out = tempfile.mkdtemp(prefix="layoutwh-")
-    print(f"PERTURBED warehouse: {out} (src {sf})", flush=True)
+    print(f"PERTURBED warehouse: {out} (src {sf})"
+          + (" + strategy flips" if composed else ""), flush=True)
     build_shuffled_warehouse(sf, out)
 
+    confs = list(PROBE_CONFS)
+    if composed:
+        from tools.strategy_probe import PROBE_CONFS as STRATEGY_CONFS
+        from tools.strategy_probe import assert_nonvacuous
+        confs += STRATEGY_CONFS
     spark = get_spark("layout-probe")
-    priors = {k: spark.conf.get(k, None) for k, _v in PROBE_CONFS}
-    for k, v in PROBE_CONFS:
+    priors = {k: spark.conf.get(k, None) for k, _v in confs}
+    for k, v in confs:
         spark.conf.set(k, v)
+    if composed:
+        assert_nonvacuous(spark)
 
     con = duckdb.connect()
     for t in TABLES:
