@@ -203,8 +203,8 @@ def sample_frames(
     "multimodal_frame_stats",
     oracle="""
 SELECT source,
-       CAST(SUM((octet_length(CAST(text AS BLOB)) + 63) // 64) AS BIGINT) AS total_frames,
-       CAST(SUM(((octet_length(CAST(text AS BLOB)) + 63) // 64 + 3) // 4) AS BIGINT) AS sampled_frames
+       CAST(SUM(GREATEST((octet_length(CAST(text AS BLOB)) + 63) // 64, 1)) AS BIGINT) AS total_frames,
+       CAST(SUM((GREATEST((octet_length(CAST(text AS BLOB)) + 63) // 64, 1) + 3) // 4) AS BIGINT) AS sampled_frames
 FROM documents
 GROUP BY source
 ORDER BY source ASC
@@ -213,7 +213,10 @@ ORDER BY source ASC
 def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling pipeline on fixtures: attach binary → 1:N frame
     expansion (every 4th of 64-byte frames) → per-source totals. Oracle
-    replays the frame arithmetic on the UTF-8 payload."""
+    replays the frame arithmetic on the UTF-8 payload — including the
+    kernel's ``max(1, ·)`` floor (an empty payload is one empty frame,
+    not zero frames; the GREATEST was missing until the r18 ASCII
+    multimodal fuzz drove an empty-text doc through both sides)."""
     docs = load_table(spark, sf_dir, "documents")
     frames = sample_frames(attach_fake_media(docs), frame_size=64, every_kth=4)
     source_map = docs.select("doc_id", "source")
@@ -321,9 +324,13 @@ WITH c AS (
 )
 SELECT doc_id,
        CAST(n AS BIGINT) AS n_samples,
-       ROUND(sqrt(CAST(list_sum(list_transform(x, v -> v * v)) AS DOUBLE)
-                  / n), 6) AS rms,
-       CAST(list_max(list_transform(x, v -> abs(v))) AS BIGINT) AS peak,
+       CASE WHEN n = 0 THEN 0.0 ELSE
+           ROUND(sqrt(CAST(list_sum(list_transform(x, v -> v * v)) AS DOUBLE)
+                      / n), 6)
+       END AS rms,
+       CAST(CASE WHEN n = 0 THEN 0 ELSE
+           list_max(list_transform(x, v -> abs(v)))
+       END AS BIGINT) AS peak,
        CAST(COALESCE(list_sum(list_transform(generate_series(2, n),
                 i -> CASE WHEN x[i - 1] * x[i] < 0 THEN 1 ELSE 0 END)), 0)
             AS BIGINT) AS zero_crossings
@@ -343,7 +350,9 @@ def multimodal_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: narrow 1:1 Arrow-batched map (partition-preserving, no
     shuffle); integer-exact math makes the oracle comparison bit-for-bit
     (squared-sample sums stay < 2^53). The presentation sort is the only
-    exchange.
+    exchange. The oracle's ``CASE WHEN n = 0`` legs replay the kernel's
+    empty-clip guard (rms 0.0, peak 0 — not the empty-aggregate NULLs;
+    r18 ASCII multimodal fuzz find).
     """
     docs = load_table(spark, sf_dir, "documents")
     media = attach_fake_media(docs).select("doc_id", "media_bytes")

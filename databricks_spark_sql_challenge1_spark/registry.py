@@ -182,6 +182,11 @@ ROWS_ONLY_STAND_INS: dict[str, str] = {
 # gap_monitor parities) carry r17 evidence and refresh at r20 on the
 # normal cadence; streaming_parity_lateness sits in the CURRENT r18
 # window and earns its post-change row this round (MUST_VERIFY).
+# multimodal_frame_stats (below, r16 cohort) had its oracle's
+# empty-payload frame floor fixed late-r18 (ASCII multimodal fuzz;
+# value-invariant on every fixture, 3-scale re-proven) — its
+# post-change driver row lands here; its sibling
+# multimodal_audio_pcm_stats sits in the CURRENT r18 window (idx 29).
 NEXT_WINDOW: tuple[str, ...] = (
     # r18-changed heads (layout-invariance fix, events_stream.py:35)
     "streaming_parity_dedup",  # the twin that exposed the 0-row bug

@@ -38,6 +38,14 @@ MUST_VERIFY = {
     # changed twins head the r19 NEXT_WINDOW or refresh at r20 on the
     # natural cadence (see registry.py NEXT_WINDOW comment)
     "streaming_parity_lateness",
+    # oracle empty-payload legs fixed late-r18 by the ASCII multimodal
+    # fuzz (GREATEST frame floor / CASE n=0 rms+peak; value-invariant on
+    # every fixture — empty text never occurs there — and 3-scale
+    # re-proven); audio_pcm_stats sits at r18 window idx 29 so its
+    # post-change row lands THIS round; its sibling
+    # multimodal_frame_stats is in the committed r19 NEXT_WINDOW (the
+    # precedented changed-post-spend pattern, same as the r17 log2 trio)
+    "multimodal_audio_pcm_stats",
 }
 
 

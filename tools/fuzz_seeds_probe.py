@@ -19,8 +19,18 @@ Spark-vs-DuckDB on it (the grading driver's sorted-stringified-row
 compare) -> report per-seed. Any mismatch is a real cross-engine
 divergence to fix or pin; exit 1.
 
+``--multimodal`` switches to the ASCII-ONLY corpus (no unicode pool, no
+NBSP special — the codec witnesses synthesize payloads from text and
+their fixture guard raises on non-ASCII by design) and sweeps the 13
+multimodal_* oracle-backed names instead: the one documents surface the
+default sweep must skip. First run of this mode caught two real
+empty-payload divergences (frame_stats' missing max(1,·) floor in the
+oracle; audio_pcm_stats' empty-aggregate NULLs vs the kernel's 0-guard)
+— pinned in tests/test_multimodal.py::
+test_empty_text_payload_parity_contract.
+
 Usage:
-    python tools/fuzz_seeds_probe.py [--seeds N] [--start S]
+    python tools/fuzz_seeds_probe.py [--seeds N] [--start S] [--multimodal]
 
 Default: 24 seeds from 100. Deterministic per seed (stdlib Random).
 """
@@ -60,20 +70,24 @@ SPECIALS = [
 LANGS = ["en", "es", "de", "fr", "zh"]
 
 
-def random_corpus(seed: int) -> list:
+def random_corpus(seed: int, ascii_only: bool = False) -> list:
     """Seeded random composition over the in-contract pools: returns
-    [(text, lang, source), ...]."""
+    [(text, lang, source), ...]. ascii_only drops the unicode pool and
+    the NBSP special (the multimodal codec-witness corpus contract)."""
     import random
 
     rng = random.Random(seed)
+    pool_set = [p for p in POOLS if not ascii_only or p is not POOLS[2]]
     n_docs = rng.choice([12, 25, 40, 70])
-    pools = rng.sample(POOLS, rng.randint(1, 3))
+    pools = rng.sample(pool_set, rng.randint(1, 3))
     alphabet = [t for p in pools for t in p]
     docs = []
     for _ in range(n_docs):
         r = rng.random()
         if r < 0.08:
-            text = rng.choice(SPECIALS)
+            specials = [s for s in SPECIALS
+                        if not ascii_only or s.isascii()]
+            text = rng.choice(specials)
         else:
             n_toks = rng.choice([0, 1, 2, 3, 5, 8, 20, 60, 200])
             sep = " " if rng.random() < 0.9 else rng.choice(["  ", " \t "])
@@ -96,6 +110,7 @@ def main() -> None:
     if "--start" in args:
         i = args.index("--start")
         start = int(args[i + 1])
+    multimodal = "--multimodal" in args
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import duckdb
@@ -105,17 +120,21 @@ def main() -> None:
     from tests.test_fuzz_parity import _documents_only_names, _write_docs
 
     q, o = entry.queries(), entry.oracle_sql()
-    names = _documents_only_names()
+    if multimodal:
+        names = sorted(n for n in o if n.startswith("multimodal_"))
+    else:
+        names = _documents_only_names()
     spark = get_spark("fuzz-seeds-probe")
-    print(f"{len(names)} documents-only names x {n_seeds} seeds "
-          f"[{start}..{start + n_seeds})", flush=True)
+    print(f"{len(names)} {'multimodal' if multimodal else 'documents-only'} "
+          f"names x {n_seeds} seeds [{start}..{start + n_seeds})"
+          + (" (ASCII corpus)" if multimodal else ""), flush=True)
 
     bad = []
     for seed in range(start, start + n_seeds):
         d = tempfile.mkdtemp(prefix=f"fuzzseed{seed}-")
         t0 = time.monotonic()
         try:
-            _write_docs(d, random_corpus(seed))
+            _write_docs(d, random_corpus(seed, ascii_only=multimodal))
             con = duckdb.connect()
             con.execute(
                 f"CREATE VIEW documents AS SELECT * "
