@@ -123,7 +123,13 @@ def main() -> None:
     if multimodal:
         names = sorted(n for n in o if n.startswith("multimodal_"))
     else:
-        names = _documents_only_names()
+        # the pinned test skips the I/O-format roundtrips (format tests,
+        # not text semantics) but the PROBE runs them: JSONL escaping of
+        # random metachar/unicode text is a real divergence surface
+        # (measured clean, seeds 100-102 at introduction)
+        names = _documents_only_names() + sorted(
+            n for n in o if n.startswith(("jsonl_", "orc_"))
+        )
     spark = get_spark("fuzz-seeds-probe")
     print(f"{len(names)} {'multimodal' if multimodal else 'documents-only'} "
           f"names x {n_seeds} seeds [{start}..{start + n_seeds})"
