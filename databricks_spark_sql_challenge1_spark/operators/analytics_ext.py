@@ -409,7 +409,8 @@ WITH s AS (
     SELECT o_orderstatus,
            CAST(COUNT(*) AS DOUBLE) AS n_orders,
            ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS total_value,
-           ROUND(CAST(AVG(o_totalprice) AS DOUBLE), 2) AS avg_value
+           ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*)) / 100.0 AS avg_value
     FROM orders GROUP BY o_orderstatus
 )
 SELECT o_orderstatus, metric, value FROM (
@@ -431,10 +432,22 @@ def orders_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     the upstream aggregate); the wide aggregate itself is one shuffle.
     """
     orders = load_table(spark, sf_dir, "orders")
+    # avg_value via integer cents: SUM(BIGINT)/COUNT is the identical
+    # double on both engines regardless of row order, and scale-0 ROUND
+    # is the boundary-safe class (every N.5 is binary-exact) — where
+    # ROUND(AVG(money), 2) put a sub-cent average (37.435) ON the .005
+    # boundary, rounding apart cross-engine AND flipping with the float
+    # summation order (r18 triple-composed probe on a random warehouse)
     wide = orders.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).cast("double").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_value"),
-        F.round(F.avg("o_totalprice"), 2).alias("avg_value"),
+        (
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / F.count(F.lit(1))
+            )
+            / 100.0
+        ).alias("avg_value"),
     )
     return (
         wide.select(

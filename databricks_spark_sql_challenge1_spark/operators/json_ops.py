@@ -60,7 +60,8 @@ def _k_long() -> F.Column:
 SELECT event_type,
        COUNT(*) AS n_events,
        CAST(SUM({_K_SQL}) AS BIGINT) AS sum_k,
-       ROUND(CAST(AVG({_K_SQL}) AS DOUBLE), 4) + 0 AS avg_k
+       ROUND(CAST(SUM({_K_SQL}) * 10000 AS DOUBLE) / COUNT({_K_SQL}))
+           / 10000.0 + 0 AS avg_k
 FROM events
 GROUP BY event_type
 ORDER BY event_type ASC
@@ -70,7 +71,13 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extract ``props.$.k`` (one typed ``from_json`` parse — see the
     integer-k contract above) and aggregate per event type. ``avg_k``
     carries the oracle-side ``+ 0``: k admits negative integers, so a
-    group average can round to DuckDB's ``-0.0`` (CLAUDE.md rule)."""
+    group average can round to DuckDB's ``-0.0`` (CLAUDE.md rule), and
+    uses the integer-grain formulation (SUM(k)*10^4 / COUNT(k), scale-0
+    ROUND, /10^4 — denominator COUNT(k), matching AVG's NULL-skipping):
+    ``ROUND(AVG(int), 4)`` lands a group of 800 events with k-sum
+    -2599 exactly ON the .00005 boundary where the engines round apart
+    (r18 integer-average scan; the lang_stats witness measured the
+    scale-2 sibling end-to-end)."""
     events = load_table(spark, sf_dir, "events")
     k = _k_long()
     return (
@@ -79,7 +86,10 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum("k").alias("sum_k"),
-            F.round(F.avg("k"), 4).alias("avg_k"),
+            (
+                F.round((F.sum("k") * 10000).cast("double") / F.count("k"))
+                / 10000.0
+            ).alias("avg_k"),
         )
         .orderBy(F.col("event_type").asc())
     )

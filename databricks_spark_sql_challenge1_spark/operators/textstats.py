@@ -177,8 +177,10 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT lang,
        COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-       ROUND(AVG(CAST(n_chars AS DOUBLE)), 2) AS avg_chars,
-       ROUND(AVG(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)), 2)
+       ROUND(CAST(SUM(n_chars) * 100 AS DOUBLE) / COUNT(*)) / 100.0
+           AS avg_chars,
+       ROUND(CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) * 100
+                  AS DOUBLE) / COUNT(*)) / 100.0
            AS avg_tokens
 FROM documents
 GROUP BY lang
@@ -186,15 +188,33 @@ ORDER BY lang ASC
 """,
 )
 def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus composition per language."""
+    """Corpus composition per language.
+
+    Averages use the integer-grain formulation (SUM(int)*100/COUNT,
+    scale-0 ROUND, /100): ``ROUND(AVG(int), 2)`` puts a 40-doc group
+    whose char-sum ≡ 23 (mod 40) exactly ON the .005 boundary, where
+    Spark (shortest-repr HALF_UP) and DuckDB (exact-binary) round apart
+    — measured end-to-end by the r18 integer-average boundary witness
+    (avg 1.025 → 1.03 vs 1.02; pinned in tests/test_fuzz_parity.py).
+    Scale-0 is the boundary-safe class: the inputs are identical doubles
+    (exact integer numerator, one division) and every N.5 is
+    binary-exact."""
     docs = load_table(spark, sf_dir, "documents")
+    n = F.count(F.lit(1))
     return (
         docs.groupBy("lang")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
+            n.alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
-            F.round(F.avg(F.col("n_chars").cast("double")), 2).alias("avg_chars"),
-            F.round(F.avg(F.size(_tokens()).cast("double")), 2).alias("avg_tokens"),
+            (
+                F.round((F.sum("n_chars") * 100).cast("double") / n) / 100.0
+            ).alias("avg_chars"),
+            (
+                F.round(
+                    (F.sum(F.size(_tokens()).cast("long")) * 100)
+                    .cast("double") / n
+                ) / 100.0
+            ).alias("avg_tokens"),
         )
         .orderBy(F.col("lang").asc())
     )
@@ -958,31 +978,33 @@ WITH t AS (
 ),
 s AS (
     SELECT doc_id, len(toks) AS n_tokens,
-           ROUND(least(1.0, len(toks) / 100.0)
-                 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars), {PPL_ROUND})
-               AS quality_score
+           CAST(ROUND(least(1.0, len(toks) / 100.0)
+                 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
+                 * 10000) AS BIGINT)
+               AS micro
     FROM t
 ),
 cut AS (
-    SELECT ROUND(quantile_cont(quality_score, 0.25), 6) AS q1,
-           ROUND(quantile_cont(quality_score, 0.50), 6) AS q2,
-           ROUND(quantile_cont(quality_score, 0.75), 6) AS q3
+    SELECT quantile_cont(micro, 0.25) AS q1,
+           quantile_cont(micro, 0.50) AS q2,
+           quantile_cont(micro, 0.75) AS q3
     FROM s
 ),
 tiered AS (
     SELECT s.*,
-           CASE WHEN quality_score > cut.q3 THEN 1
-                WHEN quality_score > cut.q2 THEN 2
-                WHEN quality_score > cut.q1 THEN 3
+           CASE WHEN micro > cut.q3 THEN 1
+                WHEN micro > cut.q2 THEN 2
+                WHEN micro > cut.q1 THEN 3
                 ELSE 4 END AS tier
     FROM s CROSS JOIN cut
 )
 SELECT CAST(tier AS INTEGER) AS tier,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-       ROUND(AVG(quality_score), 4) AS avg_quality,
-       ROUND(MIN(quality_score), 4) AS min_quality,
-       ROUND(MAX(quality_score), 4) AS max_quality
+       ROUND(CAST(SUM(micro) AS DOUBLE) / COUNT(micro)) / 10000.0
+           AS avg_quality,
+       CAST(MIN(micro) AS DOUBLE) / 10000.0 AS min_quality,
+       CAST(MAX(micro) AS DOUBLE) / 10000.0 AS max_quality
 FROM tiered
 GROUP BY tier
 ORDER BY tier ASC
@@ -996,7 +1018,21 @@ def docs_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same scalar-cutoff shape as ``docs_perplexity_buckets`` (no global
     window; percentile → 3 scalars → broadcast CASE), one small groupBy on
-    the 4-value tier key. Scores rounded before comparison on both engines.
+    the 4-value tier key.
+
+    The whole pipeline runs in integer units of the scale-4 score grid
+    (r18 integer-average boundary campaign): per-row ``ROUND(raw, 4)``
+    itself rounds apart cross-engine on ~5% of the X.XXXX5 boundary
+    rationals a constructed corpus can reach (measured: raw 0.19315 →
+    Spark 0.1932 vs DuckDB 0.1931 — Spark rounds the shortest decimal
+    repr, DuckDB multiplies-then-rounds), so the score is extracted as
+    ``CAST(ROUND(raw * 10^4) AS BIGINT)`` instead: the raw double is
+    the identical IEEE value on both engines (same expression tree) and
+    scale-0 rounding is the boundary-safe class (every N.5 is
+    binary-exact). Quartile cutoffs interpolate over the integers
+    (quarter-fraction products of small ints are binary-exact), AVG
+    uses scale-0 ROUND of the exact integer sum over COUNT, and
+    MIN/MAX divide exactly.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim("text"), r"\s+")
@@ -1004,29 +1040,28 @@ def docs_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_punct = F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
     # try_divide: NULL score for an empty doc, like the oracle's x/0
     # (round-13 fuzz-parity find) — it then CASE-falls to tier 4 on both
-    # engines and is skipped by the percentile/AVG aggregates on both
-    score = F.round(
-        F.least(F.lit(1.0), n_tokens / F.lit(100.0))
-        * (F.lit(1.0) - F.try_divide(n_punct.cast("double"), F.length("text"))),
-        PPL_ROUND,
+    # engines and is skipped by the percentile/SUM/MIN/MAX on both
+    raw = F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * (
+        F.lit(1.0) - F.try_divide(n_punct.cast("double"), F.length("text"))
     )
+    micro = F.round(raw * 10000).cast("long")
     s = docs.select(
-        "doc_id", n_tokens.alias("n_tokens"), score.alias("quality_score")
+        "doc_id", n_tokens.alias("n_tokens"), micro.alias("micro")
     )
     cut = s.agg(
-        F.round(F.expr("percentile(quality_score, 0.25d)"), 6).alias("q1"),
-        F.round(F.expr("percentile(quality_score, 0.50d)"), 6).alias("q2"),
-        F.round(F.expr("percentile(quality_score, 0.75d)"), 6).alias("q3"),
+        F.expr("percentile(micro, 0.25d)").alias("q1"),
+        F.expr("percentile(micro, 0.50d)").alias("q2"),
+        F.expr("percentile(micro, 0.75d)").alias("q3"),
     )
     return (
         s.crossJoin(F.broadcast(cut))
         .select(
             "doc_id",
             "n_tokens",
-            "quality_score",
-            F.when(F.col("quality_score") > F.col("q3"), F.lit(1))
-            .when(F.col("quality_score") > F.col("q2"), F.lit(2))
-            .when(F.col("quality_score") > F.col("q1"), F.lit(3))
+            "micro",
+            F.when(F.col("micro") > F.col("q3"), F.lit(1))
+            .when(F.col("micro") > F.col("q2"), F.lit(2))
+            .when(F.col("micro") > F.col("q1"), F.lit(3))
             .otherwise(F.lit(4))
             .alias("tier"),
         )
@@ -1034,9 +1069,12 @@ def docs_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("n_tokens"),
-            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
-            F.round(F.min("quality_score"), 4).alias("min_quality"),
-            F.round(F.max("quality_score"), 4).alias("max_quality"),
+            (
+                F.round(F.sum("micro").cast("double") / F.count("micro"))
+                / 10000.0
+            ).alias("avg_quality"),
+            (F.min("micro").cast("double") / 10000.0).alias("min_quality"),
+            (F.max("micro").cast("double") / 10000.0).alias("max_quality"),
         )
         .orderBy(F.col("tier").asc())
     )

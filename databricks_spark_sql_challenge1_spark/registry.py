@@ -187,6 +187,16 @@ ROWS_ONLY_STAND_INS: dict[str, str] = {
 # value-invariant on every fixture, 3-scale re-proven) — its
 # post-change driver row lands here; its sibling
 # multimodal_audio_pcm_stats sits in the CURRENT r18 window (idx 29).
+# events_json_extract (below, r16 cohort) moved to the integer-grain
+# average formulation late-r18 (the ROUND(AVG(int)) boundary campaign;
+# value-invariant on every fixture, 3-scale re-proven, scale-4 witness
+# pinned) — post-change row lands here; its window-mates lang_stats and
+# orders_unpivot_metrics sit in the CURRENT r18 window.
+# docs_quality_tiers (below, r16 cohort) moved its whole pipeline to
+# integer score units in the same campaign (per-row ROUND(raw, 4)
+# itself rounds apart cross-engine on constructible boundary rationals
+# — witness pinned in test_prerounded_score_boundary_contract);
+# 3-scale re-proven, post-change row lands here.
 NEXT_WINDOW: tuple[str, ...] = (
     # r18-changed heads (layout-invariance fix, events_stream.py:35)
     "streaming_parity_dedup",  # the twin that exposed the 0-row bug

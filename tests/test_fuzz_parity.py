@@ -236,3 +236,89 @@ def test_unicode_case_mapping_contract(spark):
     s, d = both("upper(x)", "upper(?)", "ﬁle")
     assert s == "FILE" and d == "ﬁLE", (s, d)
     con.close()
+
+
+def test_integer_average_boundary_contract(spark, tmp_path):
+    """r18 integer-average boundary campaign (found by the
+    triple-composed probe on a random warehouse, then scanned to this
+    minimal witness): ``ROUND(AVG(int), s)`` diverges cross-engine when
+    the exact average terminates one digit past the round scale ending
+    in 5 AND is not binary-representable — a 40-doc group with char-sum
+    41 averages exactly 1.025, whose nearest double sits BELOW the
+    boundary: DuckDB (exact binary) rounded 1.02 while Spark
+    (shortest-repr HALF_UP) rounded 1.03. Dense at scale 2 (any group
+    size ≡ 0 mod 40 reaches it); the sibling scale-4 case is a group of
+    800 ints summing to -2599 (avg -3.24875, pinned in
+    test_fuzz_parity_relational).
+
+    The fix is the integer-grain formulation on BOTH engines —
+    ``ROUND(SUM(int) * 10^s / COUNT) / 10^s`` — safe because the
+    operands are identical doubles (exact integer numerator, one
+    division) and scale-0 boundaries (N.5) are all binary-exact, so
+    both engines always see the same side. Pinned end-to-end on
+    lang_stats with the witness corpus."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    d = str(tmp_path)
+    _write_docs(d, [("", "en", "src0")] * 39 + [("x" * 41, "en", "src0")])
+    q, o = entry.queries(), entry.oracle_sql()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    srows = sorted(
+        tuple(str(x) for x in r) for r in q["lang_stats"](spark, d).collect()
+    )
+    drows = sorted(
+        tuple(str(x) for x in r)
+        for r in con.execute(o["lang_stats"]).fetchall()
+    )
+    con.close()
+    assert srows == drows, (srows, drows)
+    # the boundary really is exercised: avg_chars is the 1.025 case
+    assert srows[0][3] == "1.03", srows
+
+
+def test_prerounded_score_boundary_contract(spark, tmp_path):
+    """Sibling of test_integer_average_boundary_contract for PRE-ROUNDED
+    scores: ~5% of the 6dp quality-score grid's X.XXXX50 members round
+    apart cross-engine at scale 4 (measured: 0.19315 → Spark 0.1932 vs
+    DuckDB 0.1931), so docs_quality_tiers' MIN/MAX/AVG — and its
+    interpolated quartile cutoffs, whose midpoint halves land exactly ON
+    the scale-6 boundary — moved to integer micro-units end-to-end.
+    This corpus manufactures a doc whose score is exactly the measured
+    divergent member 0.193150 (50 tokens → 0.5 factor; 10000 chars with
+    6137 punct → 0.3863 factor)."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    words = ["a" * 77] * 49 + ["a" * 41]  # 50 tokens, 3814 alnum chars
+    text = " ".join(words) + "!" * 6137   # + 49 spaces = 10000 chars
+    assert len(text) == 10000
+    d = str(tmp_path)
+    _write_docs(d, [(text, "en", "src0"),
+                    ("hello world clean text", "en", "src1"),
+                    ("", "en", "src2")])
+    q, o = entry.queries(), entry.oracle_sql()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    srows = sorted(
+        tuple(str(x) for x in r)
+        for r in q["docs_quality_tiers"](spark, d).collect()
+    )
+    drows = sorted(
+        tuple(str(x) for x in r)
+        for r in con.execute(o["docs_quality_tiers"]).fetchall()
+    )
+    con.close()
+    assert srows == drows, (srows, drows)
+    # the boundary member is really present, and both engines now give
+    # the scale-0 answer: raw*1e4 = 1931.4999999999998 (the identical
+    # IEEE double on both sides, BELOW the half) → micro 1931 → 0.1931
+    # (Spark's old per-row ROUND(raw, 4) path said 0.1932 here)
+    assert any("0.1931" in r for row in srows for r in row), srows

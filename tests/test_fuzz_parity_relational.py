@@ -534,3 +534,58 @@ def test_tenth_cent_money_is_out_of_contract(spark):
         ).fetchone()[0]
         assert dist < 1e-6, (tbl, col, dist)
     con.close()
+
+
+def test_integer_average_scale4_boundary_contract(spark, tmp_path):
+    """Scale-4 sibling of tests/test_fuzz_parity.py::
+    test_integer_average_boundary_contract: a group of 800 events whose
+    k-sum is -2599 averages exactly -3.24875 — ON the scale-4 boundary,
+    where ROUND(AVG(k), 4) rounded apart (DuckDB -3.2487 vs Spark
+    -3.2488) until events_json_extract moved to the integer-grain
+    formulation (SUM(k)*10^4 / COUNT(k), scale-0 ROUND — denominator
+    COUNT(k), matching AVG's NULL-skipping, exercised here by an
+    all-NULL-k group)."""
+    from datetime import datetime, timedelta
+
+    import __spark_entry__ as entry
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events (event_id BIGINT, ts TIMESTAMP, "
+        "user_id BIGINT, event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    B = datetime(2024, 1, 5)
+    i = 0
+    for j in range(800):
+        k = -1800 if j == 0 else -1  # sum = -2599
+        con.execute(
+            "INSERT INTO events VALUES (?,?,?,?,?,?)",
+            [i, B + timedelta(seconds=i), 100, "view", 1.0,
+             f'{{"k": {k}}}'],
+        )
+        i += 1
+    for _ in range(5):  # all-NULL-k group (malformed props)
+        con.execute(
+            "INSERT INTO events VALUES (?,?,?,?,?,?)",
+            [i, B + timedelta(seconds=i), 101, "click", 1.0, '{"k": "x"}'],
+        )
+        i += 1
+    d = str(tmp_path)
+    con.execute(f"COPY events TO '{d}/events.parquet' (FORMAT PARQUET)")
+    con.close()
+
+    q, o = entry.queries(), entry.oracle_sql()
+    oc = duckdb.connect()
+    oc.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    srows = sorted(
+        tuple(str(x) for x in r)
+        for r in q["events_json_extract"](spark, d).collect()
+    )
+    drows = sorted(
+        tuple(str(x) for x in r)
+        for r in oc.execute(o["events_json_extract"]).fetchall()
+    )
+    oc.close()
+    assert srows == drows, (srows, drows)
+    assert ("view", "800", "-2599", "-3.2488") in srows, srows
+    assert ("click", "5", "None", "None") in srows, srows

@@ -46,6 +46,18 @@ MUST_VERIFY = {
     # multimodal_frame_stats is in the committed r19 NEXT_WINDOW (the
     # precedented changed-post-spend pattern, same as the r17 log2 trio)
     "multimodal_audio_pcm_stats",
+    # avg_value moved to the integer-cents formulation late-r18 (the
+    # triple-composed probe caught ROUND(AVG(money), 2) landing a
+    # sub-cent average ON the .005 boundary — rounding apart
+    # cross-engine and flipping with summation order); in the r18
+    # window, value-invariant at all three fixture scales (re-proven)
+    "orders_unpivot_metrics",
+    # same r18 integer-average boundary campaign: ROUND(AVG(int), 2)
+    # measured diverging end-to-end on a 40-doc boundary corpus; moved
+    # to the integer-grain formulation, in the r18 window, 3-scale
+    # re-proven (events_json_extract, the scale-4 sibling, is in the
+    # committed r19 NEXT_WINDOW)
+    "lang_stats",
 }
 
 
