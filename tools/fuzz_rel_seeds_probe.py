@@ -285,6 +285,15 @@ def main() -> None:
 
     q, o = entry.queries(), entry.oracle_sql()
     names = _relational_names()
+    # Same class as the test module's CONTRACT_EXCLUDED
+    # (approx_price_percentiles, already filtered): the approx-RFM
+    # sketch-audit booleans assume the documented agreement floor's
+    # premise that eps*n customers make up the cutoff flip band — on a
+    # random 8-20-customer warehouse ONE boundary customer is >=5-12%
+    # disagreement, blowing RFM_AGREE_MIN=0.9 while the quantile VALUES
+    # stay bit-exact (measured: seeds 210-212, only tile_agreement_ok
+    # flipped). The curated fixture keeps it in the pinned test.
+    names = [n for n in names if n != "customer_rfm_segments_approx"]
     if skip_streaming:
         names = [n for n in names if not n.startswith("streaming_")]
     spark = get_spark("fuzz-rel-seeds-probe")
