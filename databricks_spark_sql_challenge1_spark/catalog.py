@@ -55,19 +55,87 @@ def ensure_session_confs(spark: SparkSession) -> None:
             pass  # read-only in some deployments; session.get_spark sets it
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     """Parquet scan with embedded schema (SURVEY.md §2 S2).
 
     ``events.ts`` is TIMESTAMP(NANOS) in the fixture parquet — Spark has no
     nanosecond timestamp type, so it is read as long
     (``spark.sql.legacy.parquet.nanosAsLong``) and truncated to microseconds
     here, matching DuckDB's ns→us truncation exactly.
+
+    ``spread=True`` opts a compute-heavy consumer into the input-parallelism
+    floor (see ``_maybe_spread``): a byte-small scan arrives in fewer split
+    partitions than the cluster has cores, and every narrow stage chained on
+    it (array folds, md5/tokenize pipelines, Arrow codec kernels, broadcast-
+    join probes) runs serial regardless of core count — the guide §2.5
+    "one huge unsplittable file" case in miniature. Opt-in, not default:
+    writer/export paths must keep the scan's row layout, and broadcast-tiny
+    dims would pay a shuffle for nothing.
     """
     ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         df = _heal_events_ts(df)
+    if spread:
+        df = _maybe_spread(spark, df, sf_dir, name)
     return df
+
+
+# Deterministic spread keys (hash repartition by the table's primary id —
+# never round-robin/rand, which breaks reproducibility under task retry;
+# guide §2.5). Only tables a compute-heavy operator consumes are listed.
+_SPREAD_KEYS = {
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+# Below this on-disk size the frame is broadcast-grade anyway and the extra
+# exchange costs more than the serial stage it would fix.
+_SPREAD_MIN_BYTES = 256 * 1024
+# Mirror of the spark.sql.files.maxPartitionBytes default used only to
+# ESTIMATE the scan's split count for the gate below (exact value is not
+# load-bearing: the gate only distinguishes "far fewer splits than cores"
+# from "plenty of splits").
+_SPREAD_SPLIT_BYTES = 128 * 1024 * 1024
+_SPREAD_BYTES_CACHE: dict[str, int] = {}
+
+
+def _table_disk_bytes(path: str) -> int:
+    if path not in _SPREAD_BYTES_CACHE:
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        else:
+            total = os.path.getsize(path) if os.path.exists(path) else 0
+        _SPREAD_BYTES_CACHE[path] = total
+    return _SPREAD_BYTES_CACHE[path]
+
+
+def _maybe_spread(
+    spark: SparkSession, df: DataFrame, sf_dir: str, name: str
+) -> DataFrame:
+    """Input-parallelism floor (round-18 optimization, guide §2.5): when the
+    scan's estimated split count is below the core count, hash-repartition
+    by the table's id so downstream per-row compute parallelizes. At
+    production sizes the split count dwarfs the core count and this is a
+    no-op — scale-neutral by construction. Results are partitioning-
+    invariant (pinned repo-wide by tests/test_layout_invariance_contract)."""
+    key = _SPREAD_KEYS.get(name)
+    if key is None:
+        return df
+    nbytes = _table_disk_bytes(table_path(sf_dir, name))
+    if nbytes < _SPREAD_MIN_BYTES:
+        return df
+    parallelism = spark.sparkContext.defaultParallelism
+    est_splits = max(1, nbytes // _SPREAD_SPLIT_BYTES)
+    if est_splits >= parallelism:
+        return df
+    return df.repartition(parallelism, key)
 
 
 def _heal_events_ts(df: DataFrame) -> DataFrame:

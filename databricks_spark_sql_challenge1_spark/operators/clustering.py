@@ -137,7 +137,7 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached
     pairs = dedup_simhash_pairs(spark, sf_dir).select("doc_1", "doc_2")
-    nodes = load_table(spark, sf_dir, "documents").select("doc_id")
+    nodes = load_table(spark, sf_dir, "documents", spread=True).select("doc_id")
     labels = connected_components(nodes, pairs)
     _LABELS_CACHE[key] = labels
     return labels
@@ -238,7 +238,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     labels = _cluster_labels(spark, sf_dir)
     tok = (
-        load_table(spark, sf_dir, "documents")
+        load_table(spark, sf_dir, "documents", spread=True)
         .select(
             "doc_id",
             F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
@@ -537,8 +537,8 @@ def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross join. Doubles ROUND to 6 on both engines; top-k is
     TakeOrderedAndProject with a full tiebreak.
     """
-    orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders", spread=True)
+    lineitem = load_table(spark, sf_dir, "lineitem", spread=True)
     basket = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .where(F.col("o_orderstatus") == "O")
@@ -748,7 +748,7 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_1", "vec_2")
         .localCheckpoint()  # sparse pair set; avoid re-running LSH per CC round
     )
-    nodes = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    nodes = load_table(spark, sf_dir, "embeddings", spread=True).select("vec_id")
     labels = connected_components(nodes, pairs)
     return (
         labels.select(

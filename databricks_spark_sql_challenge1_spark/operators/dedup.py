@@ -51,7 +51,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fixed-width key → smaller shuffle than raw text) with partial
     aggregation map-side.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return (
         docs.groupBy("text")
         .agg(
@@ -78,7 +78,7 @@ ORDER BY fingerprint ASC
 )
 def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized-fingerprint dedup (case/whitespace-insensitive)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     fp = F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
     return (
         docs.groupBy(fp.alias("fingerprint"))
@@ -166,7 +166,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The hot list is tiny by construction (only keys with df > CAP), so it
     ships as a broadcast left_anti join — no extra shuffle of the index.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return _ngram_jaccard(docs, NGRAM_DF_CAP)
 
 
@@ -276,7 +276,7 @@ def _text_simhash_unsorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``text_simhash`` without the presentation sort — the building-block
     form for downstream joins/bands, where a global range-partitioning
     sort before a shuffle is pure waste at scale."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     toks = (
         docs.select(
             "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
@@ -522,7 +522,7 @@ def dedup_simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_simhash_adaptive`` (log₂N-derived band prefix, measured flat)
     past the knee rather than going quadratic.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     _guard_fixed_band_corpus(
         docs.count(),
         SIMHASH_WIDE_SATURATION_DOCS,
@@ -778,7 +778,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both paths produce identical output (tests/test_extensions.py pins the
     chunked path against the broadcast path and the DuckDB oracle).
     """
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = load_table(spark, sf_dir, "embeddings", spread=True).select("vec_id", "embedding")
     # Bounded probe, not a full count: scan at most MAX+1 ids to learn
     # whether the corpus exceeds the broadcast budget.
     probe = e.select("vec_id").limit(EMB_BROADCAST_MAX_VECTORS + 1).count()
@@ -815,7 +815,7 @@ _MINHASH_B = (
 
 def _minhash_sig_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, m0..m15) MinHash signature via one explode + one groupBy."""
-    sh = _shingles_spark(load_table(spark, sf_dir, "documents"))
+    sh = _shingles_spark(load_table(spark, sf_dir, "documents", spread=True))
     x = (
         F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint")
         % MINHASH_P
@@ -943,7 +943,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, RegexTokenizer
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     tokenizer = RegexTokenizer(
         inputCol="text", outputCol="tokens", pattern=r"\s+", minTokenLength=1
     )
@@ -1080,7 +1080,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     60-bit-hamming contract the adaptive sibling cannot reproduce — it
     keeps the raise.)
     """
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = load_table(spark, sf_dir, "embeddings", spread=True).select("vec_id", "embedding")
     if e.count() > EMB_LSH_SATURATION_VECS:
         return dedup_embedding_lsh_adaptive(spark, sf_dir)
     dim = _emb_dim(e)
@@ -1372,7 +1372,7 @@ def dedup_embedding_lsh_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to ``dedup_embedding_lsh`` (pinned in
     tests/test_extensions.py).
     """
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = load_table(spark, sf_dir, "embeddings", spread=True).select("vec_id", "embedding")
     dim = _emb_dim(e)
     if dim is None:
         return _empty_pairs(spark)
@@ -1480,7 +1480,7 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     index buckets it collides with — no full-corpus rescan, no N² term,
     the same O(batch) admission cost as the text-side check.
     """
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = load_table(spark, sf_dir, "embeddings", spread=True).select("vec_id", "embedding")
     dim = _emb_dim(e)
     if dim is None:
         return spark.createDataFrame(
@@ -1597,7 +1597,7 @@ def docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixture grain groups on the window text itself so the DuckDB oracle
     is byte-identical.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     w = SUBSTR_WINDOW
     base = docs.select(
         "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("t")
@@ -1754,7 +1754,7 @@ def dedup_simhash_adaptive(
     with first-agreeing-band single-emission — no N^2 term, no post-join
     distinct.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     if bpb is None:
         bpb = _adaptive_simhash_bpb(docs.count())
     trunc = SIMHASH_REGION_BITS - bpb
@@ -1895,7 +1895,7 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the containment denominator is a broadcast-size lookup. One extra
     ``least`` per candidate pair is the entire added cost.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return _ngram_containment(docs, NGRAM_DF_CAP)
 
 
@@ -1953,7 +1953,7 @@ def dedup_ngram_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a total-order sort of the union buys nothing (the
     ``dedup_simhash_methods`` rule).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     s = _ngram_scored(docs, NGRAM_DF_CAP)
     methods = F.array_compact(
         F.array(

@@ -152,7 +152,7 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared BM25 scoring frame: (doc_id, _raw score) for the fixed query
     terms — the lexical leg of both ``docs_bm25_topk`` and
     ``retrieval_hybrid_rrf``."""
-    dd = _bm25_doc_feats(load_table(spark, sf_dir, "documents"))
+    dd = _bm25_doc_feats(load_table(spark, sf_dir, "documents", spread=True))
     return dd.crossJoin(F.broadcast(_bm25_stats(dd))).select(
         "doc_id", F.expr(_BM25_SCORE_SQL).alias("_raw")
     )
@@ -415,7 +415,7 @@ def retrieval_rrf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # key-matched rows, not a second corpus-wide scoring pass.
     keys = F.broadcast(short.select("doc_id"))
     emb_hits = e.withColumnRenamed("vec_id", "doc_id").join(keys, "doc_id")
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     st = _bm25_stats(_bm25_doc_feats(docs))
     bm_hits = (
         _bm25_doc_feats(docs.join(keys, "doc_id"))

@@ -58,7 +58,7 @@ def _guard_stride_corpus(n: int, name: str, scale_config: str) -> None:
 
 
 def _emb(spark, sf_dir) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings").select(
+    return load_table(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
     )
 
@@ -1223,7 +1223,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     (round() tie-breaks are engine-specific); the DuckDB oracle replays the
     identical lambda algebra over DOUBLE[] lists.
     """
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_table(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     # Zero-vector guard (ADVICE r6): an all-zero embedding would make
@@ -1460,7 +1460,7 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines fold d = 1..64 in sequence order and the oracle rounds to
     the shared 4-decimal scale.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     cols = [
         F.expr(
             f"""round(aggregate(sequence(1, {EMB_DIM}), cast(0 as double),

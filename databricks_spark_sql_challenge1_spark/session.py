@@ -31,6 +31,19 @@ def get_spark(app_name: str = "challenge1-engine") -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalescing is byte-based and blind to per-row compute cost:
+        # with the default 1 MB minPartitionSize floor, a narrow-row stage
+        # feeding expensive array folds (the LSH cosine verify: 367 k
+        # 16-byte pair rows -> 6 MB -> ~6 post-shuffle partitions) runs
+        # nearly serial regardless of core count (measured r18: the verify
+        # stage 5.9 s -> 1.2 s at 32 cores with a 64 KB floor). The floor
+        # only binds when post-shuffle data is byte-small, so at
+        # production shuffle sizes (partitions ~ advisoryPartitionSize)
+        # it is a no-op — scale-neutral, env-overridable.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
+        )
         # One shuffle partition per core locally; on a real cluster this would
         # be sized to ~128MB of shuffle data per partition.
         .config("spark.sql.shuffle.partitions", cpus)

@@ -26,6 +26,15 @@ from databricks_spark_sql_challenge1_spark.plans.explain import (
 from tests.conftest import SF_DIR
 
 
+
+def _is_spread_exchange(line: str) -> bool:
+    """The round-18 input-parallelism floor (catalog._maybe_spread) adds one
+    explicit hash repartition by the TABLE ID right above a byte-small scan
+    so narrow compute-heavy stages parallelize (no-op at sf0.001 where every
+    table is under the 256 KB gate); it is the only non-range exchange the
+    narrow-map plans may carry."""
+    return "hashpartitioning(doc_id" in line or "hashpartitioning(vec_id" in line
+
 def test_filter_pushdown_to_scan(spark):
     """The status filter must reach the orders parquet scan."""
     df = top_abandoned_products(spark, SF_DIR)
@@ -100,7 +109,9 @@ def test_chunk_windows_is_narrow(spark):
     assert "Join" not in plan, plan
     assert "HashAggregate" not in plan, plan
     exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
-    assert all("rangepartitioning" in ln for ln in exchanges), plan
+    assert all(
+        "rangepartitioning" in ln or _is_spread_exchange(ln) for ln in exchanges
+    ), plan
 
 
 
@@ -173,7 +184,9 @@ def test_round6_operators_plan_shapes(spark):
     qplan = simple_plan(embedding_quantize_int8(spark, SF_DIR))
     assert "Join" not in qplan and "HashAggregate" not in qplan, qplan
     exchanges = [ln for ln in qplan.splitlines() if "Exchange" in ln]
-    assert all("rangepartitioning" in ln for ln in exchanges), qplan
+    assert all(
+        "rangepartitioning" in ln or _is_spread_exchange(ln) for ln in exchanges
+    ), qplan
 
     mplan = simple_plan(corpus_temperature_mixture(spark, SF_DIR))
     assert "CartesianProduct" not in mplan, mplan
@@ -212,7 +225,9 @@ def test_multimodal_raw_kernels_are_narrow(spark):
         assert "MapInPandas" in plan, plan
         assert "Join" not in plan and "HashAggregate" not in plan, plan
         exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
-        assert all("rangepartitioning" in ln for ln in exchanges), plan
+        assert all(
+        "rangepartitioning" in ln or _is_spread_exchange(ln) for ln in exchanges
+    ), plan
 
 
 
