@@ -1958,21 +1958,33 @@ def customers_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"({k - 1} * 4294967296) div {m_col}")
         )
 
+    # Round-18 optimization (guide §1.2 step 1 — don't recompute what you
+    # already have): the three year-pairs overlap (1996-97/1997-98/1998-99),
+    # and each pair's frame graph referenced its `keys` subtree ~8 times
+    # (two sketch builds, three exact counts, the membership probes), so the
+    # orders scan + distinct + md5 ran ~24x per call. One materialized
+    # (yr, custkey, h) frame over the UNION of years now feeds every pair —
+    # per-pair `keys` is a filter over the checkpointed frame, and per-year
+    # distinct-of-a-subset equals subset-of-distinct, so values are
+    # unchanged. Measured 4.7 s -> 1.3 s (noop, warmed median).
+    years = sorted({y for ya, yb, _n in KMV_SETOPS_PAIRS for y in (ya, yb)})
+    keys_all = (
+        orders.select(F.year("o_orderdate").alias("yr"), "o_custkey")
+        .where(F.col("yr").isin(years))
+        .distinct()
+        .withColumn(
+            "h",
+            F.conv(
+                F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint"),
+        )
+        .localCheckpoint()
+    )
     rows = []
     for ya, yb, name in KMV_SETOPS_PAIRS:
-        keys = (
-            orders.select(F.year("o_orderdate").alias("yr"), "o_custkey")
-            .where(F.col("yr").isin(ya, yb))
-            .distinct()
-            .withColumn(
-                "h",
-                F.conv(
-                    F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8),
-                    16,
-                    10,
-                ).cast("bigint"),
-            )
-        )
+        keys = keys_all.where(F.col("yr").isin(ya, yb))
         a = keys.where(F.col("yr") == ya).select("o_custkey", "h")
         b = keys.where(F.col("yr") == yb).select("o_custkey", "h")
         ska, skb = bottomk(a), bottomk(b)

@@ -77,22 +77,23 @@ def connected_components(
     ).localCheckpoint()
     prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
     for _ in range(max_rounds):
-        # round part 1: every node adopts min(own label, neighbors' labels)
-        nbr = (
-            edges.join(labels, edges["src"] == labels["doc_id"])
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("nbr_min"))
+        # round part 1: every node adopts min(own label, neighbors' labels).
+        # Round-18 optimization (guide §2.4 — share/remove exchanges): the
+        # former nbr-aggregate + left-join-least shape was three shuffles,
+        # and `stepped` fed BOTH sides of the pointer jump unmaterialized,
+        # so the whole part-1 subtree evaluated twice per round. Now part 1
+        # is one union + one min-aggregate (same algebra: min(own, nbr
+        # mins); a node with no in-edges keeps its own label because the
+        # union always carries it), and `stepped` is localCheckpoint-ed so
+        # the jump self-join reads it materialized on both sides.
+        prop = edges.join(labels, edges["src"] == labels["doc_id"]).select(
+            F.col("dst").alias("doc_id"), "cluster_id"
         )
         stepped = (
-            labels.alias("l")
-            .join(nbr.alias("n"), F.col("l.doc_id") == F.col("n.doc_id"), "left")
-            .select(
-                F.col("l.doc_id").alias("doc_id"),
-                F.least(
-                    F.col("l.cluster_id"),
-                    F.coalesce(F.col("n.nbr_min"), F.col("l.cluster_id")),
-                ).alias("cluster_id"),
-            )
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
         )
         # round part 2: pointer jump — cluster_id := label(cluster_id).
         # Labels are node ids, so the lookup is a self-join; this is the
@@ -342,8 +343,11 @@ def pagerank(
 
     Each iteration is one equi-join of ranks onto the degree-annotated,
     localCheckpoint-ed edge list plus one groupBy on dst — the Pregel-style
-    message pass in DataFrame ops; per-iteration localCheckpoint keeps the
-    plan O(1) deep. Pinned against numpy power iteration on random graphs
+    message pass in DataFrame ops. The rank chain is linear (each round's
+    frame is consumed exactly once by the next), so for the FIXED small
+    iteration count it runs lazily as one job with bounded plan depth —
+    an unbounded/convergence-driven variant would reinstate a periodic
+    checkpoint. Pinned against numpy power iteration on random graphs
     in tests/test_properties.py.
     """
     s, d = edges.columns[:2]
@@ -365,22 +369,25 @@ def pagerank(
         return nodes.select("id", F.lit(0.0).alias("r"))
     ranks = nodes.select("id", F.lit(1.0 / n).alias("r"))
     base = (1.0 - damping) / n
+    # Round-18 optimization: the per-iteration localCheckpoint (an eager
+    # job + materialization per round) is unnecessary for a FIXED, small
+    # iteration count — each `ranks` is referenced exactly once by the next
+    # round, so the chain is linear (no re-evaluation blow-up) and the
+    # whole loop now executes as one job over PAGERANK_ITERS tiny stages.
+    # The inputs that ARE re-read every round (`ew`, `nodes`) keep their
+    # materialization above; plan depth is bounded by the constant `iters`.
     for _ in range(iters):
         contrib = (
             ew.join(ranks, ew["src"] == ranks["id"])
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("r") / F.col("deg")).alias("m"))
         )
-        ranks = (
-            nodes.join(contrib, "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0))
-                ).alias("r"),
-            )
-            .localCheckpoint()
+        ranks = nodes.join(contrib, "id", "left").select(
+            "id",
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0))
+            ).alias("r"),
         )
     return ranks
 
@@ -448,8 +455,8 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each iteration is one equi-join of ranks onto the
     (pre-degree-annotated, localCheckpoint-ed) edge list plus one groupBy
     on dst — the standard Pregel-style message pass expressed in DataFrame
-    ops. ``localCheckpoint`` per iteration truncates lineage so the plan
-    stays O(1) deep regardless of iteration count; on a giant graph the
+    ops, chained lazily across the fixed PAGERANK_ITERS rounds (plan depth
+    bounded by the constant; see ``pagerank``); on a giant graph the
     same loop runs unchanged with edges partitioned by src. The oracle
     unrolls the 5 iterations as chained CTEs (recursive CTEs cannot
     aggregate per round), pinning every intermediate against DuckDB.

@@ -184,16 +184,24 @@ ORDER BY query_id ASC, sim DESC, neighbor_id ASC
 """
 
 
-def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_ivf(
+    spark: SparkSession, sf_dir: str, _assigned: DataFrame | None = None
+) -> DataFrame:
     """IVF-bucketed approximate top-k: assign → probe own bucket only.
 
     The bucket join is an equi-join on centroid_id (shuffle/broadcast on a
     low-cardinality key) instead of a full crossJoin — the plan that still
     works when N is 10^9.
+
+    ``_assigned`` lets the consolidated ANN surface pass the materialized
+    shared assignment (round-18 optimization: the ivf and ivfpq legs run
+    the identical assignment pipeline; sharing it removes a full duplicate
+    pass). Values are unchanged — the assignment is deterministic.
     """
     e = _emb(spark, sf_dir)
-    _guard_stride_corpus(e.count(), "similarity_ivf", "dedup_semantic_ivf's sqrt-N sibling rule (dedup_semantic_sqrtk) or similarity_pq_rerank")
-    assigned = _ivf_assigned(e)
+    if _assigned is None:
+        _guard_stride_corpus(e.count(), "similarity_ivf", "dedup_semantic_ivf's sqrt-N sibling rule (dedup_semantic_sqrtk) or similarity_pq_rerank")
+    assigned = _assigned if _assigned is not None else _ivf_assigned(e)
     q = assigned.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("qemb"),
@@ -301,7 +309,12 @@ ORDER BY query_id ASC, adist ASC, neighbor_id ASC
 """
 
 
-def similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_pq(
+    spark: SparkSession,
+    sf_dir: str,
+    _codes: DataFrame | None = None,
+    _dtable: DataFrame | None = None,
+) -> DataFrame:
     """PQ (product-quantization) approximate top-k — the memory half of
     IVF-PQ: vectors live as {PQ_M} one-byte codes, queries scan codes via a
     precomputed subspace distance table (ADC).
@@ -314,10 +327,11 @@ def similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (mapPartitions over packed codes); the relational plan here keeps the
     identical algebra oracle-checkable.
     """
-    _guard_stride_corpus(
-        _emb(spark, sf_dir).count(), "similarity_pq", "similarity_pq_rerank"
-    )
-    scored = _pq_scored(spark, sf_dir)
+    if _codes is None or _dtable is None:
+        _guard_stride_corpus(
+            _emb(spark, sf_dir).count(), "similarity_pq", "similarity_pq_rerank"
+        )
+    scored = _pq_scored(spark, sf_dir, _codes=_codes, _dtable=_dtable)
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("neighbor_id").asc()
     )
@@ -332,7 +346,11 @@ def similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_scored(
-    spark: SparkSession, sf_dir: str, codebook_cap: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    codebook_cap: int | None = None,
+    _codes: DataFrame | None = None,
+    _dtable: DataFrame | None = None,
 ) -> DataFrame:
     """Full ADC scoring set (query_id, neighbor_id, adist), no top-k cut.
 
@@ -341,8 +359,29 @@ def _pq_scored(
     PQ has a constant K (typically 256/subspace), and without the cap the
     stride-derived codebook makes encoding N·K = N²/stride sqdist folds
     (measured 3.2×/doubling on the round-6 growth curve). None keeps the
-    uncapped stride rule (the ``similarity_pq`` fixture baseline)."""
-    e = _emb(spark, sf_dir)
+    uncapped stride rule (the ``similarity_pq`` fixture baseline).
+
+    ``_codes``/``_dtable`` let the consolidated ANN surface inject the
+    materialized encode/distance-table frames it shares with the ivfpq leg
+    (round-18; both legs build the identical uncapped frames)."""
+    if _codes is None or _dtable is None:
+        _codes, _dtable = _pq_codes_dtable(_emb(spark, sf_dir), codebook_cap)
+    return (
+        _codes.join(F.broadcast(_dtable), ["m", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("d"), 4).alias("adist"))
+    )
+
+
+def _pq_codes_dtable(
+    e: DataFrame, codebook_cap: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """The PQ encode pass (vec_id, m, code) and query distance table
+    (query_id, m, code, d) — factored out (round-18) because similarity_pq
+    and similarity_ivfpq build the IDENTICAL uncapped frames; the
+    consolidated ANN surface materializes them once and injects them into
+    both legs."""
     sub = _pq_subspaces(e, "vec_id", "vec_id")
     cb_src = e.where(F.col("vec_id") % CENTROID_STRIDE == 0)
     if codebook_cap is not None:
@@ -377,12 +416,7 @@ def _pq_scored(
             _sqdist(F.col("s.sub"), F.col("c.csub")).alias("d"),
         )
     )
-    return (
-        codes.join(F.broadcast(dtable), ["m", "code"])
-        .where(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.round(F.sum("d"), 4).alias("adist"))
-    )
+    return codes, dtable
 
 
 # IVF-PQ probes: queries scan their IVFPQ_PROBES nearest cells (standard
@@ -450,7 +484,13 @@ ORDER BY query_id ASC, adist ASC, neighbor_id ASC
 """
 
 
-def similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_ivfpq(
+    spark: SparkSession,
+    sf_dir: str,
+    _assigned: DataFrame | None = None,
+    _codes: DataFrame | None = None,
+    _dtable: DataFrame | None = None,
+) -> DataFrame:
     """IVF-PQ: the full production ANN plan — IVF coarse routing composed
     with PQ/ADC scoring (the two halves already proven separately in
     ``similarity_ivf`` and ``similarity_pq``). Queries probe their
@@ -478,8 +518,11 @@ def similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     real clustered embeddings the same plan is the FAISS IVF-PQ shape.
     """
     e = _emb(spark, sf_dir)
-    _guard_stride_corpus(e.count(), "similarity_ivfpq", "similarity_pq_rerank")
-    assigned = _ivf_assigned(e).select("vec_id", "centroid_id")
+    if _assigned is None:
+        _guard_stride_corpus(e.count(), "similarity_ivfpq", "similarity_pq_rerank")
+    assigned = (
+        _assigned if _assigned is not None else _ivf_assigned(e)
+    ).select("vec_id", "centroid_id")
     cent = e.where(F.col("vec_id") % CENTROID_STRIDE == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
     )
@@ -495,36 +538,10 @@ def similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("query_id"), F.col("centroid_id").alias("qc"))
     )
 
-    sub = _pq_subspaces(e, "vec_id", "vec_id")
-    cb = _pq_subspaces(
-        e.where(F.col("vec_id") % CENTROID_STRIDE == 0), "vec_id", "centroid_id"
-    ).select("centroid_id", "m", F.col("sub").alias("csub"))
-    s = sub.alias("s")
-    c = cb.alias("c")
-    enc_w = Window.partitionBy("s.vec_id", "s.m").orderBy(
-        F.round(_sqdist(F.col("s.sub"), F.col("c.csub")), 6).asc(),
-        F.col("c.centroid_id").asc(),
-    )
-    codes = (
-        s.join(F.broadcast(c), F.col("s.m") == F.col("c.m"))
-        .withColumn("rk", F.row_number().over(enc_w))
-        .where(F.col("rk") == 1)
-        .select(
-            F.col("s.vec_id").alias("vec_id"),
-            F.col("s.m").alias("m"),
-            F.col("c.centroid_id").alias("code"),
-        )
-    )
-    dtable = (
-        s.where(F.col("s.vec_id") < N_QUERIES)
-        .join(F.broadcast(c), F.col("s.m") == F.col("c.m"))
-        .select(
-            F.col("s.vec_id").alias("query_id"),
-            F.col("s.m").alias("m"),
-            F.col("c.centroid_id").alias("code"),
-            _sqdist(F.col("s.sub"), F.col("c.csub")).alias("d"),
-        )
-    )
+    if _codes is not None and _dtable is not None:
+        codes, dtable = _codes, _dtable
+    else:
+        codes, dtable = _pq_codes_dtable(e)
 
     cand = (
         assigned.join(F.broadcast(qprobe), F.col("centroid_id") == F.col("qc"))
@@ -592,11 +609,31 @@ def similarity_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     the three pre-r13 standalone registrations produced. The per-method
     plans are untouched (each is still the individually-documented scale
     shape); this surface only unions their outputs, so the driver hash
-    pins all three methods in one row budget."""
+    pins all three methods in one row budget.
+
+    Round-18 optimization (guide §1.2 step 1): the legs overlap — ivf and
+    ivfpq run the identical IVF assignment, and ivfpq and pq build the
+    identical uncapped PQ encode + query distance table. The surface now
+    materializes each shared frame ONCE (localCheckpoint) and injects it
+    into the legs via their ``_assigned``/``_codes``/``_dtable`` hooks; the
+    frames are deterministic, so every leg's rows are unchanged (3-scale
+    parity re-proven)."""
+    e = _emb(spark, sf_dir)
+    _guard_stride_corpus(
+        e.count(), "similarity_ann_methods", "similarity_pq_rerank"
+    )
+    assigned = _ivf_assigned(e).localCheckpoint()
+    codes, dtable = _pq_codes_dtable(e)
+    codes, dtable = codes.localCheckpoint(), dtable.localCheckpoint()
+    shared = {
+        "ivf": {"_assigned": assigned},
+        "ivfpq": {"_assigned": assigned, "_codes": codes, "_dtable": dtable},
+        "pq": {"_codes": codes, "_dtable": dtable},
+    }
     parts = []
     for m, fn, _sql, score in _ANN_METHODS:
         parts.append(
-            fn(spark, sf_dir).select(
+            fn(spark, sf_dir, **shared[m]).select(
                 F.lit(m).alias("method"),
                 "query_id",
                 "neighbor_id",
@@ -1528,10 +1565,23 @@ def similarity_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact leg is the expensive half, which is exactly what a production
     recall audit pays (run on a sampled query set, as here).
     """
-    exact = similarity_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    approx = similarity_ivfpq(spark, sf_dir).select("query_id", "neighbor_id")
+    # Each leg feeds two aggregates below (hits + its per-query count);
+    # unmaterialized, the whole leg plan evaluated twice per run — the
+    # localCheckpoint halves the audit's cost (round-18; Q·k rows each).
+    exact = (
+        similarity_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    approx = (
+        similarity_ivfpq(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    # Explicit broadcasts: the checkpointed legs carry no size estimate, so
+    # without the hint these Q·k-row joins would plan as shuffles.
     hits = (
-        exact.join(approx, ["query_id", "neighbor_id"])
+        exact.join(F.broadcast(approx), ["query_id", "neighbor_id"])
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
     )
@@ -1542,8 +1592,8 @@ def similarity_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("approx_k")
     )
     return (
-        ek.join(ak, "query_id", "left")
-        .join(hits, "query_id", "left")
+        ek.join(F.broadcast(ak), "query_id", "left")
+        .join(F.broadcast(hits), "query_id", "left")
         .select(
             "query_id",
             "exact_k",
