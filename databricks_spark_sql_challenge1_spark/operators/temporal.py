@@ -286,7 +286,18 @@ locf_rows AS (
 )"""
 
 
-def events_gapfill_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _gapfill_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, hr, v): the observed hourly integer-cent aggregate both
+    gap-fill legs consume — the DataFrame twin of the template's obs CTE."""
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    return ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("v"))
+
+
+def events_gapfill_stats(
+    spark: SparkSession, sf_dir: str, _obs: DataFrame | None = None
+) -> DataFrame:
     """Time-series gap-fill (hypertable-style `time_bucket_gapfill` +
     `locf`): build each user's dense hourly spine between their first and
     last observed hour, left-join the observed hourly averages, carry the
@@ -312,10 +323,7 @@ def events_gapfill_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     OBSERVED rows (lag over observed hours minus one), avoiding a
     gaps-and-islands pass over the dense spine.
     """
-    ev = load_table(spark, sf_dir, "events", spread=True)
-    obs = ev.groupBy(
-        "user_id", F.date_trunc("hour", "ts").alias("hr")
-    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("v"))
+    obs = _obs if _obs is not None else _gapfill_obs(spark, sf_dir)
     span = obs.groupBy("user_id").agg(
         F.min("hr").alias("h0"), F.max("hr").alias("h1")
     )
@@ -445,7 +453,9 @@ ORDER BY user_id ASC
     )
 
 
-def events_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_gapfill_interp(
+    spark: SparkSession, sf_dir: str, _obs_view: str | None = None
+) -> DataFrame:
     """Linear-interpolation gap-fill (hypertable `interpolate()`): for
     every missing hour on each user's dense spine, interpolate between the
     previous and next OBSERVED hourly values, in integer cents with an
@@ -487,6 +497,19 @@ def events_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         r"\1(\2, true)",
         sql,
     )
+    if _obs_view is not None:
+        # Consolidated-surface hook (round-18): replace the obs CTE body
+        # with a read of the shared materialized aggregate — the template
+        # re-derived it per reference otherwise (the DataFrame twin is
+        # value-identical by construction, see _gapfill_obs).
+        sql = sql.replace(
+            """obs AS (
+    SELECT user_id, date_trunc('hour', ts) AS hr,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+    FROM events GROUP BY user_id, date_trunc('hour', ts)
+)""",
+            f"obs AS (SELECT user_id, hr, v FROM {_obs_view})",
+        )
     return spark.sql(sql)
 
 
@@ -534,8 +557,16 @@ def events_gapfill_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     relabels and unions their outputs. The oracle is assembled from the
     SAME CTE fragments the retired oracles used.
     """
+    # Round-18 optimization: the obs aggregate (events scan + one shuffle)
+    # was re-derived FIVE times per run — the locf leg references it three
+    # times (spine span, the spine left join, the gap lag) and the interp
+    # template twice (seq, span). Materialize it once and feed both legs
+    # (the DataFrame twin and the template's obs CTE are value-identical
+    # by construction; 3-scale parity re-proven).
+    obs = _gapfill_obs(spark, sf_dir).localCheckpoint()
+    obs.createOrReplaceTempView("gapfill_obs_shared")
     nl = F.lit(None).cast("long")
-    locf = events_gapfill_stats(spark, sf_dir).select(
+    locf = events_gapfill_stats(spark, sf_dir, _obs=obs).select(
         F.lit("locf").alias("method"),
         "user_id",
         F.col("n_observed").cast("long").alias("n_observed"),
@@ -545,7 +576,9 @@ def events_gapfill_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         nl.alias("fill_min_cents"),
         nl.alias("fill_max_cents"),
     )
-    interp = events_gapfill_interp(spark, sf_dir).select(
+    interp = events_gapfill_interp(
+        spark, sf_dir, _obs_view="gapfill_obs_shared"
+    ).select(
         F.lit("interp").alias("method"),
         "user_id",
         nl.alias("n_observed"),
