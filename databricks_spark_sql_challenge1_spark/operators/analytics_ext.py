@@ -690,6 +690,10 @@ def customer_rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"ap_{dim}"
             )
         )
+    # Round-18: `m` (the per-customer RFM aggregate) feeds both the sketch/
+    # exact-quantile pass and the bound-check pass; materialized once
+    # (|customers| rows) instead of re-running the orders aggregation.
+    m = m.localCheckpoint()
     stats = m.agg(*stats_aggs)
 
     j = m.crossJoin(F.broadcast(stats))

@@ -179,8 +179,12 @@ def launch_cohort_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort variant of #12 without the anchor HAVING (non-vacuous on the
     fixtures, where every part launches early): per launch-month cohort,
     parts launched + distinct orders touching them in their launch month.
-    Same 3-level machinery (MIN-derived grouping, self-joined facts)."""
-    launches = _launch_products(spark, sf_dir)
+    Same 3-level machinery (MIN-derived grouping, self-joined facts).
+
+    Round-18: ``launches`` (a full lineitem-join-orders MIN aggregate)
+    feeds both the cohort count and the activity join; materialized once
+    (|parts| rows) instead of evaluating the launch subtree twice."""
+    launches = _launch_products(spark, sf_dir).localCheckpoint()
     cohort = launches.groupBy("launch_year", "launch_month").agg(
         F.count(F.lit(1)).alias("n_parts_launched")
     )
