@@ -53,6 +53,17 @@ def get_spark(app_name: str = "challenge1-engine") -> SparkSession:
         # Small dims (region/nation/customer/supplier/part at test SF) always
         # broadcast; AQE handles the runtime decision for larger inputs.
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # Let the planner choose shuffled-hash over sort-merge when its
+        # size conditions hold (guide §3.1/§9): skips the per-partition
+        # sorts on both sides of non-broadcastable joins (the outer joins
+        # against preserved small dims in the export chain, the band-index
+        # self-joins). Not forced — the planner still requires the build
+        # side to fit its local-hash-map bound, and the r18
+        # strategy-invariance campaign pins results identical under either
+        # strategy. Measured (noop, warmed): order_export_denorm
+        # 3.72 -> 3.06 s, events_gapfill_methods 2.94 -> 2.59,
+        # dedup_incremental 1.31 -> 1.10.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         # Runtime row-level filtering: build bloom filters from the small
         # side of selective joins and push them into the big-side scan —
         # free scan reduction at 100 TB (Spark 3.3+ runtime filters).
