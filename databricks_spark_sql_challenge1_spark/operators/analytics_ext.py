@@ -693,7 +693,7 @@ def customer_rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Round-18: `m` (the per-customer RFM aggregate) feeds both the sketch/
     # exact-quantile pass and the bound-check pass; materialized once
     # (|customers| rows) instead of re-running the orders aggregation.
-    m = m.localCheckpoint()
+    m = m.cache()
     stats = m.agg(*stats_aggs)
 
     j = m.crossJoin(F.broadcast(stats))
@@ -1984,7 +1984,7 @@ def customers_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
                 10,
             ).cast("bigint"),
         )
-        .localCheckpoint()
+        .cache()
     )
     rows = []
     for ya, yb, name in KMV_SETOPS_PAIRS:

@@ -259,6 +259,22 @@ ORDER BY doc_id ASC
 """
 
 
+
+def _distinct_token_md5(docs: DataFrame) -> DataFrame:
+    """(doc_id, hx): md5 hex of each DISTINCT (doc_id, token) — the shared
+    prefix of every SimHash signature width (round-18: the 32/60/88-bit
+    legs of ``dedup_simhash_methods`` all tokenize + distinct + md5 the
+    corpus identically and then slice different hex ranges; the distinct
+    runs BEFORE hashing so the dedup key is the token itself)."""
+    return (
+        docs.select(
+            "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+        )
+        .distinct()
+        .select("doc_id", F.md5("tok").alias("hx"))
+    )
+
+
 # The registered oracle strips the helper's top-level ORDER BY: the
 # registered form is deliberately UNSORTED (below), so a declared output
 # order in the oracle is a contract the Spark side never promises — the
@@ -272,19 +288,19 @@ ORDER BY doc_id ASC
     "text_simhash",
     oracle=_simhash_sql_duckdb().replace("ORDER BY doc_id ASC", ""),
 )
-def _text_simhash_unsorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _text_simhash_unsorted(
+    spark: SparkSession, sf_dir: str, _toks: DataFrame | None = None
+) -> DataFrame:
     """``text_simhash`` without the presentation sort — the building-block
     form for downstream joins/bands, where a global range-partitioning
-    sort before a shuffle is pure waste at scale."""
-    docs = load_table(spark, sf_dir, "documents", spread=True)
-    toks = (
-        docs.select(
-            "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    sort before a shuffle is pure waste at scale. ``_toks`` injects the
+    shared (doc_id, hx) token frame (see ``_distinct_token_md5``)."""
+    if _toks is None:
+        _toks = _distinct_token_md5(
+            load_table(spark, sf_dir, "documents", spread=True)
         )
-        .distinct()
-        .withColumn(
-            "h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
-        )
+    toks = _toks.withColumn(
+        "h", F.conv(F.substring("hx", 1, 8), 16, 10).cast("bigint")
     )
     return toks.groupBy("doc_id").agg(
         F.expr(_simhash_exprs_spark()).alias("simhash")
@@ -406,7 +422,9 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
 """
 
 
-def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_simhash_pairs(
+    spark: SparkSession, sf_dir: str, _toks: DataFrame | None = None
+) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ HAMMING_MAX.
 
     Scale path, exact: band-blocked candidate generation — the 32-bit
@@ -419,7 +437,11 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to the quadratic all-pairs join (the DuckDB oracle), but the
     join is an equi-join: no crossJoin, shuffles on band buckets only.
     """
-    sig = text_simhash(spark, sf_dir).cache()
+    # Round-18: the unsorted signature form — the former sorted variant
+    # paid a global range-partitioning sort that the band explode/join
+    # immediately discards (exactly the waste _text_simhash_unsorted's
+    # docstring names); the pair SET is order-independent.
+    sig = _text_simhash_unsorted(spark, sf_dir, _toks=_toks).cache()
     return _simhash_true_pairs(sig)
 
 
@@ -464,16 +486,14 @@ def _guard_fixed_band_corpus(n: int, knee: int, name: str, adaptive: str) -> Non
         )
 
 
-def _simhash_wide_sig(docs: DataFrame) -> DataFrame:
+def _simhash_wide_sig(
+    docs: DataFrame, _toks: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, simhash) with a 60-bit signature over distinct tokens."""
-    toks = (
-        docs.select(
-            "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
-        )
-        .distinct()
-        .withColumn(
-            "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
-        )
+    if _toks is None:
+        _toks = _distinct_token_md5(docs)
+    toks = _toks.withColumn(
+        "h", F.conv(F.substring("hx", 1, 15), 16, 10).cast("bigint")
     )
     return toks.groupBy("doc_id").agg(
         F.expr(_simhash_exprs_spark(SIMHASH_WIDE_BITS)).alias("simhash")
@@ -501,7 +521,9 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
 """
 
 
-def dedup_simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_simhash_wide_pairs(
+    spark: SparkSession, sf_dir: str, _toks: DataFrame | None = None
+) -> DataFrame:
     """Near-dup pairs on the 60-bit wide SimHash — the measured 100 TB
     configuration of ``dedup_simhash_pairs``.
 
@@ -529,7 +551,7 @@ def dedup_simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dedup_simhash_wide_pairs",
         "dedup_simhash_adaptive",
     )
-    sig = _simhash_wide_sig(docs).cache()
+    sig = _simhash_wide_sig(docs, _toks=_toks).cache()
     return _simhash_true_pairs(sig, SIMHASH_WIDE_BITS, HAMMING_MAX)
 
 
@@ -1675,22 +1697,17 @@ def _adaptive_simhash_bpb(n_docs: int) -> int:
     )
 
 
-def _simhash_wide2_sig(docs: DataFrame) -> DataFrame:
+def _simhash_wide2_sig(
+    docs: DataFrame, _toks: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, sig_hi, sig_lo): 88-bit SimHash as two 44-bit limbs from
     disjoint md5 hex ranges (chars 1-11 and 12-22) of each distinct token."""
-    toks = (
-        docs.select(
-            "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
-        )
-        .distinct()
-        .withColumn(
-            "h1",
-            F.conv(F.substring(F.md5("tok"), 1, 11), 16, 10).cast("bigint"),
-        )
-        .withColumn(
-            "h2",
-            F.conv(F.substring(F.md5("tok"), 12, 11), 16, 10).cast("bigint"),
-        )
+    if _toks is None:
+        _toks = _distinct_token_md5(docs)
+    toks = _toks.withColumn(
+        "h1", F.conv(F.substring("hx", 1, 11), 16, 10).cast("bigint")
+    ).withColumn(
+        "h2", F.conv(F.substring("hx", 12, 11), 16, 10).cast("bigint")
     )
     return toks.groupBy("doc_id").agg(
         F.expr(_simhash_exprs_spark(SIMHASH_LIMB_BITS, "h1")).alias("sig_hi"),
@@ -1735,7 +1752,10 @@ ORDER BY doc_1 ASC, doc_2 ASC
 
 
 def dedup_simhash_adaptive(
-    spark: SparkSession, sf_dir: str, bpb: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    bpb: int | None = None,
+    _toks: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs on an 88-bit two-limb SimHash with corpus-size-
     adaptive band keys — the SimHash family's answer to the band-space
@@ -1758,7 +1778,7 @@ def dedup_simhash_adaptive(
     if bpb is None:
         bpb = _adaptive_simhash_bpb(docs.count())
     trunc = SIMHASH_REGION_BITS - bpb
-    sig = _simhash_wide2_sig(docs).cache()
+    sig = _simhash_wide2_sig(docs, _toks=_toks).cache()
     bands = sig.select(
         "doc_id",
         "sig_hi",
@@ -1857,9 +1877,18 @@ def dedup_simhash_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     produced them. The per-method plans (band-blocked equi-joins with
     first-agreeing-band single emission) and saturation guards are
     untouched; this surface only unions their outputs, so the driver hash
-    pins all three signature widths in one row budget."""
+    pins all three signature widths in one row budget.
+
+    Round-18: all three legs tokenize + distinct + md5 the corpus
+    identically before slicing different hex ranges; the shared
+    (doc_id, hx) frame is materialized once and injected into each leg
+    (values unchanged — the distinct runs on the token itself either
+    way; 3-scale parity re-proven)."""
+    toks = _distinct_token_md5(
+        load_table(spark, sf_dir, "documents", spread=True)
+    ).cache()
     parts = [
-        fn(spark, sf_dir).select(
+        fn(spark, sf_dir, _toks=toks).select(
             F.lit(m).alias("method"), "doc_1", "doc_2", "hamming"
         )
         for m, fn, _sql in _SIMHASH_METHODS

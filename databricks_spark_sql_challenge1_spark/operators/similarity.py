@@ -622,9 +622,9 @@ def similarity_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     _guard_stride_corpus(
         e.count(), "similarity_ann_methods", "similarity_pq_rerank"
     )
-    assigned = _ivf_assigned(e).localCheckpoint()
+    assigned = _ivf_assigned(e).cache()
     codes, dtable = _pq_codes_dtable(e)
-    codes, dtable = codes.localCheckpoint(), dtable.localCheckpoint()
+    codes, dtable = codes.cache(), dtable.cache()
     shared = {
         "ivf": {"_assigned": assigned},
         "ivfpq": {"_assigned": assigned, "_codes": codes, "_dtable": dtable},
@@ -1571,12 +1571,12 @@ def similarity_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         similarity_topk(spark, sf_dir)
         .select("query_id", "neighbor_id")
-        .localCheckpoint()
+        .cache()
     )
     approx = (
         similarity_ivfpq(spark, sf_dir)
         .select("query_id", "neighbor_id")
-        .localCheckpoint()
+        .cache()
     )
     # Explicit broadcasts: the checkpointed legs carry no size estimate, so
     # without the hint these Q·k-row joins would plan as shuffles.
