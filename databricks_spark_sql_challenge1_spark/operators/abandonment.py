@@ -33,8 +33,8 @@ SELECT (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS number_of_orders,
 )
 def count_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ref #1 (``py:112-120``): COUNT(DISTINCT) sanity counts, one row."""
-    orders = load_table(spark, sf_dir, "orders", spread=True)
-    lineitem = load_table(spark, sf_dir, "lineitem", spread=True)
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
     a = orders.agg(F.countDistinct("o_orderkey").alias("number_of_orders"))
     b = lineitem.agg(F.countDistinct("l_orderkey").alias("number_of_order_entries"))
     return a.crossJoin(b)
@@ -51,7 +51,7 @@ WHERE (o_totalprice < {NO_PRICE_THRESHOLD} OR o_totalprice IS NULL)
 )
 def orders_no_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ref #2 (``py:129-133``): compound parenthesised NULL-tolerant predicate."""
-    orders = load_table(spark, sf_dir, "orders", spread=True)
+    orders = load_table(spark, sf_dir, "orders")
     pred = (
         (F.col("o_totalprice") < NO_PRICE_THRESHOLD) | F.col("o_totalprice").isNull()
     ) & ((F.col("o_orderstatus") == "O") | F.col("o_orderstatus").isNull())
@@ -75,8 +75,8 @@ def valid_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     null-extended lineitem rows survive (SURVEY.md §2.13 gotcha 2) and the
     two counts differ by exactly the entry-less orders.
     """
-    orders = load_table(spark, sf_dir, "orders", spread=True)
-    lineitem = load_table(spark, sf_dir, "lineitem", spread=True)
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
     joined = lineitem.join(
         orders, lineitem.l_orderkey == orders.o_orderkey, "right"
     ).where(F.col("o_totalprice") >= NO_PRICE_THRESHOLD)
@@ -99,7 +99,7 @@ def clean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sources.overwrite.staged_overwrite`` and is exercised by the pipeline
     test; the oracle checks the filter semantics on all columns.
     """
-    return load_table(spark, sf_dir, "orders", spread=True).where(
+    return load_table(spark, sf_dir, "orders").where(
         F.col("o_totalprice") >= NO_PRICE_THRESHOLD
     )
 
@@ -267,8 +267,8 @@ def top_abandoned_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _abandoned_per_part_in_month(spark, sf_dir, year: int, month: int) -> DataFrame:
     """Shared subquery of #7/#8: abandoned-order count per part in a month
     window (ref ``py:227-240`` inner views)."""
-    orders = load_table(spark, sf_dir, "orders", spread=True)
-    lineitem = load_table(spark, sf_dir, "lineitem", spread=True)
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "right")
         .where(
@@ -282,8 +282,8 @@ def _abandoned_per_part_in_month(spark, sf_dir, year: int, month: int) -> DataFr
 
 
 def _abandoned_per_part_in_year(spark, sf_dir, year: int) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders", spread=True)
-    lineitem = load_table(spark, sf_dir, "lineitem", spread=True)
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "left")
         .where((F.col("o_orderstatus") == "O") & (F.year("o_orderdate") == year))

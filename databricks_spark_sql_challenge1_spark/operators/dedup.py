@@ -800,7 +800,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both paths produce identical output (tests/test_extensions.py pins the
     chunked path against the broadcast path and the DuckDB oracle).
     """
-    e = load_table(spark, sf_dir, "embeddings", spread=True).select("vec_id", "embedding")
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # Bounded probe, not a full count: scan at most MAX+1 ids to learn
     # whether the corpus exceeds the broadcast budget.
     probe = e.select("vec_id").limit(EMB_BROADCAST_MAX_VECTORS + 1).count()

@@ -34,7 +34,7 @@ _CAL_SQL = """
 def calendar_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 date-dimension generator (ref ``py:74-76``): explode(sequence(...)),
     bounded to the orders span instead of the reference's fixed 2000-2100."""
-    orders = load_table(spark, sf_dir, "orders", spread=True)
+    orders = load_table(spark, sf_dir, "orders")
     bounds = orders.agg(
         F.to_date(F.min("o_orderdate")).alias("lo"),
         F.to_date(F.max("o_orderdate")).alias("hi"),
@@ -55,8 +55,8 @@ def calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _daily_views(spark, sf_dir) -> tuple[DataFrame, DataFrame]:
     """The two pre-aggregated daily views of ref ``py:453-465``."""
-    orders = load_table(spark, sf_dir, "orders", spread=True)
-    lineitem = load_table(spark, sf_dir, "lineitem", spread=True)
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
     carts_ab = (
         orders.where(F.col("o_orderstatus") == "O")
         .groupBy(F.to_date("o_orderdate").alias("d"))

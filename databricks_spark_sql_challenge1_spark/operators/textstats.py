@@ -358,7 +358,7 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical copy per normalized fingerprint) → per-language kept-document
     and kept-token counts. One expression pipeline + one dedup shuffle +
     one small aggregate — the 100 TB shape."""
-    docs = load_table(spark, sf_dir, "documents", spread=True)
+    docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim("text"), r"\s+")
     stats = docs.select(
         "doc_id",
