@@ -101,19 +101,32 @@ _SPREAD_MIN_BYTES = 256 * 1024
 # load-bearing: the gate only distinguishes "far fewer splits than cores"
 # from "plenty of splits").
 _SPREAD_SPLIT_BYTES = 128 * 1024 * 1024
-_SPREAD_BYTES_CACHE: dict[str, int] = {}
+_SPREAD_BYTES_CACHE: dict[tuple[str, float], int] = {}
 
 
 def _table_disk_bytes(path: str) -> int:
-    if path not in _SPREAD_BYTES_CACHE:
+    """On-disk size of a driver-LOCAL parquet path (file or directory).
+
+    Sizes are cached per (path, mtime) so a fixture rewritten in-process
+    (probe tooling resharding tables) refreshes its spread decision
+    (ADVICE r18). Non-local sf_dirs return 0 → spread disables — a
+    perf-only, never-wrong fallback; production object-store deployments
+    have split counts >> cores anyway, where the spread gate is a no-op.
+    """
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        return 0
+    key = (path, mtime)
+    if key not in _SPREAD_BYTES_CACHE:
         if os.path.isdir(path):
             total = 0
             for root, _dirs, files in os.walk(path):
                 total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
         else:
-            total = os.path.getsize(path) if os.path.exists(path) else 0
-        _SPREAD_BYTES_CACHE[path] = total
-    return _SPREAD_BYTES_CACHE[path]
+            total = os.path.getsize(path)
+        _SPREAD_BYTES_CACHE[key] = total
+    return _SPREAD_BYTES_CACHE[key]
 
 
 def _maybe_spread(
@@ -127,6 +140,10 @@ def _maybe_spread(
     invariant (pinned repo-wide by tests/test_layout_invariance_contract)."""
     key = _SPREAD_KEYS.get(name)
     if key is None:
+        return df
+    # Parameterized kill-switch (r19): lets cold A/B probes and non-local
+    # deployments turn the input-parallelism floor off without code edits.
+    if os.environ.get("SPARK_GRAFT_SPREAD", "1") in ("0", "off", "false"):
         return df
     nbytes = _table_disk_bytes(table_path(sf_dir, name))
     if nbytes < _SPREAD_MIN_BYTES:

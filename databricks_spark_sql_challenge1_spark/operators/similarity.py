@@ -1566,8 +1566,11 @@ def similarity_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall audit pays (run on a sampled query set, as here).
     """
     # Each leg feeds two aggregates below (hits + its per-query count);
-    # unmaterialized, the whole leg plan evaluated twice per run — the
-    # localCheckpoint halves the audit's cost (round-18; Q·k rows each).
+    # unmaterialized, the whole leg plan evaluated twice per run — one
+    # in-plan materialization per leg halves the audit's cost (round-18;
+    # Q·k rows each). cache(), not localCheckpoint (ADVICE r18 fixed the
+    # comment): lazy, built once inside the timed action, and its
+    # post-materialization stats are visible to AQE.
     exact = (
         similarity_topk(spark, sf_dir)
         .select("query_id", "neighbor_id")
@@ -1578,8 +1581,10 @@ def similarity_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .cache()
     )
-    # Explicit broadcasts: the checkpointed legs carry no size estimate, so
-    # without the hint these Q·k-row joins would plan as shuffles.
+    # Explicit broadcasts: unconditional by design, justified by the
+    # sampled-query contract (Q·k <= N_QUERIES*TOP_K rows per leg — see the
+    # docstring) rather than by the planner's threshold, which the lazy
+    # cached legs carry no size estimate for at plan time.
     hits = (
         exact.join(F.broadcast(approx), ["query_id", "neighbor_id"])
         .groupBy("query_id")

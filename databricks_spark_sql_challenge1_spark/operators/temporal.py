@@ -243,11 +243,17 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle (one multi-row surface, r14 capacity policy — the r13
 # dedup_simhash_methods pattern) is built from the SAME fragments the two
 # retired standalone oracles used, keeping every leg's values verbatim.
-_GAPFILL_SPINE_CTES = """obs AS (
+# The obs CTE body is its own constant so the consolidated surface's
+# _obs_view substitution (events_gapfill_interp) replaces the SAME text the
+# template was built from — a reformat can never silently turn the replace
+# into a no-op (ADVICE r18).
+_GAPFILL_OBS_CTE = """obs AS (
     SELECT user_id, date_trunc('hour', ts) AS hr,
            CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
     FROM events GROUP BY user_id, date_trunc('hour', ts)
-),
+)"""
+
+_GAPFILL_SPINE_CTES = _GAPFILL_OBS_CTE + """,
 span AS (
     SELECT user_id, MIN(hr) AS h0, MAX(hr) AS h1 FROM obs GROUP BY user_id
 ),
@@ -501,15 +507,16 @@ def events_gapfill_interp(
         # Consolidated-surface hook (round-18): replace the obs CTE body
         # with a read of the shared materialized aggregate — the template
         # re-derived it per reference otherwise (the DataFrame twin is
-        # value-identical by construction, see _gapfill_obs).
+        # value-identical by construction, see _gapfill_obs). Built from
+        # the same _GAPFILL_OBS_CTE constant as the template, and asserted
+        # to have fired, so a template reformat can never silently revert
+        # the sharing (ADVICE r18).
+        assert _GAPFILL_OBS_CTE in sql, "gapfill obs CTE drifted from template"
         sql = sql.replace(
-            """obs AS (
-    SELECT user_id, date_trunc('hour', ts) AS hr,
-           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
-    FROM events GROUP BY user_id, date_trunc('hour', ts)
-)""",
+            _GAPFILL_OBS_CTE,
             f"obs AS (SELECT user_id, hr, v FROM {_obs_view})",
         )
+        assert _GAPFILL_OBS_CTE not in sql
     return spark.sql(sql)
 
 

@@ -32,8 +32,12 @@ def _is_spread_exchange(line: str) -> bool:
     explicit hash repartition by the TABLE ID right above a byte-small scan
     so narrow compute-heavy stages parallelize (no-op at sf0.001 where every
     table is under the 256 KB gate); it is the only non-range exchange the
-    narrow-map plans may carry."""
-    return "hashpartitioning(doc_id" in line or "hashpartitioning(vec_id" in line
+    narrow-map plans may carry. ADVICE r18: also require the explicit
+    df.repartition origin tag (REPARTITION_BY_NUM/_COL) so a future
+    planner-introduced hash shuffle on the same key can't slip past the
+    narrow-plan pins."""
+    return ("hashpartitioning(doc_id" in line or "hashpartitioning(vec_id" in line) \
+        and "REPARTITION_BY" in line
 
 def test_filter_pushdown_to_scan(spark):
     """The status filter must reach the orders parquet scan."""
@@ -226,8 +230,9 @@ def test_multimodal_raw_kernels_are_narrow(spark):
         assert "Join" not in plan and "HashAggregate" not in plan, plan
         exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
         assert all(
-        "rangepartitioning" in ln or _is_spread_exchange(ln) for ln in exchanges
-    ), plan
+            "rangepartitioning" in ln or _is_spread_exchange(ln)
+            for ln in exchanges
+        ), plan
 
 
 

@@ -14,7 +14,14 @@ Exit code 1 on any mismatch/error.
 from __future__ import annotations
 
 import sys
+import threading
 import time
+
+# Same interrupt watchdog as tools/parity_sweep.py (r19): the deliberately
+# quadratic/recursive oracles (all-pairs dedup ground truth, recursive-CTE
+# graph reachability) wedge DuckDB at sf0.1 — SKIP them loudly there
+# instead of hanging a targeted re-proof; the driver checks them at sf0.01.
+DUCK_BUDGET_S = 150
 
 DEFAULT_SFS = [
     "/root/testdata/sf0.001",
@@ -109,10 +116,24 @@ def main() -> None:
                         flush=True,
                     )
                     continue
-                dseq = [
-                    tuple(str(x) for x in r)
-                    for r in con.execute(o[name]).fetchall()
-                ]
+                timer = threading.Timer(DUCK_BUDGET_S, con.interrupt)
+                timer.start()
+                try:
+                    dseq = [
+                        tuple(str(x) for x in r)
+                        for r in con.execute(o[name]).fetchall()
+                    ]
+                except duckdb.InterruptException:
+                    print(
+                        f"SKIP {sf_dir} {name} spark={t1 - t0:.1f}s "
+                        f"rows={len(sseq)} (duckdb oracle exceeded "
+                        f"{DUCK_BUDGET_S}s — deliberately quadratic/"
+                        "recursive oracle; the driver checks it at sf0.01)",
+                        flush=True,
+                    )
+                    continue
+                finally:
+                    timer.cancel()
                 srows, drows = sorted(sseq), sorted(dseq)
                 ok = srows == drows
                 # ADVICE r10: a sorted-multiset compare hides Spark-vs-
