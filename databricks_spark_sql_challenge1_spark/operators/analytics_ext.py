@@ -693,7 +693,7 @@ def customer_rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Round-18: `m` (the per-customer RFM aggregate) feeds both the sketch/
     # exact-quantile pass and the bound-check pass; materialized once
     # (|customers| rows) instead of re-running the orders aggregation.
-    m = m.cache()
+    m = m.localCheckpoint()
     stats = m.agg(*stats_aggs)
 
     j = m.crossJoin(F.broadcast(stats))
@@ -1492,7 +1492,7 @@ def topk_products_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderstatus") == "O") & F.col("l_partkey").isNotNull()
         )
         .select(F.col("l_partkey").alias("partkey"))
-        .cache()  # feeds three aggregations (counters, keys, exact) —
+        .localCheckpoint()  # feeds three aggregations (counters, keys, exact) —
         # without this the fact join executes three times per run
     )
 

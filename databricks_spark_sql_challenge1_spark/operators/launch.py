@@ -184,7 +184,7 @@ def launch_cohort_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     Round-18: ``launches`` (a full lineitem-join-orders MIN aggregate)
     feeds both the cohort count and the activity join; materialized once
     (|parts| rows) instead of evaluating the launch subtree twice."""
-    launches = _launch_products(spark, sf_dir).cache()
+    launches = _launch_products(spark, sf_dir).localCheckpoint()
     cohort = launches.groupBy("launch_year", "launch_month").agg(
         F.count(F.lit(1)).alias("n_parts_launched")
     )

@@ -622,9 +622,9 @@ def similarity_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     _guard_stride_corpus(
         e.count(), "similarity_ann_methods", "similarity_pq_rerank"
     )
-    assigned = _ivf_assigned(e).cache()
+    assigned = _ivf_assigned(e).localCheckpoint()
     codes, dtable = _pq_codes_dtable(e)
-    codes, dtable = codes.cache(), dtable.cache()
+    codes, dtable = codes.localCheckpoint(), dtable.localCheckpoint()
     shared = {
         "ivf": {"_assigned": assigned},
         "ivfpq": {"_assigned": assigned, "_codes": codes, "_dtable": dtable},
@@ -1574,12 +1574,12 @@ def similarity_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         similarity_topk(spark, sf_dir)
         .select("query_id", "neighbor_id")
-        .cache()
+        .localCheckpoint()
     )
     approx = (
         similarity_ivfpq(spark, sf_dir)
         .select("query_id", "neighbor_id")
-        .cache()
+        .localCheckpoint()
     )
     # Explicit broadcasts: unconditional by design, justified by the
     # sampled-query contract (Q·k <= N_QUERIES*TOP_K rows per leg — see the

@@ -570,7 +570,7 @@ def events_gapfill_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     # template twice (seq, span). Materialize it once and feed both legs
     # (the DataFrame twin and the template's obs CTE are value-identical
     # by construction; 3-scale parity re-proven).
-    obs = _gapfill_obs(spark, sf_dir).cache()
+    obs = _gapfill_obs(spark, sf_dir).localCheckpoint()
     obs.createOrReplaceTempView("gapfill_obs_shared")
     nl = F.lit(None).cast("long")
     locf = events_gapfill_stats(spark, sf_dir, _obs=obs).select(
